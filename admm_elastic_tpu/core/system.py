@@ -1,0 +1,372 @@
+"""The ADMM elastodynamics system: host-side builder + jitted timestep.
+
+Mirrors the reference's `admm::System` API surface (System.hpp:29-99):
+`add_nodes`, `forces`, `explicit_forces`, `initialize`, `step`,
+`recompute_weights`, `pre_step_callbacks` — but the timestep is a single
+jitted function over struct-of-array constraint batches:
+
+    step (System.cpp:26-75):
+      pre-step callbacks (host)                      System.cpp:29
+      explicit forces kick velocities                System.cpp:37-39
+      x_bar = x + dt v;   M x_bar                    System.cpp:46-47
+      admm_iters times (lax.fori_loop):              System.cpp:51-67
+        Dx   = gather/einsum per constraint batch    (was sparse matvec)
+        z,u  = batched local projections + dual upd  (was omp parallel for)
+        b    = M x_bar + dt^2 D^T W^2 (z - u)        (segment-sum)
+        x    = global solve                          (was LDLT backsolve)
+      v = (x' - x)/dt                                System.cpp:70-71
+
+All runtime-variable data (weights, material params, control points, wind
+direction, the dense inverse) are traced arguments, so weight changes and
+scenario sweeps never recompile. The dual u is warm-started across steps
+(System.cpp:42).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.base import ForceBatch
+from ..ops.segment import coeff_apply, coeff_apply_T
+from .solver import A_hat_apply, A_hat_diag, assemble_A_hat, pcg_solve
+
+
+@dataclasses.dataclass
+class Settings:
+    """Solver settings (reference System::Settings, System.hpp:35-42)."""
+
+    timestep_s: float = 0.04
+    admm_iters: int = 10
+    verbose: int = 1
+    #: float32 is the TPU-native default; use float64 (with jax_enable_x64)
+    #: for trajectory parity against the all-double reference
+    dtype: Any = jnp.float32
+    #: 'auto' picks 'dense' for small meshes, 'cg' for large
+    global_solver: str = "auto"
+    dense_max_nodes: int = 4096
+    cg_tol: float = 1e-10
+    cg_max_iters: int = 250
+    #: compute per-iteration primal/dual residuals (Eq. 22-23 noted at
+    #: System.cpp:64-65 but never computed by the reference)
+    collect_residuals: bool = False
+
+    def parse_args(self, argv):
+        """CLI parity with the reference: -dt, -v, -it, -help
+        (System.cpp:182-208)."""
+        i = 0
+        while i < len(argv):
+            a = argv[i]
+            if a == "-help":
+                print(
+                    "Args:\n\t-dt: time step (s)\n\t-v: verbosity"
+                    "\n\t-it: # admm iters"
+                )
+            elif a == "-dt" and i + 1 < len(argv):
+                self.timestep_s = float(argv[i + 1])
+                i += 1
+            elif a == "-v" and i + 1 < len(argv):
+                self.verbose = int(argv[i + 1])
+                i += 1
+            elif a == "-it" and i + 1 < len(argv):
+                self.admm_iters = int(argv[i + 1])
+                i += 1
+            i += 1
+        return self
+
+
+def _cast_tree(tree, dtype):
+    def cast(a):
+        a = np.asarray(a)
+        if np.issubdtype(a.dtype, np.floating):
+            return jnp.asarray(a, dtype)
+        return jnp.asarray(a)
+
+    return jax.tree_util.tree_map(cast, tree)
+
+
+class System:
+    def __init__(self, settings: Settings | None = None):
+        self.settings = settings or Settings()
+        self.forces: list[ForceBatch] = []
+        self.explicit_forces: list = []
+        self.pre_step_callbacks: list[Callable[["System"], None]] = []
+        self._x = np.zeros((0, 3), dtype=np.float64)
+        self._m = np.zeros((0,), dtype=np.float64)
+        self.initialized = False
+        self.elapsed_s = 0.0
+
+    # ------------------------------------------------------------- building
+
+    @property
+    def n_nodes(self) -> int:
+        return len(self._x)
+
+    def add_nodes(self, x, masses) -> int:
+        """Append nodes; accepts (n,3) or flat (3n,) like the reference
+        (System.cpp:78-95). Masses: (n,) or flat (3n,) with per-node
+        replication. Returns total node count."""
+        x = np.asarray(x, dtype=np.float64)
+        if x.ndim == 1:
+            x = x.reshape(-1, 3)
+        m = np.asarray(masses, dtype=np.float64)
+        if m.ndim == 1 and m.shape[0] == 3 * x.shape[0]:
+            m = m.reshape(-1, 3)[:, 0]
+        if m.shape[0] != x.shape[0]:
+            raise ValueError("masses/positions node count mismatch")
+        self._x = np.concatenate([self._x, x], axis=0)
+        self._m = np.concatenate([self._m, m], axis=0)
+        return self.n_nodes
+
+    def add_force(self, f: ForceBatch) -> ForceBatch:
+        self.forces.append(f)
+        return f
+
+    def add_explicit_force(self, f) -> Any:
+        self.explicit_forces.append(f)
+        return f
+
+    # --------------------------------------------------------- initialize
+
+    def initialize(self) -> bool:
+        s = self.settings
+        if s.timestep_s <= 0.0:
+            print(f"**Solver Error: timestep {s.timestep_s}s, changing to 0.04s")
+            s.timestep_s = 0.04
+        if self.n_nodes < 1:
+            print("**Solver Error: Problem with node data!")
+            return False
+        dt = s.timestep_s
+        dtype = s.dtype
+
+        self._force_list = []
+        params: dict[str, Any] = {}
+        state_forces: dict[str, Any] = {}
+        u0: dict[str, Any] = {}
+        for i, f in enumerate(self.forces):
+            f.name = f"c{i}_{type(f).__name__}"
+            p, st = f.build(self._x, self._m, dt)
+            params[f.name] = p
+            state_forces[f.name] = st
+            u0[f.name] = np.zeros((f.n_elements, f.R, 3))
+            self._force_list.append(f)
+
+        self._explicit_list = []
+        for i, e in enumerate(self.explicit_forces):
+            e.name = f"e{i}_{type(e).__name__}"
+            params[e.name] = e.build()
+            self._explicit_list.append(e)
+
+        n = self.n_nodes
+        mode = s.global_solver
+        if mode == "auto":
+            mode = "dense" if n <= s.dense_max_nodes else "cg"
+        self._solver_mode = mode
+        self._constraint_names = [f.name for f in self._force_list]
+
+        if mode == "dense":
+            cparams = {k: params[k] for k in self._constraint_names}
+            A = assemble_A_hat(n, self._m, dt, cparams)
+            params["_solver"] = {"A_inv": np.linalg.inv(A)}
+        elif mode != "cg":
+            raise ValueError(f"unknown global_solver {mode!r}")
+
+        self.params = _cast_tree(params, dtype)
+        self.state = {
+            "x": jnp.asarray(self._x, dtype),
+            "v": jnp.zeros((n, 3), dtype),
+            "t": jnp.asarray(0.0, dtype),
+            "u": _cast_tree(u0, dtype),
+            "forces": _cast_tree(state_forces, dtype),
+        }
+        self._masses_dev = jnp.asarray(self._m, dtype)
+        self._step_fn = jax.jit(self._make_step(), donate_argnums=(0,))
+
+        if s.verbose >= 1:
+            print(
+                f"Solver::initialize: {n} nodes, {len(self.forces)} constraint "
+                f"batches ({sum(f.n_elements for f in self.forces)} elements), "
+                f"global solver = {mode}"
+            )
+        self.initialized = True
+        return True
+
+    # ----------------------------------------------------------- step fn
+
+    def _make_step(self):
+        forces = list(self._force_list)
+        explicit = list(self._explicit_list)
+        masses = self._masses_dev
+        dt = self.settings.timestep_s
+        dt2 = dt * dt
+        iters = self.settings.admm_iters
+        mode = self._solver_mode
+        cg_tol = self.settings.cg_tol
+        cg_iters = self.settings.cg_max_iters
+        collect = self.settings.collect_residuals
+        n = self.n_nodes
+        cnames = [f.name for f in forces]
+
+        def Dx_all(params, x):
+            return {
+                f.name: coeff_apply(params[f.name]["coeff"], params[f.name]["indices"], x)
+                for f in forces
+            }
+
+        def step(state, params):
+            x0, v = state["x"], state["v"]
+            for e in explicit:
+                v = e.apply(dt, x0, v, masses, params[e.name])
+
+            xbar = x0 + dt * v
+            Mxbar = masses[:, None] * xbar
+            u = state["u"]
+            fstate = state["forces"]
+            cparams = {k: params[k] for k in cnames}
+
+            if mode == "cg":
+                diag = A_hat_diag(masses, dt2, cparams)
+
+            z_prev = Dx_all(params, x0)  # z init (System.cpp:43), for residuals
+
+            res_shape = (iters,) if collect else (0,)
+            res_primal = jnp.zeros(res_shape, x0.dtype)
+            res_dual = jnp.zeros(res_shape, x0.dtype)
+
+            def iteration(i, carry):
+                curr_x, u, fstate, z_prev, rp, rd = carry
+                Dx = Dx_all(params, curr_x)
+                z = {}
+                new_fstate = {}
+                for f in forces:
+                    zf, sf = f.project(Dx[f.name], u[f.name], params[f.name], fstate[f.name])
+                    z[f.name] = zf
+                    new_fstate[f.name] = sf
+                # dual update u += Dx - z (Force.cpp:67 pattern, all types)
+                u = {k: u[k] + Dx[k] - z[k] for k in u}
+
+                b = Mxbar
+                for f in forces:
+                    p = params[f.name]
+                    w2 = p["weight"] ** 2
+                    b = b + dt2 * coeff_apply_T(
+                        p["coeff"], p["indices"], w2, z[f.name] - u[f.name], n
+                    )
+
+                if mode == "dense":
+                    new_x = params["_solver"]["A_inv"] @ b
+                else:
+                    new_x, _ = pcg_solve(
+                        lambda y: A_hat_apply(y, masses, dt2, cparams),
+                        b,
+                        curr_x,
+                        diag,
+                        cg_tol,
+                        cg_iters,
+                    )
+
+                if collect:
+                    # r = ||W(Dx - z)||, s = ||dt^2 D^T W^2 (z - z_prev)||
+                    # (System.cpp:64-65)
+                    r2 = 0.0
+                    sresid = jnp.zeros((n, 3), b.dtype)
+                    for f in forces:
+                        p = params[f.name]
+                        w = p["weight"][:, None, None]
+                        r2 = r2 + jnp.sum((w * (Dx[f.name] - z[f.name])) ** 2)
+                        sresid = sresid + dt2 * coeff_apply_T(
+                            p["coeff"], p["indices"], p["weight"] ** 2,
+                            z[f.name] - z_prev[f.name], n,
+                        )
+                    rp = rp.at[i].set(jnp.sqrt(r2))
+                    rd = rd.at[i].set(jnp.linalg.norm(sresid))
+
+                return (new_x, u, new_fstate, z, rp, rd)
+
+            carry = (xbar, u, fstate, z_prev, res_primal, res_dual)
+            curr_x, u, fstate, _, rp, rd = jax.lax.fori_loop(0, iters, iteration, carry)
+
+            new_state = {
+                "x": curr_x,
+                "v": (curr_x - x0) / dt,
+                "t": state["t"] + dt,
+                "u": u,
+                "forces": fstate,
+            }
+            aux = {"primal_residual": rp, "dual_residual": rd}
+            return new_state, aux
+
+        return step
+
+    # ----------------------------------------------------------- stepping
+
+    def step(self):
+        """One timestep; runs host callbacks first (System.cpp:29)."""
+        if not self.initialized:
+            raise RuntimeError("call initialize() first")
+        for cb in self.pre_step_callbacks:
+            cb(self)
+        self.state, self.last_aux = self._step_fn(self.state, self.params)
+        self.elapsed_s += self.settings.timestep_s
+        return True
+
+    def recompute_weights(self):
+        """After runtime weight edits (poordillo release path,
+        System.cpp:159-179). CG mode needs nothing; dense mode re-inverts."""
+        if self._solver_mode == "dense":
+            cparams = {
+                k: jax.tree_util.tree_map(np.asarray, self.params[k])
+                for k in self._constraint_names
+            }
+            A = assemble_A_hat(self.n_nodes, self._m, self.settings.timestep_s, cparams)
+            self.params["_solver"] = {
+                "A_inv": jnp.asarray(np.linalg.inv(A), self.settings.dtype)
+            }
+
+    # ------------------------------------------------------------- access
+
+    @property
+    def x(self) -> np.ndarray:
+        return np.asarray(self.state["x"] if self.initialized else self._x)
+
+    @x.setter
+    def x(self, value):
+        value = np.asarray(value, dtype=np.float64).reshape(-1, 3)
+        if self.initialized:
+            self.state["x"] = jnp.asarray(value, self.settings.dtype)
+        self._x = value
+
+    @property
+    def v(self) -> np.ndarray:
+        return np.asarray(self.state["v"]) if self.initialized else np.zeros_like(self._x)
+
+    @v.setter
+    def v(self, value):
+        if not self.initialized:
+            raise RuntimeError("set velocities after initialize()")
+        self.state["v"] = jnp.asarray(
+            np.asarray(value, dtype=np.float64).reshape(-1, 3), self.settings.dtype
+        )
+
+    @property
+    def masses(self) -> np.ndarray:
+        return self._m
+
+    def set_force_param(self, force, key, value):
+        """Host-side runtime edit of a traced parameter (e.g. weights,
+        wind direction, control points)."""
+        name = force if isinstance(force, str) else force.name
+        self.params[name][key] = jnp.asarray(
+            np.asarray(value), self.params[name][key].dtype
+        )
+
+    def set_force_state(self, force, key, value):
+        name = force if isinstance(force, str) else force.name
+        self.state["forces"][name][key] = jnp.asarray(
+            np.asarray(value), self.state["forces"][name][key].dtype
+        )

@@ -1,0 +1,67 @@
+"""ForceBatch: one *batch* of constraints of a single type.
+
+The reference treats each constraint as an object with virtual
+`get_selector` / `project` methods dispatched per-force inside an OpenMP loop
+(System.cpp:57-58). On TPU every constraint type instead becomes a
+struct-of-arrays batch with
+
+  * ``params``: arrays that may change at runtime without recompiling —
+    selector data (`indices` (E,K) int32, `coeff` (E,R,K)), per-element
+    `weight` (E,), and material constants. Passing them as traced arguments
+    (rather than baking them into the jaxpr) is what makes the reference's
+    "recompute_weights + re-factorize" path (System.cpp:159-179) free here,
+    and what lets scenario sweeps vmap over material parameters.
+  * ``state``: per-element values carried across steps (dual variables are
+    handled by the System; this holds extras like the hyperelastic
+    warm-start sigma, TetForce.hpp:145).
+  * ``project``: the batched local step z-update. The System performs the
+    generic dual update u += Dx - z afterwards (Force.cpp:67 pattern).
+
+Selector structure: rows act component-wise (see ops/segment.py), so
+Dx has shape (E, R, 3): row-group r of element e applied to each of xyz.
+"""
+
+from __future__ import annotations
+
+import abc
+
+import numpy as np
+
+
+class ForceBatch(abc.ABC):
+    """Abstract constraint batch. Subclasses define R (row-groups per element)
+    and K (stencil vertices per element)."""
+
+    R: int = 1
+    K: int = 1
+    #: set by System.initialize(); key into the params/state/z/u dicts
+    name: str = ""
+
+    @property
+    @abc.abstractmethod
+    def n_elements(self) -> int:
+        ...
+
+    @abc.abstractmethod
+    def build(self, x: np.ndarray, masses: np.ndarray, dt: float):
+        """Host-side init (reference Force::initialize + get_selector).
+
+        x: (n,3) rest/current positions. Returns (params, state) dicts of
+        numpy arrays. params must contain 'indices' (E,K) int32,
+        'coeff' (E,R,K) float, 'weight' (E,) float.
+        """
+
+    @abc.abstractmethod
+    def project(self, Dx, u, params, state):
+        """Batched local step: returns (z, new_state).
+
+        Dx, u: (E,R,3) device arrays; params/state: device dicts.
+        """
+
+    # ---- helpers ----------------------------------------------------------
+
+    def _n(self) -> int:
+        return self.n_elements
+
+    def __repr__(self) -> str:
+        return f"{type(self).__name__}(E={self.n_elements})"

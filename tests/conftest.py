@@ -1,0 +1,47 @@
+"""Test harness setup.
+
+This container injects an `axon` TPU-relay PJRT plugin into every Python
+process via sitecustomize (PYTHONPATH=/root/.axon_site). That plugin makes
+host-side CPU runs pathologically slow and can deadlock process exit, so the
+test suite must run on plain CPU with the plugin disabled. If we detect the
+plugin was loaded, re-exec pytest with a scrubbed environment before any test
+imports jax.
+
+Tests run in float64 (jax_enable_x64) on 8 virtual CPU devices so sharded
+paths are testable without a TPU.
+"""
+
+import os
+import sys
+
+_NEEDS_SCRUB = (
+    os.environ.get("_AET_CLEAN_ENV") != "1"
+    and (
+        os.environ.get("PALLAS_AXON_POOL_IPS")
+        or os.environ.get("JAX_PLATFORMS", "") == "axon"
+        or "/root/.axon_site" in os.environ.get("PYTHONPATH", "")
+    )
+)
+
+if _NEEDS_SCRUB:
+    env = dict(os.environ)
+    env["_AET_CLEAN_ENV"] = "1"
+    env["PYTHONPATH"] = ":".join(
+        p for p in env.get("PYTHONPATH", "").split(":") if p and ".axon_site" not in p
+    )
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    ).strip()
+    os.execve(sys.executable, [sys.executable, "-m", "pytest", *sys.argv[1:]], env)
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+if "--xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)

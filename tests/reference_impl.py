@@ -1,0 +1,284 @@
+"""Independent, slow, pure-numpy oracle implementing the reference ADMM
+algorithm (System.cpp:26-75) with explicit sparse-as-dense matrices and
+per-force Python loops. Used by parity tests to validate the TPU framework's
+vectorized implementation against the exact published algorithm. This is a
+re-derivation from the algorithm's math, built for testing only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class RefForce:
+    global_idx = 0
+
+    def rows(self):
+        raise NotImplementedError
+
+    def selector(self, n_dof):
+        """Returns (D_block (rows, n_dof), weights (rows,))."""
+        raise NotImplementedError
+
+    def project(self, Dx, u, z):
+        """In-place update of u, z segments (local step + dual update)."""
+        raise NotImplementedError
+
+
+class RefSpring(RefForce):
+    def __init__(self, i, j, k):
+        self.i, self.j, self.k = i, j, k
+
+    def initialize(self, x):
+        self.rest = np.linalg.norm(x[self.i * 3 : self.i * 3 + 3] - x[self.j * 3 : self.j * 3 + 3])
+        self.w = np.sqrt(self.k)
+
+    def rows(self):
+        return 3
+
+    def selector(self, n_dof):
+        D = np.zeros((3, n_dof))
+        for c in range(3):
+            D[c, self.i * 3 + c] = 1.0
+            D[c, self.j * 3 + c] = -1.0
+        return D, np.full(3, self.w)
+
+    def project(self, Dx, u, z):
+        g = self.global_idx
+        dix = Dx[g : g + 3]
+        ui = u[g : g + 3]
+        dxu = dix + ui
+        nrm = np.linalg.norm(dxu)
+        direc = dxu / nrm if nrm > 0 else np.zeros(3)
+        p = self.rest * direc
+        zi = (self.k * p + self.w**2 * dxu) / (self.w**2 + self.k)
+        u[g : g + 3] = ui + dix - zi
+        z[g : g + 3] = zi
+
+
+class RefAnchor(RefForce):
+    def __init__(self, idx, weight=1000.0):
+        self.idx, self.w = idx, weight
+
+    def initialize(self, x):
+        self.pos = x[self.idx * 3 : self.idx * 3 + 3].copy()
+
+    def rows(self):
+        return 3
+
+    def selector(self, n_dof):
+        D = np.zeros((3, n_dof))
+        for c in range(3):
+            D[c, self.idx * 3 + c] = 1.0
+        return D, np.full(3, self.w)
+
+    def project(self, Dx, u, z):
+        g = self.global_idx
+        dix = Dx[g : g + 3]
+        u[g : g + 3] += dix - self.pos
+        z[g : g + 3] = self.pos
+
+
+def _tet_B(x, idx):
+    v = [x[i * 3 : i * 3 + 3] for i in idx]
+    edges = np.stack([v[1] - v[0], v[2] - v[0], v[3] - v[0]], axis=1)
+    D4 = np.array([[-1, -1, -1], [1, 0, 0], [0, 1, 0], [0, 0, 1]], dtype=float)
+    B = D4 @ np.linalg.inv(edges)
+    vol = abs(np.dot(v[0] - v[3], np.cross(v[1] - v[3], v[2] - v[3]))) / 6.0
+    return B, vol
+
+
+class RefLinearTetStrain(RefForce):
+    def __init__(self, idx, k):
+        self.idx, self.k = list(idx), k
+
+    def initialize(self, x):
+        self.B, self.vol = _tet_B(x, self.idx)
+        self.w = np.sqrt(self.k) * np.sqrt(self.vol)
+
+    def rows(self):
+        return 9
+
+    def selector(self, n_dof):
+        D = np.zeros((9, n_dof))
+        Bt = self.B.T  # (3,4)
+        for r in range(3):
+            for c in range(4):
+                for j in range(3):
+                    D[r * 3 + j, self.idx[c] * 3 + j] = Bt[r, c]
+        return D, np.full(9, self.w)
+
+    def project(self, Dx, u, z):
+        g = self.global_idx
+        dix = Dx[g : g + 9]
+        ui = u[g : g + 9]
+        dxu = dix + ui
+        F = dxu.reshape(3, 3, order="F")  # column-major map like Eigen
+        U, S, Vt = np.linalg.svd(F)
+        Snew = np.array([1.0, 1.0, 1.0])
+        if np.linalg.det(F) < 0:
+            Snew[2] = -1.0
+        proj = U @ np.diag(Snew) @ Vt
+        p = proj.reshape(9, order="F")
+        k = self.k * self.vol
+        zi = (k * p + self.w**2 * dxu) / (self.w**2 + k)
+        u[g : g + 9] = ui + dix - zi
+        z[g : g + 9] = zi
+
+
+class RefTriangleStrain(RefForce):
+    def __init__(self, idx, k, lmin=0.0, lmax=9999999.0):
+        self.idx, self.k, self.lmin, self.lmax = list(idx), k, lmin, lmax
+
+    def initialize(self, x):
+        v = [x[i * 3 : i * 3 + 3] for i in self.idx]
+        e12, e13 = v[1] - v[0], v[2] - v[0]
+        n1 = e12 / np.linalg.norm(e12)
+        t = e13 - np.dot(e13, n1) * n1
+        n2 = t / np.linalg.norm(t)
+        basis = np.stack([n1, n2], axis=1)
+        edges = np.stack([e12, e13], axis=1)
+        Xg = basis.T @ edges
+        D3 = np.array([[-1, -1], [1, 0], [0, 1]], dtype=float)
+        self.B = D3 @ np.linalg.inv(Xg)
+        self.area = abs(np.linalg.det(Xg)) / 2.0
+        self.w = np.sqrt(self.k) * np.sqrt(self.area)
+
+    def rows(self):
+        return 6
+
+    def selector(self, n_dof):
+        D = np.zeros((6, n_dof))
+        for i in range(3):  # component
+            for j in range(3):  # vertex
+                D[i, self.idx[j] * 3 + i] = self.B[j, 0]
+                D[3 + i, self.idx[j] * 3 + i] = self.B[j, 1]
+        return D, np.full(6, self.w)
+
+    def project(self, Dx, u, z):
+        g = self.global_idx
+        dix = Dx[g : g + 6]
+        ui = u[g : g + 6]
+        dxu = dix + ui
+        F = dxu.reshape(3, 2, order="F")
+        U, S, Vt = np.linalg.svd(F, full_matrices=False)
+        T = U @ Vt
+        p = T.reshape(6, order="F")
+        k = self.k * self.area
+        zi = (k * p + self.w**2 * dxu) / (self.w**2 + k)
+        l0, l1 = np.linalg.norm(zi[:3]), np.linalg.norm(zi[3:])
+        if l0 < self.lmin:
+            zi[:3] *= self.lmin / max(l0, 1e-6)
+        if l1 < self.lmin:
+            zi[3:] *= self.lmin / max(l1, 1e-6)
+        if l0 > self.lmax:
+            zi[:3] *= self.lmax / max(l0, 1e-6)
+        if l1 > self.lmax:
+            zi[3:] *= self.lmax / max(l1, 1e-6)
+        u[g : g + 6] = ui + dix - zi
+        z[g : g + 6] = zi
+
+
+class RefBend(RefForce):
+    def __init__(self, hinge, k):
+        self.idx, self.k = list(hinge), k
+
+    def initialize(self, x):
+        v = [x[i * 3 : i * 3 + 3] for i in self.idx]
+        xA, xB, xD = v[0] - v[2], v[1] - v[2], v[3] - v[2]
+        area1 = 0.5 * np.linalg.norm(np.cross(xA, xD))
+        area2 = 0.5 * np.linalg.norm(np.cross(xD, xB))
+        hA = 2 * area1 / np.linalg.norm(xD)
+        hB = 2 * area2 / np.linalg.norm(xD)
+        nC = np.cross(-xB, -xA)
+        nD = np.cross(xD - xA, xD - xB)
+        self.alpha = np.array(
+            [
+                hB / (hA + hB),
+                hA / (hA + hB),
+                -np.linalg.norm(nD) / (np.linalg.norm(nC) + np.linalg.norm(nD)),
+                -np.linalg.norm(nC) / (np.linalg.norm(nC) + np.linalg.norm(nD)),
+            ]
+        )
+        self.w = np.sqrt(self.k)
+
+    def rows(self):
+        return 9
+
+    def selector(self, n_dof):
+        D = np.zeros((9, n_dof))
+        i0, i1, i2, i3 = self.idx
+        for c in range(3):
+            D[c, i0 * 3 + c] = 1.0
+            D[c, i2 * 3 + c] = -1.0
+            D[3 + c, i3 * 3 + c] = 1.0
+            D[3 + c, i2 * 3 + c] = -1.0
+            D[6 + c, i1 * 3 + c] = 1.0
+            D[6 + c, i2 * 3 + c] = -1.0
+        return D, np.full(9, self.w)
+
+    def project(self, Dx, u, z):
+        g = self.global_idx
+        dix = Dx[g : g + 9]
+        ui = u[g : g + 9]
+        dxu = dix + ui
+        a = self.alpha
+        c1, c2, c3 = dxu[:3], dxu[3:6], dxu[6:]
+        lam = 2.0 * (a[0] * c1 + a[3] * c2 + a[1] * c3) / (a[0] ** 2 + a[3] ** 2 + a[1] ** 2)
+        p = np.concatenate([c1 - 0.5 * a[0] * lam, c2 - 0.5 * a[3] * lam, c3 - 0.5 * a[1] * lam])
+        zi = (self.k * p + self.w**2 * dxu) / (self.w**2 + self.k)
+        u[g : g + 9] = ui + dix - zi
+        z[g : g + 9] = zi
+
+
+class RefSystem:
+    """Direct transcription of the reference timestep algorithm."""
+
+    def __init__(self, dt=0.04, iters=10):
+        self.dt, self.iters = dt, iters
+        self.forces: list[RefForce] = []
+        self.gravity = None
+
+    def setup(self, x, masses):
+        self.x = np.asarray(x, dtype=float).reshape(-1).copy()
+        self.v = np.zeros_like(self.x)
+        self.m = np.repeat(np.asarray(masses, dtype=float), 3)
+
+    def initialize(self):
+        n_dof = len(self.x)
+        for f in self.forces:
+            f.initialize(self.x)
+        blocks, weights = [], []
+        r = 0
+        for f in self.forces:
+            f.global_idx = r
+            D, w = f.selector(n_dof)
+            blocks.append(D)
+            weights.append(w)
+            r += f.rows()
+        self.D = np.concatenate(blocks, axis=0) if blocks else np.zeros((0, n_dof))
+        self.W = np.concatenate(weights) if weights else np.zeros(0)
+        dt2 = self.dt * self.dt
+        M = np.diag(self.m)
+        DtW2 = self.D.T * (self.W**2)[None, :]
+        self.A = M + dt2 * (DtW2 @ self.D)
+        self.dt2_DtW2 = dt2 * DtW2
+        self.u = np.zeros(len(self.W))
+        self.z = np.zeros(len(self.W))
+
+    def step(self):
+        dt = self.dt
+        if self.gravity is not None:
+            self.v += dt * np.tile(self.gravity, len(self.x) // 3)
+        self.z = self.D @ self.x
+        xbar = self.x + dt * self.v
+        Mxbar = self.m * xbar
+        curr_x = xbar.copy()
+        for _ in range(self.iters):
+            Dx = self.D @ curr_x
+            for f in self.forces:
+                f.project(Dx, self.u, self.z)
+            b = Mxbar + self.dt2_DtW2 @ (self.z - self.u)
+            curr_x = np.linalg.solve(self.A, b)
+        self.v = (curr_x - self.x) / dt
+        self.x = curr_x

@@ -1,0 +1,257 @@
+"""Core solver: the reference's smoke scenarios as numeric regression tests
+plus convergence/conservation checks (reference has only stdout smoke tests,
+deps/admm-elastic-sca/samples/singlenode.cpp, singletet.cpp)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from admm_elastic_tpu import Settings, System
+from admm_elastic_tpu.models import (
+    Bend,
+    Collision,
+    ExplicitForce,
+    Floor,
+    HyperElasticTet,
+    LimitedTriangleStrain,
+    LinearTetStrain,
+    MovingAnchor,
+    Spring,
+    StaticAnchor,
+    TetVolume,
+    WindForce,
+)
+
+
+def _settings(**kw):
+    kw.setdefault("dtype", jnp.float64)
+    kw.setdefault("verbose", 0)
+    return Settings(**kw)
+
+
+def test_singlenode_free_fall():
+    """1 node + gravity, dt=1, 4 steps (singlenode.cpp:25-73). With no
+    constraints the ADMM solve reduces to x' = xbar: symplectic-Euler free
+    fall x_k = -9.8 * k(k+1)/2."""
+    sys = System(_settings(timestep_s=1.0, admm_iters=20))
+    sys.add_nodes(np.zeros(3), np.ones(3))
+    sys.add_explicit_force(ExplicitForce(direction=(0, -9.8, 0)))
+    # no constraint forces at all -> pure explicit integration, but System
+    # needs at least the machinery to run; add a zero-weight anchor? No:
+    # the solver handles the no-constraint case (A = M).
+    assert sys.initialize()
+    expected_y = 0.0
+    vel = 0.0
+    for k in range(4):
+        sys.step()
+        vel += -9.8
+        expected_y += vel
+        assert sys.x[0, 1] == pytest.approx(expected_y, rel=1e-12)
+        assert sys.x[0, 0] == 0.0 and sys.x[0, 2] == 0.0
+
+
+def test_singletet_recovery():
+    """1 tet, 3 anchors, 4th node stretched to x=200, one step with 20 ADMM
+    iters pulls it far back toward rest (singletet.cpp:27-111)."""
+    sys = System(_settings(timestep_s=1.0, admm_iters=20))
+    x = np.array([[0, 1, 0], [0, 0, 0], [0, 0, 1], [1, 0, 0]], dtype=float)
+    sys.add_nodes(x, np.ones(4))
+    sys.add_force(StaticAnchor([0, 1, 2]))
+    sys.add_force(LinearTetStrain(np.array([[0, 1, 2, 3]]), stiffness=1.0))
+    assert sys.initialize()
+    sys.x = np.array([[0, 1, 0], [0, 0, 0], [0, 0, 1], [200, 0, 0]], dtype=float)
+    sys.step()
+    new_x = sys.x[3, 0]
+    # oracle (tests/reference_impl.py) gives 171.571... after one step with
+    # these settings; parity is asserted exactly in test_parity.py
+    assert new_x == pytest.approx(171.5714285714, rel=1e-6)
+    # anchored nodes barely move (weight 1000)
+    assert np.abs(sys.x[:3] - x[:3]).max() < 0.2
+    # further steps converge to rest
+    for _ in range(100):
+        sys.step()
+    assert sys.x[3, 0] == pytest.approx(1.0, abs=0.1)
+
+
+def test_spring_rest_convergence():
+    """Two nodes + spring, one anchored: free node returns to rest length
+    (dt=0.1 for implicit damping; small dt keeps oscillating, correctly)."""
+    sys = System(_settings(timestep_s=0.1, admm_iters=10))
+    sys.add_nodes(np.array([[0, 0, 0], [2, 0, 0]], dtype=float), np.ones(2))
+    sys.add_force(StaticAnchor([0]))
+    sys.add_force(Spring(np.array([[0, 1]]), stiffness=100.0))
+    assert sys.initialize()
+    # stretch to 3, let it spring back (no gravity)
+    sys.x = np.array([[0, 0, 0], [3, 0, 0]], dtype=float)
+    for _ in range(400):
+        sys.step()
+    assert sys.x[1, 0] == pytest.approx(2.0, abs=1e-2)
+
+
+def test_dense_and_cg_agree():
+    """Global solve modes must produce the same trajectory."""
+    x = np.array([[0, 1, 0], [0, 0, 0], [0, 0, 1], [1, 0, 0]], dtype=float)
+    results = []
+    for mode in ("dense", "cg"):
+        sys = System(
+            _settings(timestep_s=0.04, admm_iters=10, global_solver=mode,
+                      cg_tol=1e-12, cg_max_iters=500)
+        )
+        sys.add_nodes(x, np.ones(4))
+        sys.add_force(StaticAnchor([0]))
+        sys.add_force(LinearTetStrain(np.array([[0, 1, 2, 3]]), stiffness=50.0))
+        sys.add_explicit_force(ExplicitForce(direction=(0, -9.8, 0)))
+        assert sys.initialize()
+        for _ in range(10):
+            sys.step()
+        results.append(sys.x.copy())
+    np.testing.assert_allclose(results[0], results[1], rtol=1e-5, atol=1e-8)
+
+
+def test_residuals_decrease():
+    """Primal residual decreases over ADMM iterations within a step."""
+    sys = System(
+        _settings(timestep_s=0.04, admm_iters=30, collect_residuals=True)
+    )
+    x = np.array([[0, 1, 0], [0, 0, 0], [0, 0, 1], [1, 0, 0]], dtype=float)
+    sys.add_nodes(x, np.ones(4))
+    sys.add_force(StaticAnchor([0, 1, 2]))
+    sys.add_force(LinearTetStrain(np.array([[0, 1, 2, 3]]), stiffness=100.0))
+    assert sys.initialize()
+    sys.x = x + np.array([[0, 0, 0], [0, 0, 0], [0, 0, 0], [0.5, 0.3, -0.2]])
+    sys.step()
+    rp = np.asarray(sys.last_aux["primal_residual"])
+    assert rp.shape == (30,)
+    assert rp[-1] < rp[0]
+    assert rp[-1] < 1e-2 * rp[0] + 1e-12
+
+
+def test_hyperelastic_inversion_recovery():
+    """Scrambled tet (bunnyexpand-style, inverted elements) recovers positive
+    volume under StVK."""
+    rng = np.random.default_rng(0)
+    x = np.array(
+        [[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1], [1, 1, 1]], dtype=float
+    )
+    tets = np.array([[0, 1, 2, 3], [4, 1, 2, 3]], dtype=np.int32)
+    for model in ("stvk", "nh"):
+        sys = System(_settings(timestep_s=0.04, admm_iters=10))
+        sys.add_nodes(x, np.ones(5))
+        sys.add_force(HyperElasticTet(tets, mu=100.0, lam=100.0, max_iters=5,
+                                      model=model))
+        assert sys.initialize()
+        scramble = rng.uniform(-0.75, 0.75, size=(5, 3))
+        sys.x = scramble
+        for _ in range(100):
+            sys.step()
+        # signed volumes of both tets back to positive and near rest
+        def vol(xx, t):
+            v = xx[t]
+            return np.dot(v[1] - v[0], np.cross(v[2] - v[0], v[3] - v[0])) / 6.0
+        rest0 = vol(x, tets[0])
+        got0 = vol(sys.x, tets[0])
+        assert got0 > 0.25 * rest0
+        assert np.all(np.isfinite(sys.x))
+
+
+def test_tet_volume_preservation():
+    sys = System(_settings(timestep_s=0.04, admm_iters=15))
+    x = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]], dtype=float)
+    sys.add_nodes(x, np.ones(4))
+    sys.add_force(StaticAnchor([0]))
+    sys.add_force(TetVolume(np.array([[0, 1, 2, 3]]), stiffness=1000.0,
+                            limit_min=1.0, limit_max=1.0))
+    assert sys.initialize()
+    # squash the tet: volume preservation should push back toward rest volume
+    squash = x.copy()
+    squash[1:] *= 0.5
+    sys.x = squash
+    for _ in range(200):
+        sys.step()
+    v = sys.x
+    vol = abs(np.dot(v[1] - v[0], np.cross(v[2] - v[0], v[3] - v[0]))) / 6.0
+    assert vol == pytest.approx(1 / 6, rel=0.05)
+
+
+def test_cloth_with_bend_wind_anchors_runs():
+    """Miniature windyflag: plane + strain + bend + anchors + gravity + wind."""
+    from admm_elastic_tpu.geometry import extract_hinges, make_sym_plane
+
+    mesh = make_sym_plane(4, 3)
+    n = mesh.n_vertices
+    sys = System(_settings(timestep_s=0.04, admm_iters=10))
+    sys.add_nodes(mesh.vertices, np.full(n, 0.5 / n))
+    sys.add_force(
+        LimitedTriangleStrain(mesh.faces, stiffness=100.0, limit_min=0.95,
+                              limit_max=1.05)
+    )
+    sys.add_force(Bend(extract_hinges(mesh.faces), stiffness=20.0))
+    sys.add_force(StaticAnchor([0, 3]))
+    sys.add_explicit_force(ExplicitForce(direction=(0, -9.8, 0)))
+    # wind scaled to the coarse tessellation: the reference's alpha_n=1000
+    # with per-node mass ~0.04 kg needs small per-triangle areas or gentle
+    # wind to stay stable (the real flag's triangles are ~100x smaller)
+    wind = WindForce(mesh.faces, direction=(1.0, 0, 0.2))
+    sys.add_explicit_force(wind)
+    assert sys.initialize()
+    for _ in range(20):
+        sys.step()
+    assert np.all(np.isfinite(sys.x))
+    # pinned corners stay put
+    np.testing.assert_allclose(sys.x[0], mesh.vertices[0], atol=1e-3)
+    # free cloth has moved
+    assert np.abs(sys.x - mesh.vertices).max() > 0.05
+
+
+def test_collision_floor():
+    """Node falling under gravity stops at the floor."""
+    sys = System(_settings(timestep_s=0.04, admm_iters=10))
+    sys.add_nodes(np.array([[0.0, 1.0, 0.0]]), np.ones(1))
+    sys.add_force(Collision([Floor(center=(0, 0, 0))], n_nodes=1))
+    sys.add_explicit_force(ExplicitForce(direction=(0, -9.8, 0)))
+    assert sys.initialize()
+    for _ in range(100):
+        sys.step()
+    assert sys.x[0, 1] == pytest.approx(0.0, abs=2e-2)
+
+
+def test_moving_anchor_grab_release():
+    """poordillo-style grab: anchor drags a node; releasing (weight->0 +
+    recompute_weights) frees it; inactive control point follows the node."""
+    sys = System(_settings(timestep_s=0.04, admm_iters=10))
+    x = np.array([[0, 1, 0], [0, 0, 0], [0, 0, 1], [1, 0, 0]], dtype=float)
+    sys.add_nodes(x, np.ones(4))
+    sys.add_force(StaticAnchor([0, 1, 2]))  # hold the body so release has a rest pose
+    sys.add_force(LinearTetStrain(np.array([[0, 1, 2, 3]]), stiffness=100.0))
+    anchor = sys.add_force(MovingAnchor([3], weight=1000.0))
+    assert sys.initialize()
+    # drag the control point
+    sys.set_force_state(anchor, "pos", np.array([[2.0, 0.0, 0.0]]))
+    for _ in range(30):
+        sys.step()
+    assert sys.x[3, 0] == pytest.approx(2.0, abs=0.05)
+    # release: weight 0 + deactivate (poordillo.cpp:196-215)
+    sys.set_force_param(anchor, "weight", np.array([0.0]))
+    sys.set_force_state(anchor, "active", np.array([False]))
+    sys.recompute_weights()
+    for _ in range(200):
+        sys.step()
+    # tet elasticity pulls node back toward rest (x approx 1)
+    assert sys.x[3, 0] < 1.5
+    # inactive control point tracked the node
+    pos = np.asarray(sys.state["forces"][anchor.name]["pos"])
+    np.testing.assert_allclose(pos[0], sys.x[3], atol=1e-6)
+
+
+def test_warm_started_duals_persist():
+    sys = System(_settings(timestep_s=0.04, admm_iters=5))
+    x = np.array([[0, 1, 0], [0, 0, 0], [0, 0, 1], [1, 0, 0]], dtype=float)
+    sys.add_nodes(x, np.ones(4))
+    sys.add_force(StaticAnchor([0]))
+    sys.add_force(LinearTetStrain(np.array([[0, 1, 2, 3]]), stiffness=100.0))
+    sys.add_explicit_force(ExplicitForce(direction=(0, -9.8, 0)))
+    assert sys.initialize()
+    sys.step()
+    u = sys.state["u"]
+    total = sum(float(jnp.abs(u[k]).sum()) for k in u)
+    assert total > 0.0  # duals carry information across steps (System.cpp:42)
