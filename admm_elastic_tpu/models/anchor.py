@@ -19,6 +19,29 @@ import numpy as np
 from .base import ForceBatch
 
 
+def smooth_move(elapsed, start_t, end_t, start, end):
+    """Smoothstep control-point trajectory (helper::smooth_move,
+    AnchorForce.hpp:33-41). Host-side numpy."""
+    start = np.asarray(start, dtype=np.float64)
+    end = np.asarray(end, dtype=np.float64)
+    if elapsed < start_t:
+        return start
+    ratio = (elapsed - start_t) / (end_t - start_t)
+    if ratio > 1.0:
+        return end
+    return start + (3.0 * ratio**2 - 2.0 * ratio**3) * (end - start)
+
+
+def linear_move(elapsed, start_t, end_t, start, end):
+    """helper::linear_move (AnchorForce.hpp:43-47): jumps to `end` once the
+    window starts (the reference applies the full displacement immediately)."""
+    start = np.asarray(start, dtype=np.float64)
+    end = np.asarray(end, dtype=np.float64)
+    if elapsed < start_t:
+        return start
+    return end
+
+
 class StaticAnchor(ForceBatch):
     R, K = 1, 1
 
