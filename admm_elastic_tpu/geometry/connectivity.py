@@ -12,6 +12,11 @@ from __future__ import annotations
 
 import numpy as np
 
+from . import native
+
+#: element count above which the C++ library is preferred when built
+_NATIVE_THRESHOLD = 20_000
+
 
 def unique_edges(faces: np.ndarray) -> np.ndarray:
     """Unique undirected edges of a triangle mesh, (E,2) int32.
@@ -20,8 +25,11 @@ def unique_edges(faces: np.ndarray) -> np.ndarray:
     (the reference builds springs from first-seen edge direction,
     ForceBuilder.cpp:227-266).
     """
+    if len(faces) >= _NATIVE_THRESHOLD:
+        out = native.unique_edges(faces)
+        if out is not None:
+            return out
     f = np.asarray(faces, dtype=np.int64)
-    e = np.concatenate([f[:, [0, 1]], f[:, [0, 2]], f[:, [1, 2]]], axis=0)
     # interleave per-face so ordering matches the reference's per-face loop
     e = np.concatenate(
         [f[:, [0, 1]][:, None, :], f[:, [0, 2]][:, None, :], f[:, [1, 2]][:, None, :]],
@@ -35,6 +43,10 @@ def unique_edges(faces: np.ndarray) -> np.ndarray:
 def across_edge(faces: np.ndarray) -> np.ndarray:
     """For each face f and corner c, index of the face sharing the edge opposite
     corner c, or -1 (trimesh2 `across_edge` semantics)."""
+    if len(faces) >= _NATIVE_THRESHOLD:
+        out = native.across_edge(faces)
+        if out is not None:
+            return out
     f = np.asarray(faces, dtype=np.int64)
     F = f.shape[0]
     # edge opposite corner c is (v[(c+1)%3], v[(c+2)%3])
@@ -63,7 +75,14 @@ def extract_hinges(faces: np.ndarray) -> np.ndarray:
     Matches the reference's emission order: for face f, corners checked in
     order 0,1,2; hinge = (p_c, unique_vert(neighbor), p_{c+2 mod 3}, p_{c+1 mod 3})
     (ForceBuilder.cpp:155-216).
+
+    The Python loop here is O(F); the C++ library (native/meshops.cpp) is
+    used automatically for large meshes.
     """
+    if len(faces) >= 2_000:  # python loop: lower threshold
+        out = native.extract_hinges(faces)
+        if out is not None:
+            return out
     f = np.asarray(faces, dtype=np.int64)
     adj = across_edge(faces).astype(np.int64)
     hinges = []

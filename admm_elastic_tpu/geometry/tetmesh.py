@@ -102,8 +102,15 @@ def surface_faces(tets: np.ndarray) -> np.ndarray:
     """Boundary triangles of a tet mesh: faces referenced by exactly one tet.
 
     Face orientation matches the reference's per-tet face list
-    (p0p1p3, p0p2p1, p0p3p2, p1p2p3; TetMesh.cpp:243-247).
+    (p0p1p3, p0p2p1, p0p3p2, p1p2p3; TetMesh.cpp:243-247). (Face *order* may
+    differ between the numpy and native paths — a permutation only.)
     """
+    if len(tets) >= 20_000:
+        from . import native
+
+        out = native.surface_faces(tets)
+        if out is not None:
+            return out
     t = np.asarray(tets, dtype=np.int64)
     p0, p1, p2, p3 = t[:, 0], t[:, 1], t[:, 2], t[:, 3]
     faces = np.concatenate(
