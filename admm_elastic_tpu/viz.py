@@ -1,0 +1,122 @@
+"""Offline renderer: the headless replacement for mclscene's GL pipeline
+(Application/RenderGL, deps/mclscene/src/Application.cpp, RenderGL.cpp).
+
+Renders scene objects to PNG frames with flat diffuse shading + painter's
+sort — enough to visually inspect every bundled scene without a GPU/window —
+and provides `render_rollout` to dump an animation's frames (the analog of
+the reference's S-key frame dump, Application.cpp:246-261).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+def _project(points, eye, center, up, fov_deg, aspect):
+    f = center - eye
+    f = f / np.linalg.norm(f)
+    r = np.cross(f, up)
+    r = r / np.linalg.norm(r)
+    u = np.cross(r, f)
+    rel = points - eye
+    cam = np.stack([rel @ r, rel @ u, rel @ f], axis=1)
+    z = np.maximum(cam[:, 2], 1e-6)
+    scale = 1.0 / np.tan(np.deg2rad(fov_deg) / 2.0)
+    x = cam[:, 0] / z * scale / aspect
+    y = cam[:, 1] / z * scale
+    return np.stack([x, y], axis=1), z
+
+
+def render_frame(
+    objects,
+    path: str,
+    eye=None,
+    center=None,
+    up=(0.0, 1.0, 0.0),
+    fov_deg=40.0,
+    size=(800, 600),
+    light_dir=(0.3, 0.8, 0.5),
+    colors=None,
+):
+    """Render [(vertices, faces), ...] (or SceneObjects) to a PNG."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib.collections import PolyCollection
+
+    meshes = []
+    for o in objects:
+        if hasattr(o, "vertices") and hasattr(o, "faces"):
+            meshes.append((np.asarray(o.vertices, float), np.asarray(o.faces)))
+        else:
+            v, f = o
+            meshes.append((np.asarray(v, float), np.asarray(f)))
+
+    all_v = np.concatenate([v for v, _ in meshes if len(v)], axis=0)
+    c = 0.5 * (all_v.min(axis=0) + all_v.max(axis=0))
+    rad = max(np.linalg.norm(all_v - c, axis=1).max(), 1e-6)
+    if center is None:
+        center = c
+    if eye is None:
+        eye = c + np.array([0.6, 0.25, 1.0]) * rad * 2.4
+    eye = np.asarray(eye, float)
+    center = np.asarray(center, float)
+    up = np.asarray(up, float)
+    ldir = np.asarray(light_dir, float)
+    ldir = ldir / np.linalg.norm(ldir)
+
+    default_colors = [(0.65, 0.71, 0.85), (0.5, 0.5, 0.5), (0.75, 0.6, 0.55),
+                      (0.6, 0.78, 0.62)]
+    aspect = size[0] / size[1]
+    fig = plt.figure(figsize=(size[0] / 100, size[1] / 100), dpi=100)
+    ax = fig.add_axes([0, 0, 1, 1])
+    ax.set_xlim(-1, 1)
+    ax.set_ylim(-1, 1)
+    ax.axis("off")
+
+    polys, depths, face_cols = [], [], []
+    for mi, (v, f) in enumerate(meshes):
+        if len(f) == 0:
+            continue
+        base = (colors[mi] if colors else default_colors[mi % len(default_colors)])
+        p2, z = _project(v, eye, center, up, fov_deg, aspect)
+        tri2 = p2[f]
+        triz = z[f].mean(axis=1)
+        n = np.cross(v[f[:, 1]] - v[f[:, 0]], v[f[:, 2]] - v[f[:, 0]])
+        nl = np.linalg.norm(n, axis=1, keepdims=True)
+        n = n / np.where(nl > 0, nl, 1.0)
+        shade = 0.25 + 0.75 * np.abs(n @ ldir)
+        for i in range(len(f)):
+            polys.append(tri2[i])
+            depths.append(triz[i])
+            face_cols.append(tuple(np.clip(np.asarray(base) * shade[i], 0, 1)))
+
+    order = np.argsort(-np.asarray(depths))  # far first
+    pc = PolyCollection(
+        [polys[i] for i in order],
+        facecolors=[face_cols[i] for i in order],
+        edgecolors="none",
+    )
+    ax.add_collection(pc)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    fig.savefig(path)
+    plt.close(fig)
+    return path
+
+
+def render_rollout(ctx, directory: str, n_frames: int, steps_per_frame: int = 1,
+                   **kwargs):
+    """Step a SimContext and render a frame every steps_per_frame steps."""
+    paths = []
+    for i in range(n_frames):
+        for _ in range(steps_per_frame):
+            ctx.step()
+        ctx.update()
+        paths.append(
+            render_frame(ctx.objects, os.path.join(directory, f"frame_{i:05d}.png"),
+                         **kwargs)
+        )
+    return paths
