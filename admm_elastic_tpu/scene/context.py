@@ -293,6 +293,70 @@ class SimContext:
 
     # ------------------------------------------------------------ export
 
+    def radius(self) -> float:
+        """Bounding-sphere radius of all scene geometry
+        (SceneManager::radius analog, SceneManager.cpp:330-346)."""
+        pts = np.concatenate([np.asarray(o.vertices) for o in self.objects])
+        c = 0.5 * (pts.min(axis=0) + pts.max(axis=0))
+        return float(np.linalg.norm(pts - c, axis=1).max())
+
+    def save_scene(self, path: str):
+        """Write the current scene back out in the XML dialect
+        (SceneManager::save analog, SceneManager.cpp:156-209). Object
+        geometry is exported to sidecar files next to the XML."""
+        import xml.sax.saxutils as sx
+
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        base = os.path.splitext(path)[0]
+        lines = ['<?xml version="1.0"?>', "<mclScene>"]
+        self.update()
+        for i, so in enumerate(self.objects):
+            name = so.component.name or f"obj{i}"
+            mesh = so.mesh
+            if isinstance(mesh, TetMesh):
+                prefix = f"{base}_{name}"
+                mesh.save(prefix)
+                lines.append(f'\t<Object name="{sx.escape(name)}" type="tetmesh" >')
+                lines.append(f'\t\t<File value="{os.path.basename(prefix)}" />')
+            else:
+                obj_path = f"{base}_{name}.obj"
+                TriMesh(np.asarray(mesh.vertices), np.asarray(so.faces)).save_obj(
+                    obj_path
+                )
+                lines.append(f'\t<Object name="{sx.escape(name)}" type="trimesh" >')
+                lines.append(
+                    f'\t\t<File value="{os.path.basename(obj_path)}" />'
+                )
+            for p in so.component.params:
+                if p.tag in ("force", "mass", "material", "density_weighted_mass"):
+                    lines.append(
+                        f'\t\t<{p.tag} value="{sx.escape(p.value)}" />'
+                    )
+            lines.append("\t</Object>")
+        lines.append("</mclScene>")
+        lines.append("<admmelastic>")
+        if self.scene is not None:
+            for fname, f in self.scene.forces.items():
+                lines.append(
+                    f'\t<Force name="{sx.escape(fname)}" type="{sx.escape(f.type)}" >'
+                )
+                for p in f.params:
+                    lines.append(f'\t\t<{p.tag} value="{sx.escape(p.value)}" />')
+                lines.append("\t</Force>")
+        s = self.system.settings
+        lines += [
+            "\t<solver>",
+            f'\t\t<iterations value="{s.admm_iters}" />',
+            f'\t\t<timestep value="{s.timestep_s}" />',
+            f'\t\t<realtime value="{int(self.run_realtime)}" />',
+            "\t</solver>",
+            "</admmelastic>",
+            "",
+        ]
+        with open(path, "w") as f:
+            f.write("\n".join(lines))
+        return path
+
     def export_obj(self, directory: str, frame: int):
         """Write every object's current surface to OBJ (offline viz in place
         of the reference's GL renderer)."""
