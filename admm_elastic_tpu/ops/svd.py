@@ -85,11 +85,32 @@ def eigh_sym3x3(A: jax.Array):
         a11, a22, a12, a01, a02 = n11, n22, zero, n01, n02
         rot_cols(1, 2, c, s)
 
-    w = jnp.stack([a00, a11, a22]) * scale
-    V = jnp.stack([jnp.stack(row) for row in v])  # (3,3), v[row][col]
+    w = [a00 * scale, a11 * scale, a22 * scale]
+    # branch-free descending sort of (eigenvalue, eigenvector-column) pairs —
+    # a 3-element sorting network of where-swaps keeps everything elementwise
+    # (jnp.argsort would lower to a sort op and break XLA fusion)
+    cols = [[v[r][c] for r in range(3)] for c in range(3)]
 
-    order = jnp.argsort(-w)
-    return w[order], V[:, order]
+    def cswap(i, j):
+        swap = w[i] < w[j]
+        w[i], w[j] = (
+            jnp.where(swap, w[j], w[i]),
+            jnp.where(swap, w[i], w[j]),
+        )
+        for r in range(3):
+            ci, cj = cols[i][r], cols[j][r]
+            cols[i][r] = jnp.where(swap, cj, ci)
+            cols[j][r] = jnp.where(swap, ci, cj)
+
+    cswap(0, 1)
+    cswap(1, 2)
+    cswap(0, 1)
+
+    W = jnp.stack(w)
+    V = jnp.stack(
+        [jnp.stack([cols[c][r] for c in range(3)]) for r in range(3)]
+    )  # (row, col)
+    return W, V
 
 
 def _safe_normalize(v, fallback, eps):
@@ -98,10 +119,26 @@ def _safe_normalize(v, fallback, eps):
     return jnp.where(safe, v / jnp.where(safe, n, 1.0), fallback), safe
 
 
+def _det3(M):
+    """Elementwise 3x3 determinant (jnp.linalg.det lowers to LU)."""
+    return jnp.dot(M[:, 0], jnp.cross(M[:, 1], M[:, 2]))
+
+
 def _orthogonal_to(u):
     """A unit vector orthogonal to unit vector u, branch-free."""
-    # pick the axis least aligned with u, project out, normalize
-    ax = jnp.eye(3, dtype=u.dtype)[jnp.argmin(jnp.abs(u))]
+    # pick the axis least aligned with u via where-chains, project, normalize
+    au = jnp.abs(u)
+    use_x = (au[0] <= au[1]) & (au[0] <= au[2])
+    use_y = (~use_x) & (au[1] <= au[2])
+    ax = jnp.where(
+        use_x,
+        jnp.array([1.0, 0.0, 0.0], u.dtype),
+        jnp.where(
+            use_y,
+            jnp.array([0.0, 1.0, 0.0], u.dtype),
+            jnp.array([0.0, 0.0, 1.0], u.dtype),
+        ),
+    )
     w = ax - jnp.dot(ax, u) * u
     return w / jnp.linalg.norm(w)
 
@@ -116,8 +153,9 @@ def svd3x3_oriented(F: jax.Array):
     eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
     w, V = eigh_sym3x3(F.T @ F)
     # make V a proper rotation: flip the last column if reflected
-    detV = jnp.linalg.det(V)
-    V = V.at[:, 2].multiply(jnp.where(detV < 0, -1.0, 1.0))
+    detV = _det3(V)
+    flip = jnp.where(detV < 0, -1.0, 1.0).astype(dtype)
+    V = V * jnp.stack([jnp.ones_like(flip), jnp.ones_like(flip), flip])
 
     B = F @ V  # columns b_i = s_i * u_i
     norm_scale = jnp.sqrt(jnp.maximum(w[0], 0.0)) + eps
