@@ -44,6 +44,6 @@ def test_arap_kernel_inverted_elements():
 
 def test_arap_kernel_degenerate():
     z = jnp.zeros((9, BLOCK), jnp.float32)
-    out_z, out_u = arap_local_step(z, z, jnp.ones(BLOCK), jnp.ones(BLOCK),
-                                   interpret=True)
+    ones = jnp.ones(BLOCK, jnp.float32)
+    out_z, out_u = arap_local_step(z, z, ones, ones, interpret=True)
     assert bool(jnp.isfinite(out_z).all() and jnp.isfinite(out_u).all())
