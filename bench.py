@@ -82,6 +82,85 @@ def bench_system(sys, steps, warmup=3):
     return float(np.median(times))
 
 
+def build_windyflag(dtype):
+    """The real windyflag scene (1251 nodes, 2400 tris, 30 iters)."""
+    from admm_elastic_tpu.models import StaticAnchor, WindForce
+    from admm_elastic_tpu.scene import SimContext
+    import jax.numpy as jnp
+
+    ctx = SimContext()
+    ctx.load(os.path.join(HERE, "samples", "scenes", "cloth.xml"))
+    ctx.system.settings.dtype = dtype
+    cloth = ctx.objects_map["cloth1"]
+    length = cloth.component.get("length").as_int()
+    ctx.system.add_force(
+        StaticAnchor([cloth.index_offset, cloth.index_offset + length])
+    )
+    ctx.system.add_explicit_force(
+        WindForce(cloth.faces + cloth.index_offset, direction=(10.0, 0, 2.0))
+    )
+    ctx.initialize()
+    return ctx.system
+
+
+def bench_sweep(dtype, n_scenarios=64, steps=10):
+    """Scenario-batch sweep: n parallel hyperelastic drops with varied
+    stiffness (the BASELINE '64 parallel armadillo drops' workload),
+    vmapped in a single program."""
+    import jax
+    import jax.numpy as jnp
+
+    from admm_elastic_tpu import Settings, System
+    from admm_elastic_tpu.geometry import load_node_ele, make_beam_tets
+    from admm_elastic_tpu.models import ExplicitForce, HyperElasticTet, StaticAnchor
+    from admm_elastic_tpu.parallel.scenarios import batch_params, batch_state, vmap_step
+
+    dillo = "/root/reference/samples/poordillo/dillo919"
+    if os.path.exists(dillo + ".node"):
+        mesh = load_node_ele(dillo)
+        verts, tets = mesh.vertices * 0.01, mesh.tets
+    else:
+        beam = make_beam_tets(10, 8, 7, size=0.1)
+        verts, tets = beam.vertices, beam.tets
+
+    sys_ = System(
+        Settings(timestep_s=0.06, admm_iters=10, verbose=0, dtype=dtype,
+                 global_solver="cg", cg_tol=1e-5, cg_max_iters=40)
+    )
+    n = len(verts)
+    sys_.add_nodes(verts, np.full(n, 140.0 / n))
+    anchored = np.argsort(verts[:, 1])[-8:]  # hang from top verts
+    sys_.add_force(StaticAnchor(anchored))
+    het = sys_.add_force(HyperElasticTet(tets, mu=1e5, lam=1e5, max_iters=5))
+    sys_.add_explicit_force(ExplicitForce(direction=(0, -9.8, 0)))
+    assert sys_.initialize()
+
+    mus = np.geomspace(3e4, 3e5, n_scenarios)
+    E = het.n_elements
+    vols = (np.asarray(sys_.params[het.name]["weight"]) ** 2) / np.minimum(1e5, 1e5)
+    sweep = {
+        (het.name, "mu"): np.repeat(mus[:, None], E, axis=1),
+        (het.name, "lam"): np.repeat(mus[:, None], E, axis=1),
+        (het.name, "k"): np.repeat(mus[:, None], E, axis=1),
+        (het.name, "weight"): np.sqrt(mus[:, None] * vols[None, :]),
+    }
+    step = vmap_step(sys_)
+    bstate = batch_state(sys_.state, n_scenarios)
+    bparams = batch_params(sys_.params, sweep, n_scenarios)
+
+    # warmup + timed
+    bstate, _ = step(bstate, bparams)
+    jax.block_until_ready(bstate["x"])
+    times = []
+    for _ in range(steps):
+        t0 = time.perf_counter()
+        bstate, _ = step(bstate, bparams)
+        jax.block_until_ready(bstate["x"])
+        times.append(time.perf_counter() - t0)
+    assert np.isfinite(np.asarray(bstate["x"])).all()
+    return float(np.median(times)), n_scenarios, E
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default="tet100k")
@@ -121,6 +200,35 @@ def main():
                     "value": round(ms, 3),
                     "unit": "ms",
                     "vs_baseline": round(vs, 2),
+                }
+            )
+        )
+    elif args.preset == "windyflag":
+        sys_ = build_windyflag(dtype)
+        ms = bench_system(sys_, args.steps) * 1e3
+        print(
+            json.dumps(
+                {
+                    "metric": "ms_per_timestep_windyflag",
+                    "value": round(ms, 3),
+                    "unit": "ms",
+                    "vs_baseline": 1.0,
+                }
+            )
+        )
+    elif args.preset == "sweep64":
+        ms, n_sc, E = bench_sweep(dtype, steps=args.steps)
+        print(
+            f"# sweep: {n_sc} scenarios x {E} tets, {ms*1e3:.2f} ms/step total",
+            file=sys.stderr,
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "ms_per_timestep_64scenario_sweep",
+                    "value": round(ms * 1e3, 3),
+                    "unit": "ms",
+                    "vs_baseline": 1.0,
                 }
             )
         )
