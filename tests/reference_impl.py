@@ -231,6 +231,43 @@ class RefBend(RefForce):
         z[g : g + 9] = zi
 
 
+class RefWind:
+    """Wejchert-Haumann wind (ExplicitForce.cpp:42-98).
+
+    The reference's OpenMP loop reads `v` while other threads write it
+    (only the scatter is in a critical section), so its exact result is
+    schedule-dependent. The deterministic interpretation used by both this
+    oracle and the framework: all triangle forces are computed from the
+    pre-update velocities, then scattered (Jacobi-style).
+    """
+
+    def __init__(self, tris, direction):
+        self.tris = np.asarray(tris, dtype=int).reshape(-1, 3)
+        self.direction = np.asarray(direction, dtype=float)
+
+    def apply(self, dt, x, v):
+        v0 = v.copy()
+        for t in self.tris:
+            idx = t * 3
+            curr_v = (
+                v0[idx[0] : idx[0] + 3]
+                + v0[idx[1] : idx[1] + 3]
+                + v0[idx[2] : idx[2] + 3]
+            ) / 3.0
+            v_r = curr_v - self.direction
+            p0 = x[idx[0] : idx[0] + 3]
+            p1 = x[idx[1] : idx[1] + 3]
+            p2 = x[idx[2] : idx[2] + 3]
+            n = np.cross(p1 - p0, p2 - p0)
+            n_len = np.linalg.norm(n)
+            normal = n / n_len if n_len > 0 else n
+            area = 0.5 * n_len
+            v_n = normal @ v_r
+            force = -1000.0 * area * v_n * abs(v_n) * normal * 0.33 * dt
+            for j in range(3):
+                v[idx[j] : idx[j] + 3] += force
+
+
 class RefSystem:
     """Direct transcription of the reference timestep algorithm."""
 
@@ -238,6 +275,7 @@ class RefSystem:
         self.dt, self.iters = dt, iters
         self.forces: list[RefForce] = []
         self.gravity = None
+        self.wind = None
 
     def setup(self, x, masses):
         self.x = np.asarray(x, dtype=float).reshape(-1).copy()
@@ -270,6 +308,8 @@ class RefSystem:
         dt = self.dt
         if self.gravity is not None:
             self.v += dt * np.tile(self.gravity, len(self.x) // 3)
+        if self.wind is not None:
+            self.wind.apply(dt, self.x, self.v)
         self.z = self.D @ self.x
         xbar = self.x + dt * self.v
         Mxbar = self.m * xbar

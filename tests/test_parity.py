@@ -34,6 +34,7 @@ from reference_impl import (
     RefSpring,
     RefSystem,
     RefTriangleStrain,
+    RefWind,
 )
 
 
@@ -133,6 +134,52 @@ def test_cloth_parity():
     )
     sys.add_force(Bend(hinges, stiffness=20.0))
     sys.add_explicit_force(ExplicitForce(direction=(0, -9.8, 0)))
+    assert sys.initialize()
+
+    for step in range(6):
+        ref.step()
+        sys.step()
+        np.testing.assert_allclose(
+            sys.x.reshape(-1), ref.x, rtol=1e-7, atol=1e-8,
+            err_msg=f"divergence at step {step}",
+        )
+
+
+def test_windyflag_full_parity():
+    """The complete windyflag physics (strain+limit, bend, pins, gravity,
+    Wejchert-Haumann wind) vs the numpy oracle."""
+    from admm_elastic_tpu.models import WindForce
+
+    mesh = make_sym_plane(3, 3)
+    n = mesh.n_vertices
+    masses = np.full(n, 0.5 / n)
+    hinges = extract_hinges(mesh.faces)
+    wind_dir = np.array([2.0, 0.0, 0.5])
+
+    ref = RefSystem(dt=0.04, iters=10)
+    ref.setup(mesh.vertices, masses)
+    ref.forces.append(RefAnchor(0))
+    ref.forces.append(RefAnchor(3))
+    for f in mesh.faces:
+        ref.forces.append(
+            RefTriangleStrain([int(v) for v in f], 100.0, 0.95, 1.05)
+        )
+    for h in hinges:
+        ref.forces.append(RefBend([int(v) for v in h], 20.0))
+    ref.initialize()
+    ref.gravity = np.array([0.0, -9.8, 0.0])
+    ref.wind = RefWind(mesh.faces, wind_dir)
+
+    sys = _sys(0.04, 10)
+    sys.add_nodes(mesh.vertices, masses)
+    sys.add_force(StaticAnchor([0, 3]))
+    sys.add_force(
+        LimitedTriangleStrain(mesh.faces, stiffness=100.0, limit_min=0.95,
+                              limit_max=1.05)
+    )
+    sys.add_force(Bend(hinges, stiffness=20.0))
+    sys.add_explicit_force(ExplicitForce(direction=(0, -9.8, 0)))
+    sys.add_explicit_force(WindForce(mesh.faces, direction=wind_dir))
     assert sys.initialize()
 
     for step in range(6):
