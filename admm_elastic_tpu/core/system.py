@@ -55,6 +55,10 @@ class Settings:
     #: compute per-iteration primal/dual residuals (Eq. 22-23 noted at
     #: System.cpp:64-65 but never computed by the reference)
     collect_residuals: bool = False
+    #: when set, stop ADMM iterations early once the primal residual
+    #: ||W(Dx-z)|| drops below this absolute tolerance (max admm_iters still
+    #: bounds the loop). The reference never implemented its noted early exit.
+    residual_tol: float | None = None
 
     def parse_args(self, argv):
         """CLI parity with the reference: -dt, -v, -it, -help
@@ -208,7 +212,8 @@ class System:
         mode = self._solver_mode
         cg_tol = self.settings.cg_tol
         cg_iters = self.settings.cg_max_iters
-        collect = self.settings.collect_residuals
+        early_tol = self.settings.residual_tol
+        collect = self.settings.collect_residuals or early_tol is not None
         n = self.n_nodes
         cnames = [f.name for f in forces]
 
@@ -289,7 +294,30 @@ class System:
                 return (new_x, u, new_fstate, z, rp, rd)
 
             carry = (xbar, u, fstate, z_prev, res_primal, res_dual)
-            curr_x, u, fstate, _, rp, rd = jax.lax.fori_loop(0, iters, iteration, carry)
+            if early_tol is None:
+                curr_x, u, fstate, _, rp, rd = jax.lax.fori_loop(
+                    0, iters, iteration, carry
+                )
+            else:
+                # while_loop: stop once the primal residual beats the
+                # tolerance (first iteration always runs)
+                def cond(ic):
+                    i, c = ic
+                    rp = c[4]
+                    return jnp.logical_and(
+                        i < iters,
+                        jnp.logical_or(
+                            i == 0, rp[jnp.maximum(i - 1, 0)] > early_tol
+                        ),
+                    )
+
+                def body(ic):
+                    i, c = ic
+                    return (i + 1, iteration(i, c))
+
+                _, (curr_x, u, fstate, _, rp, rd) = jax.lax.while_loop(
+                    cond, body, (jnp.int32(0), carry)
+                )
 
             new_state = {
                 "x": curr_x,

@@ -255,3 +255,31 @@ def test_warm_started_duals_persist():
     u = sys.state["u"]
     total = sum(float(jnp.abs(u[k]).sum()) for k in u)
     assert total > 0.0  # duals carry information across steps (System.cpp:42)
+
+
+def test_residual_early_exit():
+    """residual_tol stops ADMM iterations once converged; trajectory stays
+    close to the full-iteration run."""
+    def build(tol):
+        sys = System(_settings(timestep_s=0.04, admm_iters=50,
+                               collect_residuals=True, residual_tol=tol))
+        x = np.array([[0, 1, 0], [0, 0, 0], [0, 0, 1], [1, 0, 0]], dtype=float)
+        sys.add_nodes(x, np.ones(4))
+        sys.add_force(StaticAnchor([0, 1, 2]))
+        sys.add_force(LinearTetStrain(np.array([[0, 1, 2, 3]]), stiffness=100.0))
+        assert sys.initialize()
+        sys.x = x + np.array([[0, 0, 0], [0, 0, 0], [0, 0, 0], [0.4, 0.2, -0.1]])
+        return sys
+
+    full = build(None if False else 0.0)  # tol=0 -> never early-exits
+    full.step()
+    rp_full = np.asarray(full.last_aux["primal_residual"])
+    assert np.count_nonzero(rp_full) == 50
+
+    early = build(1e-6)
+    early.step()
+    rp_early = np.asarray(early.last_aux["primal_residual"])
+    n_used = int(np.count_nonzero(rp_early))
+    assert 0 < n_used < 50
+    assert rp_early[n_used - 1] <= 1e-6
+    np.testing.assert_allclose(early.x, full.x, atol=1e-5)
