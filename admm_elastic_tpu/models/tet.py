@@ -76,16 +76,25 @@ def _reconstruct_plain(U, V, s_mod, s2_sign):
 
 class LinearTetStrain(ForceBatch):
     """Corotational/ARAP-style tet: project F to the closest rotation and mix
-    with k = stiffness * volume (TetForce.cpp:112-153)."""
+    with k = stiffness * volume (TetForce.cpp:112-153).
+
+    backend: 'xla' (vmapped jnp, default) or 'pallas' (fused VPU kernel,
+    ops/pallas/tet_local.py; requires a TPU backend and pads internally to
+    the kernel block size).
+    """
 
     R, K = 3, 4
 
-    def __init__(self, tets: np.ndarray, stiffness, weight_scale=1.0):
+    def __init__(self, tets: np.ndarray, stiffness, weight_scale=1.0,
+                 backend="xla"):
         self.tets = np.asarray(tets, dtype=np.int32).reshape(-1, 4)
         self.stiffness = np.broadcast_to(
             np.asarray(stiffness, dtype=np.float64), (len(self.tets),)
         ).copy()
         self.weight_scale = weight_scale  # parsed but unused, like the reference
+        if backend not in ("xla", "pallas"):
+            raise ValueError(f"unknown backend {backend!r}")
+        self.backend = backend
 
     @property
     def n_elements(self) -> int:
@@ -99,11 +108,30 @@ class LinearTetStrain(ForceBatch):
         return params, {}
 
     def project(self, Dx, u, params, state):
+        if self.backend == "pallas":
+            return self._project_pallas(Dx, u, params, state)
         F = _F_of(Dx + u)
         R = jax.vmap(polar_project)(F)
         k = params["k"][:, None, None]
         w2 = (params["weight"] ** 2)[:, None, None]
         zF = (k * R + w2 * F) / (w2 + k)
+        return _rows_of(zF), state
+
+    def _project_pallas(self, Dx, u, params, state):
+        from ..ops.pallas.tet_local import BLOCK, arap_local_step
+
+        E = Dx.shape[0]
+        Ep = -(-E // BLOCK) * BLOCK
+        F = _F_of(Dx + u)  # (E,3,3)
+        dx9 = F.reshape(E, 9).T  # planes p=3r+c of F
+        pad = Ep - E
+        if pad:
+            dx9 = jnp.pad(dx9, ((0, 0), (0, pad)), constant_values=1.0)
+        zeros = jnp.zeros_like(dx9)
+        w2 = jnp.pad((params["weight"] ** 2), (0, pad), constant_values=1.0)
+        k = jnp.pad(params["k"], (0, pad), constant_values=1.0)
+        z9, _ = arap_local_step(dx9, zeros, w2, k)
+        zF = z9[:, :E].T.reshape(E, 3, 3)
         return _rows_of(zF), state
 
 
