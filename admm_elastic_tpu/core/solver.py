@@ -102,3 +102,36 @@ def pcg_solve(A_apply, b, x0, diag, tol, max_iters):
 
     x, r, p, rz, it = jax.lax.while_loop(cond, body, (x0, r, p, rz, jnp.int32(0)))
     return x, it
+
+
+def pcg_solve_fixed(A_apply, b, x0, diag, n_iters: int):
+    """Jacobi-PCG with a FIXED iteration count (lax.fori_loop, no residual
+    test): no data-dependent control flow, so the whole solve is a static
+    pipeline — faster on TPU and required where dynamic while_loops are
+    unavailable. ADMM tolerates the resulting inexact global solves (it is
+    itself an outer fixed-point loop); pair with warm starts."""
+    inv_diag = 1.0 / diag
+
+    def dot(a, b):
+        return jnp.vdot(a, b)
+
+    r = b - A_apply(x0)
+    z = inv_diag[:, None] * r
+    p = z
+    rz = dot(r, z)
+
+    def body(_, carry):
+        x, r, p, rz = carry
+        Ap = A_apply(p)
+        pAp = dot(p, Ap)
+        alpha = rz / jnp.where(pAp > 0, pAp, 1.0)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = inv_diag[:, None] * r
+        rz_new = dot(r, z)
+        beta = rz_new / jnp.where(rz > 0, rz, 1.0)
+        p = z + beta * p
+        return (x, r, p, rz_new)
+
+    x, r, p, rz = jax.lax.fori_loop(0, n_iters, body, (x0, r, p, rz))
+    return x, jnp.int32(n_iters)

@@ -34,7 +34,13 @@ import numpy as np
 
 from ..models.base import ForceBatch
 from ..ops.segment import coeff_apply, coeff_apply_T
-from .solver import A_hat_apply, A_hat_diag, assemble_A_hat, pcg_solve
+from .solver import (
+    A_hat_apply,
+    A_hat_diag,
+    assemble_A_hat,
+    pcg_solve,
+    pcg_solve_fixed,
+)
 
 
 @dataclasses.dataclass
@@ -52,6 +58,9 @@ class Settings:
     dense_max_nodes: int = 4096
     cg_tol: float = 1e-10
     cg_max_iters: int = 250
+    #: when set, CG runs exactly this many iterations with no residual test
+    #: (static control flow; fastest on TPU with warm starts)
+    cg_fixed_iters: int | None = None
     #: compute per-iteration primal/dual residuals (Eq. 22-23 noted at
     #: System.cpp:64-65 but never computed by the reference)
     collect_residuals: bool = False
@@ -213,6 +222,7 @@ class System:
         cg_tol = self.settings.cg_tol
         cg_iters = self.settings.cg_max_iters
         early_tol = self.settings.residual_tol
+        cg_fixed = self.settings.cg_fixed_iters
         collect = self.settings.collect_residuals or early_tol is not None
         n = self.n_nodes
         cnames = [f.name for f in forces]
@@ -265,6 +275,11 @@ class System:
 
                 if mode == "dense":
                     new_x = params["_solver"]["A_inv"] @ b
+                elif cg_fixed is not None:
+                    new_x, _ = pcg_solve_fixed(
+                        lambda y: A_hat_apply(y, masses, dt2, cparams),
+                        b, curr_x, diag, cg_fixed,
+                    )
                 else:
                     new_x, _ = pcg_solve(
                         lambda y: A_hat_apply(y, masses, dt2, cparams),
