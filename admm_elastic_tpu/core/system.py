@@ -38,6 +38,8 @@ from .solver import (
     A_hat_apply,
     A_hat_diag,
     assemble_A_hat,
+    assemble_A_hat_ell,
+    ell_apply,
     pcg_solve,
     pcg_solve_fixed,
 )
@@ -178,7 +180,10 @@ class System:
         n = self.n_nodes
         mode = s.global_solver
         if mode == "auto":
-            mode = "dense" if n <= s.dense_max_nodes else "cg"
+            # dense-inverse MXU matmul for small meshes; padded-ELL gather
+            # matvec CG for large single-device meshes. Pick 'cg' explicitly
+            # for element-sharded multi-chip runs or frequent weight edits.
+            mode = "dense" if n <= s.dense_max_nodes else "ell"
         self._solver_mode = mode
         self._constraint_names = [f.name for f in self._force_list]
 
@@ -186,6 +191,14 @@ class System:
             cparams = {k: params[k] for k in self._constraint_names}
             A = assemble_A_hat(n, self._m, dt, cparams)
             params["_solver"] = {"A_inv": np.linalg.inv(A)}
+        elif mode == "ell":
+            cparams = {k: params[k] for k in self._constraint_names}
+            ell_idx, ell_vals, diag = assemble_A_hat_ell(n, self._m, dt, cparams)
+            params["_solver"] = {
+                "ell_idx": ell_idx,
+                "ell_vals": ell_vals,
+                "diag": diag,
+            }
         elif mode != "cg":
             raise ValueError(f"unknown global_solver {mode!r}")
 
@@ -246,6 +259,8 @@ class System:
 
             if mode == "cg":
                 diag = A_hat_diag(masses, dt2, cparams)
+            elif mode == "ell":
+                diag = params["_solver"]["diag"]
 
             z_prev = Dx_all(params, x0)  # z init (System.cpp:43), for residuals
 
@@ -275,20 +290,18 @@ class System:
 
                 if mode == "dense":
                     new_x = params["_solver"]["A_inv"] @ b
-                elif cg_fixed is not None:
-                    new_x, _ = pcg_solve_fixed(
-                        lambda y: A_hat_apply(y, masses, dt2, cparams),
-                        b, curr_x, diag, cg_fixed,
-                    )
                 else:
-                    new_x, _ = pcg_solve(
-                        lambda y: A_hat_apply(y, masses, dt2, cparams),
-                        b,
-                        curr_x,
-                        diag,
-                        cg_tol,
-                        cg_iters,
-                    )
+                    if mode == "ell":
+                        sv = params["_solver"]
+                        A_op = lambda y: ell_apply(y, sv["ell_idx"], sv["ell_vals"])
+                    else:
+                        A_op = lambda y: A_hat_apply(y, masses, dt2, cparams)
+                    if cg_fixed is not None:
+                        new_x, _ = pcg_solve_fixed(A_op, b, curr_x, diag, cg_fixed)
+                    else:
+                        new_x, _ = pcg_solve(
+                            A_op, b, curr_x, diag, cg_tol, cg_iters
+                        )
 
                 if collect:
                     # r = ||W(Dx - z)||, s = ||dt^2 D^T W^2 (z - z_prev)||
@@ -388,7 +401,9 @@ class System:
 
     def recompute_weights(self):
         """After runtime weight edits (poordillo release path,
-        System.cpp:159-179). CG mode needs nothing; dense mode re-inverts."""
+        System.cpp:159-179). CG mode needs nothing; dense re-inverts and
+        ELL re-assembles (both host-side, like the reference's
+        re-factorization but cheaper)."""
         if self._solver_mode == "dense":
             cparams = {
                 k: jax.tree_util.tree_map(np.asarray, self.params[k])
@@ -397,6 +412,20 @@ class System:
             A = assemble_A_hat(self.n_nodes, self._m, self.settings.timestep_s, cparams)
             self.params["_solver"] = {
                 "A_inv": jnp.asarray(np.linalg.inv(A), self.settings.dtype)
+            }
+        elif self._solver_mode == "ell":
+            cparams = {
+                k: jax.tree_util.tree_map(np.asarray, self.params[k])
+                for k in self._constraint_names
+            }
+            ell_idx, ell_vals, diag = assemble_A_hat_ell(
+                self.n_nodes, self._m, self.settings.timestep_s, cparams
+            )
+            dt_ = self.settings.dtype
+            self.params["_solver"] = {
+                "ell_idx": jnp.asarray(ell_idx),
+                "ell_vals": jnp.asarray(ell_vals, dt_),
+                "diag": jnp.asarray(diag, dt_),
             }
 
     # ------------------------------------------------------------- access

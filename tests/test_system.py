@@ -283,3 +283,46 @@ def test_residual_early_exit():
     assert 0 < n_used < 50
     assert rp_early[n_used - 1] <= 1e-6
     np.testing.assert_allclose(early.x, full.x, atol=1e-5)
+
+
+def test_ell_mode_matches_dense():
+    """ELL gather-matvec CG reproduces the dense trajectory."""
+    x = np.array([[0, 1, 0], [0, 0, 0], [0, 0, 1], [1, 0, 0]], dtype=float)
+    results = []
+    for mode in ("dense", "ell"):
+        sys = System(
+            _settings(timestep_s=0.04, admm_iters=10, global_solver=mode,
+                      cg_tol=1e-12, cg_max_iters=500)
+        )
+        sys.add_nodes(x, np.ones(4))
+        sys.add_force(StaticAnchor([0]))
+        sys.add_force(LinearTetStrain(np.array([[0, 1, 2, 3]]), stiffness=50.0))
+        sys.add_explicit_force(ExplicitForce(direction=(0, -9.8, 0)))
+        assert sys.initialize()
+        for _ in range(10):
+            sys.step()
+        results.append(sys.x.copy())
+    np.testing.assert_allclose(results[0], results[1], rtol=1e-5, atol=1e-8)
+
+
+def test_ell_beam_larger():
+    """ELL vs matrix-free CG on a beam with shared vertices (duplicate
+    coalescing in assembly)."""
+    from admm_elastic_tpu.geometry import make_beam_tets
+
+    beam = make_beam_tets(4, 3, 3)
+    res = []
+    for mode in ("cg", "ell"):
+        sys = System(_settings(timestep_s=0.04, admm_iters=8,
+                               global_solver=mode, cg_tol=1e-12,
+                               cg_max_iters=600))
+        n = beam.n_vertices
+        sys.add_nodes(beam.vertices, np.full(n, 1.0 / n))
+        sys.add_force(StaticAnchor(np.flatnonzero(beam.vertices[:, 0] < 1e-9)))
+        sys.add_force(LinearTetStrain(beam.tets, stiffness=300.0))
+        sys.add_explicit_force(ExplicitForce(direction=(0, -9.8, 0)))
+        assert sys.initialize()
+        for _ in range(5):
+            sys.step()
+        res.append(sys.x.copy())
+    np.testing.assert_allclose(res[0], res[1], rtol=1e-6, atol=1e-8)
