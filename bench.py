@@ -51,9 +51,8 @@ def build_tet100k(dtype, admm_iters=10):
             admm_iters=admm_iters,
             verbose=0,
             dtype=dtype,
-            global_solver="cg",
-            cg_tol=1e-5,
-            cg_max_iters=50,
+            global_solver="ell",
+            cg_fixed_iters=15,
         )
     )
     n = beam.n_vertices
@@ -125,7 +124,7 @@ def bench_sweep(dtype, n_scenarios=64, steps=10):
 
     sys_ = System(
         Settings(timestep_s=0.06, admm_iters=10, verbose=0, dtype=dtype,
-                 global_solver="cg", cg_tol=1e-5, cg_max_iters=40)
+                 global_solver="ell", cg_fixed_iters=12)
     )
     n = len(verts)
     sys_.add_nodes(verts, np.full(n, 140.0 / n))
