@@ -156,6 +156,46 @@ def ell_apply(x, ell_idx, ell_vals):
     return jnp.einsum("nk,nkj->nj", ell_vals, x[ell_idx])
 
 
+def assemble_transpose_incidence(n, force_params, order, pad_to: int = 8):
+    """Vertex -> (element, slot) incidence in padded-ELL form, for computing
+    D^T W^2 y by GATHER instead of segment_sum (the right-hand-side assembly;
+    TPU scatters serialize, gathers vectorize).
+
+    Contributions are laid out as the concatenation, in `order`, of each
+    type's flattened (E*K, 3) per-vertex contribution rows; a zero sentinel
+    row is appended at index `total`. Returns (inc_idx (n, D) int32, total).
+    """
+    offsets = []
+    idx_all = []
+    off = 0
+    for name in order:
+        idx = np.asarray(force_params[name]["indices"], dtype=np.int64).reshape(-1)
+        idx_all.append(idx)
+        offsets.append(off)
+        off += idx.size
+    total = off
+    if total == 0:
+        return np.zeros((n, 1), dtype=np.int32), 0
+    verts = np.concatenate(idx_all)
+    flat = np.arange(total, dtype=np.int64)
+    srt = np.argsort(verts, kind="stable")
+    sv = verts[srt]
+    counts = np.bincount(sv, minlength=n)
+    D = max(int(counts.max()), 1)
+    D = -(-D // pad_to) * pad_to
+    inc = np.full((n, D), total, dtype=np.int64)  # sentinel
+    pos = np.arange(total) - np.repeat(
+        np.concatenate([[0], np.cumsum(counts)[:-1]]), counts
+    )
+    inc[sv, pos] = flat[srt]
+    return inc.astype(np.int32), total
+
+
+def transpose_gather_apply(contribs_flat, inc_idx):
+    """sum of contribution rows per vertex: (total+1, 3), (n,D) -> (n,3)."""
+    return jnp.sum(contribs_flat[inc_idx], axis=1)
+
+
 def pcg_solve_fixed(A_apply, b, x0, diag, n_iters: int):
     """Jacobi-PCG with a FIXED iteration count (lax.fori_loop, no residual
     test): no data-dependent control flow, so the whole solve is a static

@@ -39,9 +39,11 @@ from .solver import (
     A_hat_diag,
     assemble_A_hat,
     assemble_A_hat_ell,
+    assemble_transpose_incidence,
     ell_apply,
     pcg_solve,
     pcg_solve_fixed,
+    transpose_gather_apply,
 )
 
 
@@ -194,10 +196,14 @@ class System:
         elif mode == "ell":
             cparams = {k: params[k] for k in self._constraint_names}
             ell_idx, ell_vals, diag = assemble_A_hat_ell(n, self._m, dt, cparams)
+            inc_idx, _ = assemble_transpose_incidence(
+                n, cparams, self._constraint_names
+            )
             params["_solver"] = {
                 "ell_idx": ell_idx,
                 "ell_vals": ell_vals,
                 "diag": diag,
+                "inc_idx": inc_idx,
             }
         elif mode != "cg":
             raise ValueError(f"unknown global_solver {mode!r}")
@@ -253,6 +259,7 @@ class System:
 
             xbar = x0 + dt * v
             Mxbar = masses[:, None] * xbar
+            b_dtype = Mxbar.dtype
             u = state["u"]
             fstate = state["forces"]
             cparams = {k: params[k] for k in cnames}
@@ -280,13 +287,30 @@ class System:
                 # dual update u += Dx - z (Force.cpp:67 pattern, all types)
                 u = {k: u[k] + Dx[k] - z[k] for k in u}
 
-                b = Mxbar
-                for f in forces:
-                    p = params[f.name]
-                    w2 = p["weight"] ** 2
-                    b = b + dt2 * coeff_apply_T(
-                        p["coeff"], p["indices"], w2, z[f.name] - u[f.name], n
+                if mode == "ell":
+                    # scatter-free RHS: per-element contributions gathered
+                    # through the precomputed vertex incidence (TPU scatters
+                    # serialize; this is a gather + sum)
+                    contribs = []
+                    for f in forces:
+                        p = params[f.name]
+                        w2 = p["weight"] ** 2
+                        y = z[f.name] - u[f.name]
+                        c = jnp.einsum("erk,e,erj->ekj", p["coeff"], w2, y)
+                        contribs.append(c.reshape(-1, 3))
+                    contribs.append(jnp.zeros((1, 3), b_dtype))  # sentinel row
+                    flat = jnp.concatenate(contribs, axis=0)
+                    b = Mxbar + dt2 * transpose_gather_apply(
+                        flat, params["_solver"]["inc_idx"]
                     )
+                else:
+                    b = Mxbar
+                    for f in forces:
+                        p = params[f.name]
+                        w2 = p["weight"] ** 2
+                        b = b + dt2 * coeff_apply_T(
+                            p["coeff"], p["indices"], w2, z[f.name] - u[f.name], n
+                        )
 
                 if mode == "dense":
                     new_x = params["_solver"]["A_inv"] @ b
