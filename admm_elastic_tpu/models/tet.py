@@ -212,6 +212,34 @@ def stvk_energy(sigma, mu, lam):
     return mu * jnp.sum(E * E) + 0.5 * lam * jnp.sum(E) ** 2
 
 
+def nh_grad_hess(sigma, mu, lam, k, sigma0):
+    """Closed-form gradient and Hessian of the NH proximal objective
+    (derived from nh_energy; the reference's hand Hessian at
+    TetForce.cpp:245-263 is inconsistent with its own gradient — this one
+    is the true derivative, validated against AD in tests)."""
+    inv = 1.0 / sigma
+    logdet = jnp.log(sigma[0] * sigma[1] * sigma[2])
+    g = mu * (sigma - inv) + lam * logdet * inv + k * (sigma - sigma0)
+    inv2 = inv * inv
+    diag = mu * (1.0 + inv2) - lam * logdet * inv2 + k
+    H = lam * jnp.outer(inv, inv) + jnp.diag(diag)
+    return g, H
+
+
+def stvk_grad_hess(sigma, mu, lam, k, sigma0):
+    """Closed-form gradient and Hessian of the StVK proximal objective
+    (gradient matches StVKProx::gradient, TetForce.cpp:289-297)."""
+    s2 = jnp.sum(sigma * sigma)
+    g = (
+        mu * sigma * (sigma * sigma - 1.0)
+        + 0.5 * lam * (s2 - 3.0) * sigma
+        + k * (sigma - sigma0)
+    )
+    diag = mu * (3.0 * sigma * sigma - 1.0) + 0.5 * lam * (s2 - 3.0) + k
+    H = lam * jnp.outer(sigma, sigma) + jnp.diag(diag)
+    return g, H
+
+
 class HyperElasticTet(ForceBatch):
     """General hyperelastic tet: oriented SVD -> minimize the proximal
     objective over the 3 singular values -> z = U diag(sigma*) V^T
@@ -264,13 +292,23 @@ class HyperElasticTet(ForceBatch):
         x2 = jnp.where(collapsed[:, None], 1e-3, x2)
 
         energy = nh_energy if self.model == "nh" else stvk_energy
+        grad_hess = nh_grad_hess if self.model == "nh" else stvk_grad_hess
         iters = self.max_iters
 
         def solve_one(x0, sigma0, mu, lam, k):
             def objective(sig):
                 return energy(sig, mu, lam) + 0.5 * k * jnp.sum((sig - sigma0) ** 2)
 
-            return newton_minimize(objective, x0, iters, floor=self.SIGMA_FLOOR)
+            def gfn(sig):
+                return grad_hess(sig, mu, lam, k, sigma0)[0]
+
+            def hfn(sig):
+                return grad_hess(sig, mu, lam, k, sigma0)[1]
+
+            return newton_minimize(
+                objective, x0, iters, floor=self.SIGMA_FLOOR,
+                grad_fn=gfn, hess_fn=hfn,
+            )
 
         sigma_star = jax.vmap(solve_one)(
             x2, s, params["mu"], params["lam"], params["k"]

@@ -48,14 +48,19 @@ def _solve_spd(H, g, damp):
     return (adjT @ g) / det
 
 
-def newton_minimize(value_fn, x0, iters: int, floor: float = 1e-10):
+def newton_minimize(value_fn, x0, iters: int, floor: float = 1e-10,
+                    grad_fn=None, hess_fn=None):
     """Minimize value_fn (R^n -> R) from x0 with `iters` damped-Newton steps.
 
     value_fn must be differentiable on x > floor; x is clamped to the domain
-    between steps. Returns the final iterate.
+    between steps. grad_fn/hess_fn default to AD (jax.grad / jacfwd); passing
+    hand-derived closed forms shrinks the traced program considerably for the
+    hot hyperelastic paths. Returns the final iterate.
     """
-    grad_fn = jax.grad(value_fn)
-    hess_fn = jax.jacfwd(grad_fn)
+    if grad_fn is None:
+        grad_fn = jax.grad(value_fn)
+    if hess_fn is None:
+        hess_fn = jax.jacfwd(grad_fn)
     dtype = x0.dtype
     floor = jnp.asarray(floor, dtype)
     alphas = jnp.asarray(_ALPHAS, dtype)

@@ -109,3 +109,28 @@ def test_newton_batched_matches_single():
         single = solve(s0s[i])
         np.testing.assert_allclose(np.asarray(batched[i]), np.asarray(single),
                                    rtol=1e-12)
+
+
+def test_closed_form_grad_hess_match_ad():
+    """Hand-derived NH/StVK gradients+Hessians equal AD derivatives."""
+    from admm_elastic_tpu.models.tet import (
+        nh_energy, nh_grad_hess, stvk_energy, stvk_grad_hess,
+    )
+
+    rng = np.random.default_rng(7)
+    for energy, gh in [(nh_energy, nh_grad_hess), (stvk_energy, stvk_grad_hess)]:
+        for _ in range(10):
+            sig = jnp.asarray(rng.uniform(0.2, 3.0, 3))
+            sig0 = jnp.asarray(rng.uniform(0.2, 3.0, 3))
+            mu, lam, k = 123.0, 77.0, 50.0
+
+            def obj(s):
+                return energy(s, mu, lam) + 0.5 * k * jnp.sum((s - sig0) ** 2)
+
+            g_ad = jax.grad(obj)(sig)
+            H_ad = jax.jacfwd(jax.grad(obj))(sig)
+            g, H = gh(sig, mu, lam, k, sig0)
+            np.testing.assert_allclose(np.asarray(g), np.asarray(g_ad),
+                                       rtol=1e-10)
+            np.testing.assert_allclose(np.asarray(H), np.asarray(H_ad),
+                                       rtol=1e-10)
