@@ -231,6 +231,52 @@ class RefBend(RefForce):
         z[g : g + 9] = zi
 
 
+class RefCollision(RefForce):
+    """CollisionForce: identity selector over ALL dofs, weight 32
+    (CollisionForce.cpp:27-70). shapes: list of ('floor', y) | ('sphere',
+    center, r) | ('cylinder', cxy, r)."""
+
+    def __init__(self, n_nodes, shapes, weight=32.0):
+        self.n, self.shapes, self.w = n_nodes, shapes, weight
+
+    def initialize(self, x):
+        pass
+
+    def rows(self):
+        return 3 * self.n
+
+    def selector(self, n_dof):
+        return np.eye(n_dof), np.full(n_dof, self.w)
+
+    def project(self, Dx, u, z):
+        g = self.global_idx
+        rows = 3 * self.n
+        dix = Dx[g : g + rows]
+        ui = u[g : g + rows]
+        zi = (dix + ui).copy()
+        for i in range(0, rows, 3):
+            p = zi[i : i + 3]
+            for s in self.shapes:
+                if s[0] == "floor":
+                    if p[1] < s[1]:
+                        p = np.array([p[0], s[1], p[2]])
+                elif s[0] == "sphere":
+                    c, r = np.asarray(s[1]), s[2]
+                    d = p - c
+                    dist = np.linalg.norm(d)
+                    if dist < r:
+                        p = c + r * d / dist if dist > 0 else c + np.array([r, 0, 0])
+                elif s[0] == "cylinder":
+                    c, r = np.asarray(s[1]), s[2]
+                    dxy = p[:2] - c
+                    dist = np.linalg.norm(dxy)
+                    if dist < r:
+                        p = np.concatenate([c + r * dxy / max(dist, 1e-300), p[2:]])
+            zi[i : i + 3] = p
+        u[g : g + rows] = ui + dix - zi
+        z[g : g + rows] = zi
+
+
 class RefWind:
     """Wejchert-Haumann wind (ExplicitForce.cpp:42-98).
 

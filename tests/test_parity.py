@@ -189,3 +189,42 @@ def test_windyflag_full_parity():
             sys.x.reshape(-1), ref.x, rtol=1e-7, atol=1e-8,
             err_msg=f"divergence at step {step}",
         )
+
+
+def test_collision_parity():
+    """Tet body dropping onto a floor + cylinder (plinkopony physics) vs the
+    numpy oracle: identity-selector collision force inside ADMM."""
+    from admm_elastic_tpu.models import Collision, Cylinder, Floor
+    from reference_impl import RefCollision
+
+    x = np.array(
+        [[0, 1.2, 0], [0.4, 1.2, 0], [0, 1.6, 0], [0, 1.2, 0.4], [0.6, 1.7, 0.2]],
+        dtype=float,
+    )
+    tets = np.array([[0, 1, 2, 3], [4, 1, 2, 3]], dtype=np.int32)
+    n = len(x)
+    shapes_ours = [Floor(center=(0, 0.0, 0)), Cylinder(center=(0.2, 0.6, 0), radius=0.3)]
+    shapes_ref = [("floor", 0.0), ("cylinder", (0.2, 0.6), 0.3)]
+
+    ref = RefSystem(dt=0.04, iters=13)
+    ref.setup(x, np.ones(n))
+    for t in tets:
+        ref.forces.append(RefLinearTetStrain([int(v) for v in t], 1e4))
+    ref.forces.append(RefCollision(n, shapes_ref))
+    ref.initialize()
+    ref.gravity = np.array([0.0, -9.8, 0.0])
+
+    sys = _sys(0.04, 13)
+    sys.add_nodes(x, np.ones(n))
+    sys.add_force(LinearTetStrain(tets, stiffness=1e4))
+    sys.add_force(Collision(shapes_ours, n_nodes=n))
+    sys.add_explicit_force(ExplicitForce(direction=(0, -9.8, 0)))
+    assert sys.initialize()
+
+    for step in range(12):
+        ref.step()
+        sys.step()
+        np.testing.assert_allclose(
+            sys.x.reshape(-1), ref.x, rtol=1e-6, atol=1e-7,
+            err_msg=f"divergence at step {step}",
+        )
