@@ -45,6 +45,17 @@ def batch_params(params, sweep: dict, n_scenarios: int):
     stiffness. Non-swept entries stay unbatched (broadcast inside vmap via
     in_axes=None is handled by passing them stacked too for simplicity).
     """
+    if sweep and "_solver" in params:
+        swept_keys = {k for (_, k) in sweep}
+        if swept_keys & {"weight", "k", "mu", "lam", "stiffness"} and (
+            "ell_vals" in params["_solver"] or "A_inv" in params["_solver"]
+        ):
+            raise ValueError(
+                "sweeping weights/material stiffness requires "
+                "global_solver='cg' (matrix-free); 'ell'/'dense' bake the "
+                "base weights into a precomputed global matrix"
+            )
+
     def stack(a):
         return jnp.broadcast_to(a[None], (n_scenarios,) + a.shape)
 

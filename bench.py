@@ -124,7 +124,10 @@ def bench_sweep(dtype, n_scenarios=64, steps=10):
 
     sys_ = System(
         Settings(timestep_s=0.06, admm_iters=10, verbose=0, dtype=dtype,
-                 global_solver="ell", cg_fixed_iters=12)
+                 # matrix-free CG: the global operator must read the
+                 # per-scenario (swept) weights; ell/dense bake weights into
+                 # a precomputed matrix and would be wrong under a sweep
+                 global_solver="cg", cg_fixed_iters=12)
     )
     n = len(verts)
     sys_.add_nodes(verts, np.full(n, 140.0 / n))
