@@ -1,0 +1,73 @@
+"""Generic headless scene runner:
+
+    python -m admm_elastic_tpu scene.xml [--steps N] [--export DIR]
+        [--render DIR] [--checkpoint FILE] [--resume FILE]
+        [-dt s] [-it n] [-v level]
+
+Loads any scene in the reference XML dialect, steps it, and optionally dumps
+OBJ frames / PNG renders / a state checkpoint.
+"""
+
+import argparse
+import sys
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="admm_elastic_tpu")
+    ap.add_argument("scene")
+    ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--export", default=None, help="OBJ frame directory")
+    ap.add_argument("--render", default=None, help="PNG frame directory")
+    ap.add_argument("--every", type=int, default=5, help="frame dump interval")
+    ap.add_argument("--checkpoint", default=None, help="save final state npz")
+    ap.add_argument("--resume", default=None, help="load state npz before run")
+    args, rest = ap.parse_known_args(argv)
+
+    from .scene import SimContext
+
+    ctx = SimContext()
+    ctx.load(args.scene)
+    ctx.system.settings.parse_args(rest)
+    ctx.initialize()
+
+    if args.resume:
+        from .utils import load_state
+
+        ctx.system.state = load_state(
+            args.resume, dtype=ctx.system.settings.dtype, like=ctx.system.state
+        )
+
+    for i in range(args.steps):
+        ctx.step()
+        if (args.export or args.render) and i % args.every == 0:
+            ctx.update()
+            if args.export:
+                ctx.export_obj(args.export, i)
+            if args.render:
+                from .viz import render_frame
+
+                import os
+
+                render_frame(
+                    ctx.objects, os.path.join(args.render, f"frame_{i:05d}.png")
+                )
+
+    ctx.update()
+    import numpy as np
+
+    x = ctx.system.x
+    print(
+        f"done: {args.steps} steps, t={ctx.system.elapsed_s:.2f}s, "
+        f"finite={bool(np.isfinite(x).all())}, "
+        f"bbox=({np.round(x.min(0),3)}, {np.round(x.max(0),3)})"
+    )
+    if args.checkpoint:
+        from .utils import save_state
+
+        save_state(args.checkpoint, ctx.system.state)
+        print(f"checkpoint: {args.checkpoint}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
