@@ -254,7 +254,7 @@ class HyperElasticTet(ForceBatch):
     R, K = 3, 4
     SIGMA_FLOOR = 1e-8
 
-    def __init__(self, tets, mu, lam, max_iters=10, model="nh"):
+    def __init__(self, tets, mu, lam, max_iters=10, model="nh", backend="xla"):
         self.tets = np.asarray(tets, dtype=np.int32).reshape(-1, 4)
         E = len(self.tets)
         self.mu = np.broadcast_to(np.asarray(mu, np.float64), (E,)).copy()
@@ -263,6 +263,11 @@ class HyperElasticTet(ForceBatch):
         if model not in ("nh", "stvk"):
             raise ValueError(f"unknown hyperelastic model {model!r}")
         self.model = model
+        if backend not in ("xla", "pallas"):
+            raise ValueError(f"unknown backend {backend!r}")
+        if backend == "pallas" and model != "nh":
+            raise ValueError("pallas backend currently implements model='nh'")
+        self.backend = backend
 
     @property
     def n_elements(self) -> int:
@@ -281,6 +286,8 @@ class HyperElasticTet(ForceBatch):
         return params, state
 
     def project(self, Dx, u, params, state):
+        if self.backend == "pallas":
+            return self._project_pallas(Dx, u, params, state)
         F = _F_of(Dx + u)
         U, s, V = jax.vmap(svd3x3_oriented)(F)
 
@@ -316,3 +323,28 @@ class HyperElasticTet(ForceBatch):
         # z = U diag(sigma*) V^T with the oriented factors (TetForce.cpp:357)
         zF = jnp.einsum("eij,ej,ekj->eik", U, sigma_star, V)
         return _rows_of(zF), {**state, "sigma": sigma_star}
+
+    def _project_pallas(self, Dx, u, params, state):
+        """Fused VPU kernel path (ops/pallas/nh_local.py): SVD + Newton +
+        reconstruct + dual-free z in one kernel; warm start carried in the
+        kernel's third output."""
+        from ..ops.pallas.nh_local import nh_local_step
+        from ..ops.pallas.tet_local import BLOCK
+
+        E = Dx.shape[0]
+        Ep = -(-E // BLOCK) * BLOCK
+        pad = Ep - E
+        F = _F_of(Dx + u)
+        dx9 = F.reshape(E, 9).T
+        if pad:
+            dx9 = jnp.pad(dx9, ((0, 0), (0, pad)), constant_values=1.0)
+        zeros = jnp.zeros_like(dx9)
+        warm = jnp.pad(state["sigma"].T, ((0, 0), (0, pad)), constant_values=1.0)
+        mu = jnp.pad(params["mu"], (0, pad), constant_values=1.0)
+        lam = jnp.pad(params["lam"], (0, pad), constant_values=1.0)
+        k = jnp.pad(params["k"], (0, pad), constant_values=1.0)
+        z9, _, warm_new = nh_local_step(
+            dx9, zeros, warm, mu, lam, k, iters=self.max_iters
+        )
+        zF = z9[:, :E].T.reshape(E, 3, 3)
+        return _rows_of(zF), {**state, "sigma": warm_new[:, :E].T}

@@ -47,3 +47,42 @@ def test_arap_kernel_degenerate():
     ones = jnp.ones(BLOCK, jnp.float32)
     out_z, out_u = arap_local_step(z, z, ones, ones, interpret=True)
     assert bool(jnp.isfinite(out_z).all() and jnp.isfinite(out_u).all())
+
+
+def test_nh_kernel_matches_model():
+    """Fused NH kernel vs the model's vmapped path: sigma* agrees everywhere;
+    z agrees on elements with well-separated singular values (degenerate
+    elements have an ambiguous SVD basis — both answers are valid)."""
+    import jax
+
+    from admm_elastic_tpu.models.tet import HyperElasticTet
+    from admm_elastic_tpu.ops.pallas.nh_local import nh_local_step
+
+    rng = np.random.default_rng(0)
+    E = BLOCK
+    F = rng.normal(size=(E, 3, 3)).astype(np.float32)
+    F[: E // 3] = F[: E // 3] @ np.diag([1, 1, -1]).astype(np.float32)
+    F[E // 3 : E // 3 + 10] *= 1e-4  # collapsed elements
+
+    dx9 = jnp.asarray(F.reshape(E, 9).T)
+    u9 = jnp.zeros_like(dx9)
+    warm = jnp.ones((3, E), jnp.float32)
+    mu = jnp.full(E, 1e5, jnp.float32)
+    z9, un9, w9 = nh_local_step(dx9, u9, warm, mu, mu, mu, iters=5,
+                                interpret=True)
+
+    het = HyperElasticTet(np.zeros((E, 4), np.int32), 1e5, 1e5, 5, "nh")
+    params = {"mu": mu, "lam": mu, "k": mu, "weight": jnp.ones(E)}
+    Dx = jnp.asarray(np.swapaxes(F, 1, 2))
+    z_ref, st = het.project(Dx, jnp.zeros_like(Dx), params,
+                            {"sigma": jnp.ones((E, 3), jnp.float32)})
+
+    zF_ref = np.asarray(jnp.swapaxes(z_ref, 1, 2))
+    z_k = np.asarray(z9).T.reshape(E, 3, 3)
+    svs = np.linalg.svd(F.astype(np.float64), compute_uv=False)
+    gaps = np.minimum(svs[:, 0] - svs[:, 1], svs[:, 1] - svs[:, 2])
+    sep = gaps > 1e-2
+    assert np.abs(z_k[sep] - zF_ref[sep]).max() < 5e-3
+    assert np.abs(np.asarray(w9).T - np.asarray(st["sigma"])).max() < 1e-2
+    assert np.isfinite(z_k).all() and np.isfinite(np.asarray(un9)).all()
+    assert np.all(np.asarray(w9) > 0)
