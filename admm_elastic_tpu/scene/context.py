@@ -47,7 +47,7 @@ from ..models import (
     TetVolume,
     WindForce,
 )
-from .params import Component, compose_xform
+from .params import Component, Param, compose_xform
 from .parser import SceneConfig, parse_scene_file
 
 
@@ -292,6 +292,62 @@ class SimContext:
         return True
 
     # ------------------------------------------------------------ export
+
+    def make_object(self, type_: str, name: str = "", **params) -> SceneObject:
+        """Programmatic object creation (SceneManager::make_object analog,
+        SceneManager.cpp:236-262). params are XML-style strings or values,
+        e.g. make_object('sphere', tess=16, radius=0.5, translate='0 1 0').
+        Static (no-Force) objects only — dynamic objects need the full
+        load() path for mass/force bookkeeping."""
+        comp = Component(kind="object", name=name, type=type_)
+        for tag, value in params.items():
+            comp.params.append(
+                Param(tag=tag.lower(), value=" ".join(str(v) for v in np.atleast_1d(value)))
+            )
+        mesh = _build_geometry(comp, self.scene.base_dir if self.scene else ".")
+        mesh.apply_xform(compose_xform(comp))
+        is_tet = isinstance(mesh, TetMesh)
+        faces = mesh.need_surface() if is_tet else mesh.faces
+        so = SceneObject(component=comp, mesh=mesh, faces=np.asarray(faces))
+        self.objects.append(so)
+        if name:
+            self.objects_map[name] = so
+        return so
+
+    def make_light(self, type_: str = "point", name: str = "", **params) -> Component:
+        """Programmatic light creation (SceneManager::make_light analog).
+        Lights are retained for scene export; no GL renderer consumes them."""
+        comp = Component(kind="light", name=name, type=type_)
+        for tag, value in params.items():
+            comp.params.append(
+                Param(tag=tag.lower(), value=" ".join(str(v) for v in np.atleast_1d(value)))
+            )
+        if self.scene is not None:
+            self.scene.lights.append(comp)
+        return comp
+
+    def make_3pt_lighting(self, center=(0.0, 0.0, 0.0), distance=1.0):
+        """Key/fill/rim point lights around the scene
+        (SceneManager::make_3pt_lighting, SceneManager.cpp:295-327)."""
+        c = np.asarray(center, dtype=float)
+        if self.scene is not None:
+            self.scene.lights = [l for l in self.scene.lights if l.name[:6] != "_3pt_"]
+        out = []
+        for name, off, inten in [
+            ("_3pt_key", (-distance, distance * 0.5, distance), 0.8),
+            ("_3pt_fill", (distance, distance * 0.25, distance), 0.4),
+            ("_3pt_rim", (0.0, distance * 0.5, -distance), 0.6),
+        ]:
+            p = c + np.asarray(off)
+            out.append(
+                self.make_light(
+                    "point", name=name,
+                    position=f"{p[0]} {p[1]} {p[2]}",
+                    intensity=f"{inten} {inten} {inten}",
+                    falloff="1 0 0",
+                )
+            )
+        return out
 
     def radius(self) -> float:
         """Bounding-sphere radius of all scene geometry
