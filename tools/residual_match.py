@@ -1,0 +1,62 @@
+"""Matched-residual evidence for the fixed-iteration CG global step.
+
+Runs the same NH beam twice in float64 — once with an effectively exact
+global solve (tolerance CG, 1e-13) and once with the benchmark's fixed
+iteration count — and prints the per-step final ADMM primal residual ratio.
+A ratio ~1.0 shows the fixed-CG benchmark configuration converges the ADMM
+iteration to the same residual as an exact LDLT-style solve.
+
+Usage: PYTHONPATH=. JAX_PLATFORMS=cpu JAX_ENABLE_X64=1 \
+       python tools/residual_match.py [fixed_iters] [steps]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from admm_elastic_tpu import Settings, System
+from admm_elastic_tpu.geometry import make_beam_tets
+from admm_elastic_tpu.models import ExplicitForce, HyperElasticTet, StaticAnchor
+
+
+def build(**kw):
+    beam = make_beam_tets(14, 10, 9, size=0.05)
+    s = System(
+        Settings(timestep_s=0.04, admm_iters=10, verbose=0, dtype=jnp.float64,
+                 collect_residuals=True, **kw)
+    )
+    n = beam.n_vertices
+    s.add_nodes(beam.vertices, np.full(n, 50.0 / n))
+    s.add_force(StaticAnchor(np.flatnonzero(beam.vertices[:, 0] < 1e-9)))
+    s.add_force(HyperElasticTet(beam.tets, mu=1e5, lam=1e5, max_iters=5, model="nh"))
+    s.add_explicit_force(ExplicitForce(direction=(0, -9.8, 0)))
+    assert s.initialize()
+    return s
+
+
+def main():
+    fixed_iters = int(sys.argv[1]) if len(sys.argv) > 1 else 25
+    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    exact = build(global_solver="ell", cg_tol=1e-13, cg_max_iters=3000)
+    fixed = build(global_solver="ell", cg_fixed_iters=fixed_iters)
+    worst = 0.0
+    for step in range(steps):
+        exact.step()
+        fixed.step()
+        re = float(np.asarray(exact.last_aux["primal_residual"])[-1])
+        rf = float(np.asarray(fixed.last_aux["primal_residual"])[-1])
+        ratio = rf / re
+        worst = max(worst, ratio)
+        print(f"step {step}: exact={re:.4e} fixed{fixed_iters}={rf:.4e} "
+              f"ratio={ratio:.3f}")
+    print(f"worst ratio over {steps} steps: {worst:.3f}")
+    assert worst < 1.2, "fixed-CG residuals drifted from the exact solve"
+
+
+if __name__ == "__main__":
+    main()
