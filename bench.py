@@ -36,7 +36,7 @@ def _load_baseline():
     return None
 
 
-def build_tet100k(dtype, admm_iters=10):
+def build_tet100k(dtype, admm_iters=10, local_backend="xla"):
     import jax.numpy as jnp
 
     from admm_elastic_tpu import Settings, System
@@ -59,7 +59,10 @@ def build_tet100k(dtype, admm_iters=10):
     sys.add_nodes(beam.vertices, np.full(n, 50.0 / n))
     anchored = np.flatnonzero(beam.vertices[:, 0] < 1e-9)
     sys.add_force(StaticAnchor(anchored))
-    sys.add_force(HyperElasticTet(beam.tets, mu=1e5, lam=1e5, max_iters=5, model="nh"))
+    sys.add_force(
+        HyperElasticTet(beam.tets, mu=1e5, lam=1e5, max_iters=5, model="nh",
+                        backend=local_backend)
+    )
     sys.add_explicit_force(ExplicitForce(direction=(0, -9.8, 0)))
     assert sys.initialize()
     return sys, beam.n_tets
@@ -168,6 +171,7 @@ def main():
     ap.add_argument("--preset", default="tet100k")
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
+    ap.add_argument("--local-backend", default="xla", choices=["xla", "pallas"])
     args = ap.parse_args()
 
     import jax
@@ -178,7 +182,7 @@ def main():
     print(f"# backend: {dev.platform} ({dev.device_kind})", file=sys.stderr)
 
     if args.preset == "tet100k":
-        sys_, n_tets = build_tet100k(dtype)
+        sys_, n_tets = build_tet100k(dtype, local_backend=args.local_backend)
         ms = bench_system(sys_, args.steps) * 1e3
         iters_per_s = sys_.settings.admm_iters / (ms / 1e3)
         baseline = _load_baseline()
