@@ -32,18 +32,40 @@ import numpy as np
 from ..ops.segment import coeff_apply, coeff_apply_T, coeff_diag
 
 
-def assemble_A_hat(n, masses, dt, force_params):
-    """Host-side dense assembly of A_hat = diag(m) + dt^2 sum_t C^T W^2 C."""
-    A = np.zeros((n, n), dtype=np.float64)
+def _assemble_A_hat_csr(n, masses, dt, force_params):
+    """Host-side sparse assembly of A_hat = diag(m) + dt^2 sum_t C^T W^2 C."""
+    import scipy.sparse as sp
+
     dt2 = dt * dt
+    rows_all, cols_all, vals_all = [], [], []
     for p in force_params.values():
         C = np.asarray(p["coeff"], dtype=np.float64)
         idx = np.asarray(p["indices"], dtype=np.int64)
         w2 = np.asarray(p["weight"], dtype=np.float64) ** 2
-        Me = np.einsum("erk,erl->ekl", C, C) * w2[:, None, None]
-        np.add.at(A, (idx[:, :, None], idx[:, None, :]), dt2 * Me)
-    A[np.diag_indices(n)] += np.asarray(masses, dtype=np.float64)
+        Me = np.einsum("erk,erl->ekl", C, C) * w2[:, None, None] * dt2
+        K = idx.shape[1]
+        rows_all.append(np.repeat(idx[:, :, None], K, axis=2).ravel())
+        cols_all.append(np.repeat(idx[:, None, :], K, axis=1).ravel())
+        vals_all.append(Me.ravel())
+    if rows_all:
+        A = sp.coo_matrix(
+            (
+                np.concatenate(vals_all),
+                (np.concatenate(rows_all), np.concatenate(cols_all)),
+            ),
+            shape=(n, n),
+        ).tocsr()
+        A.sum_duplicates()
+    else:
+        A = sp.csr_matrix((n, n))
+    A = A + sp.diags(np.asarray(masses, dtype=np.float64))
+    A.eliminate_zeros()
     return A
+
+
+def assemble_A_hat(n, masses, dt, force_params):
+    """Dense A_hat (via sparse assembly; dense only at materialization)."""
+    return _assemble_A_hat_csr(n, masses, dt, force_params).toarray()
 
 
 def A_hat_apply(x, masses, dt2, force_params):
@@ -115,30 +137,7 @@ def assemble_A_hat_ell(n, masses, dt, force_params, pad_to: int = 8):
 
     Returns (idx (n,K) int32, vals (n,K) float64, diag (n,) float64).
     """
-    import scipy.sparse as sp
-
-    dt2 = dt * dt
-    rows_all, cols_all, vals_all = [], [], []
-    for p in force_params.values():
-        C = np.asarray(p["coeff"], dtype=np.float64)
-        idx = np.asarray(p["indices"], dtype=np.int64)
-        w2 = np.asarray(p["weight"], dtype=np.float64) ** 2
-        Me = np.einsum("erk,erl->ekl", C, C) * w2[:, None, None] * dt2
-        K = idx.shape[1]
-        rows_all.append(np.repeat(idx[:, :, None], K, axis=2).ravel())
-        cols_all.append(np.repeat(idx[:, None, :], K, axis=1).ravel())
-        vals_all.append(Me.ravel())
-    if rows_all:
-        A = sp.coo_matrix(
-            (np.concatenate(vals_all), (np.concatenate(rows_all), np.concatenate(cols_all))),
-            shape=(n, n),
-        ).tocsr()
-        A.sum_duplicates()
-    else:
-        A = sp.csr_matrix((n, n))
-    A = A + sp.diags(np.asarray(masses, dtype=np.float64))
-    A.eliminate_zeros()
-
+    A = _assemble_A_hat_csr(n, masses, dt, force_params)
     deg = np.diff(A.indptr)
     K = max(int(deg.max()) if n else 1, 1)
     K = -(-K // pad_to) * pad_to

@@ -36,7 +36,7 @@ def _load_baseline():
     return None
 
 
-def build_tet100k(dtype, admm_iters=10, local_backend="xla"):
+def build_tet100k(dtype, admm_iters=10, local_backend="xla", global_solver="ell"):
     import jax.numpy as jnp
 
     from admm_elastic_tpu import Settings, System
@@ -45,16 +45,19 @@ def build_tet100k(dtype, admm_iters=10, local_backend="xla"):
 
     # 40 x 25 x 20 cells x 5 tets = 100,000 tets; 22,386 nodes
     beam = make_beam_tets(40, 25, 20, size=0.05)
-    sys = System(
-        Settings(
-            timestep_s=0.04,
-            admm_iters=admm_iters,
-            verbose=0,
-            dtype=dtype,
-            global_solver="ell",
-            cg_fixed_iters=15,
-        )
+    settings = Settings(
+        timestep_s=0.04,
+        admm_iters=admm_iters,
+        verbose=0,
+        dtype=dtype,
+        global_solver=global_solver,
+        cg_fixed_iters=15,
     )
+    if global_solver == "dense":
+        # n=22,386: A_hat^{-1} is 2 GB f32 in HBM; each global step is one
+        # MXU matmul. Host inversion is a one-time init cost.
+        settings.dense_max_nodes = 1 << 30
+    sys = System(settings)
     n = beam.n_vertices
     sys.add_nodes(beam.vertices, np.full(n, 50.0 / n))
     anchored = np.flatnonzero(beam.vertices[:, 0] < 1e-9)
@@ -172,6 +175,8 @@ def main():
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
     ap.add_argument("--local-backend", default="xla", choices=["xla", "pallas"])
+    ap.add_argument("--global-solver", default="ell",
+                    choices=["ell", "cg", "dense"])
     args = ap.parse_args()
 
     import jax
@@ -182,7 +187,10 @@ def main():
     print(f"# backend: {dev.platform} ({dev.device_kind})", file=sys.stderr)
 
     if args.preset == "tet100k":
-        sys_, n_tets = build_tet100k(dtype, local_backend=args.local_backend)
+        sys_, n_tets = build_tet100k(
+            dtype, local_backend=args.local_backend,
+            global_solver=args.global_solver,
+        )
         ms = bench_system(sys_, args.steps) * 1e3
         iters_per_s = sys_.settings.admm_iters / (ms / 1e3)
         baseline = _load_baseline()
