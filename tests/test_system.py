@@ -326,3 +326,25 @@ def test_ell_beam_larger():
             sys.step()
         res.append(sys.x.copy())
     np.testing.assert_allclose(res[0], res[1], rtol=1e-6, atol=1e-8)
+
+
+def test_determinism_bitwise():
+    """Two identical runs are bitwise identical (the reference's omp
+    scatter ordering is nondeterministic; ours must not be)."""
+    def run():
+        from admm_elastic_tpu.geometry import make_beam_tets
+
+        beam = make_beam_tets(3, 2, 2)
+        sys = System(_settings(timestep_s=0.04, admm_iters=8))
+        n = beam.n_vertices
+        sys.add_nodes(beam.vertices, np.full(n, 1.0 / n))
+        sys.add_force(StaticAnchor(np.flatnonzero(beam.vertices[:, 0] < 1e-9)))
+        sys.add_force(HyperElasticTet(beam.tets, mu=1e4, lam=1e4, max_iters=5))
+        sys.add_explicit_force(ExplicitForce(direction=(0, -9.8, 0)))
+        assert sys.initialize()
+        for _ in range(5):
+            sys.step()
+        return sys.x
+
+    a, b = run(), run()
+    assert np.array_equal(a, b), "nondeterministic trajectory"
