@@ -5,12 +5,11 @@ The selector is the identity over every node with weight 32
 themselves. The local step projects any penetrating node out of each analytic
 collision shape (floor plane, sphere, z-axis cylinder; collision/*.hpp).
 
-Shapes are stored struct-of-arrays per kind and applied in kind groups
-(floors, then spheres, then cylinders), each group vectorized over
-(nodes x shapes). The reference applies shapes in vector order per node
-(CollisionForce.cpp:56-67); ordering only matters for nodes penetrating
-multiple overlapping shapes simultaneously, which no bundled scene exercises.
-Shape parameters live in `params` so they can move at runtime.
+Shapes are stored struct-of-arrays per kind but applied in the original
+declaration order (the reference applies shapes in vector order per node,
+CollisionForce.cpp:56-67, and order matters when a node penetrates multiple
+overlapping shapes). The per-shape loop is unrolled (shape count is small
+and static); shape parameters live in `params` so they can move at runtime.
 """
 
 from __future__ import annotations
@@ -82,34 +81,32 @@ class Collision(ForceBatch):
     def project(self, Dx, u, params, state):
         p = (Dx + u)[:, 0, :]  # (n,3) candidate positions
 
-        # floors: if y < floor_y, snap y up to the plane
-        for_y = params["floor_y"]
-        if for_y.shape[0] > 0:
-            target = jnp.max(for_y)  # stacked floors: highest wins
-            y = p[:, 1]
-            inside = y < target
-            p = p.at[:, 1].set(jnp.where(inside, target, y))
-
-        # spheres: push to surface along the center ray
-        sc, sr = params["sphere_c"], params["sphere_r"]
-        if sr.shape[0] > 0:
-            for j in range(sr.shape[0]):
-                d = p - sc[j]
+        counters = {"floor": 0, "sphere": 0, "cylinder": 0}
+        for shape in self.shapes:
+            if isinstance(shape, Floor):
+                j = counters["floor"]
+                counters["floor"] += 1
+                target = params["floor_y"][j]
+                y = p[:, 1]
+                p = p.at[:, 1].set(jnp.where(y < target, target, y))
+            elif isinstance(shape, Sphere):
+                j = counters["sphere"]
+                counters["sphere"] += 1
+                c, r = params["sphere_c"][j], params["sphere_r"][j]
+                d = p - c
                 dist = jnp.linalg.norm(d, axis=1, keepdims=True)
-                inside = dist[:, 0] < sr[j]
+                inside = dist[:, 0] < r
                 dir_ = d / jnp.where(dist > 0, dist, 1.0)
-                proj = sc[j] + sr[j] * dir_
-                p = jnp.where(inside[:, None], proj, p)
-
-        # cylinders (z-axis): push out radially in the xy plane
-        cc, cr = params["cyl_c"], params["cyl_r"]
-        if cr.shape[0] > 0:
-            for j in range(cr.shape[0]):
-                d = p[:, :2] - cc[j]
+                p = jnp.where(inside[:, None], c + r * dir_, p)
+            elif isinstance(shape, Cylinder):
+                j = counters["cylinder"]
+                counters["cylinder"] += 1
+                c, r = params["cyl_c"][j], params["cyl_r"][j]
+                d = p[:, :2] - c
                 dist = jnp.linalg.norm(d, axis=1, keepdims=True)
-                inside = dist[:, 0] < cr[j]
+                inside = dist[:, 0] < r
                 dir_ = d / jnp.where(dist > 0, dist, 1.0)
-                proj_xy = cc[j] + cr[j] * dir_
+                proj_xy = c + r * dir_
                 p = jnp.where(
                     inside[:, None],
                     jnp.concatenate([proj_xy, p[:, 2:3]], axis=1),

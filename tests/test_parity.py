@@ -194,7 +194,7 @@ def test_windyflag_full_parity():
 def test_collision_parity():
     """Tet body dropping onto a floor + cylinder (plinkopony physics) vs the
     numpy oracle: identity-selector collision force inside ADMM."""
-    from admm_elastic_tpu.models import Collision, Cylinder, Floor
+    from admm_elastic_tpu.models import Collision, Cylinder, Floor, Sphere
     from reference_impl import RefCollision
 
     x = np.array(
@@ -203,8 +203,10 @@ def test_collision_parity():
     )
     tets = np.array([[0, 1, 2, 3], [4, 1, 2, 3]], dtype=np.int32)
     n = len(x)
-    shapes_ours = [Floor(center=(0, 0.0, 0)), Cylinder(center=(0.2, 0.6, 0), radius=0.3)]
-    shapes_ref = [("floor", 0.0), ("cylinder", (0.2, 0.6), 0.3)]
+    shapes_ours = [Floor(center=(0, 0.0, 0)), Cylinder(center=(0.2, 0.6, 0), radius=0.3),
+                   Sphere(center=(-0.3, 0.5, 0.1), radius=0.25)]
+    shapes_ref = [("floor", 0.0), ("cylinder", (0.2, 0.6), 0.3),
+                  ("sphere", (-0.3, 0.5, 0.1), 0.25)]
 
     ref = RefSystem(dt=0.04, iters=13)
     ref.setup(x, np.ones(n))
