@@ -139,3 +139,20 @@ def test_scenario_and_element_sharding_compose():
     assert x.shape[0] == 2
     assert np.isfinite(x).all()
     np.testing.assert_allclose(x[0], x[1], rtol=1e-12, atol=1e-12)
+
+
+def test_sweep_guard_rejects_precomputed_matrix_modes():
+    """Weight sweeps must be rejected when the global matrix is precomputed."""
+    sys = _build(mode="ell")
+    name = sys._force_list[1].name
+    E = sys._force_list[1].n_elements
+    sweep = {(name, "weight"): np.ones((2, E))}
+    with pytest.raises(ValueError, match="matrix-free"):
+        batch_params(sys.params, sweep, 2)
+
+
+def test_ell_sharding_rejected():
+    sys = _build(mode="ell")
+    mesh = make_sim_mesh(data=1)
+    with pytest.raises(ValueError, match="element sharding"):
+        shard_params_and_state(sys, mesh)
