@@ -65,6 +65,10 @@ class Settings:
     #: when set, CG runs exactly this many iterations with no residual test
     #: (static control flow; fastest on TPU with warm starts)
     cg_fixed_iters: int | None = None
+    #: dense mode: iterative-refinement steps per global solve
+    #: (x += A^{-1}(b - A x) via the sparse ELL matvec) — recovers accuracy
+    #: lost to the f32 stored inverse at ~5 ms/step cost
+    dense_refine_steps: int = 0
     #: compute per-iteration primal/dual residuals (Eq. 22-23 noted at
     #: System.cpp:64-65 but never computed by the reference)
     collect_residuals: bool = False
@@ -193,6 +197,10 @@ class System:
             cparams = {k: params[k] for k in self._constraint_names}
             A = assemble_A_hat(n, self._m, dt, cparams)
             params["_solver"] = {"A_inv": np.linalg.inv(A)}
+            if s.dense_refine_steps > 0:
+                ell_idx, ell_vals, _ = assemble_A_hat_ell(n, self._m, dt, cparams)
+                params["_solver"]["ell_idx"] = ell_idx
+                params["_solver"]["ell_vals"] = ell_vals
         elif mode == "ell":
             cparams = {k: params[k] for k in self._constraint_names}
             ell_idx, ell_vals, diag = assemble_A_hat_ell(n, self._m, dt, cparams)
@@ -242,6 +250,7 @@ class System:
         cg_iters = self.settings.cg_max_iters
         early_tol = self.settings.residual_tol
         cg_fixed = self.settings.cg_fixed_iters
+        dense_refine = self.settings.dense_refine_steps
         collect = self.settings.collect_residuals or early_tol is not None
         n = self.n_nodes
         cnames = [f.name for f in forces]
@@ -313,7 +322,11 @@ class System:
                         )
 
                 if mode == "dense":
-                    new_x = params["_solver"]["A_inv"] @ b
+                    sv = params["_solver"]
+                    new_x = sv["A_inv"] @ b
+                    for _ in range(dense_refine):
+                        r = b - ell_apply(new_x, sv["ell_idx"], sv["ell_vals"])
+                        new_x = new_x + sv["A_inv"] @ r
                 else:
                     if mode == "ell":
                         sv = params["_solver"]

@@ -348,3 +348,33 @@ def test_determinism_bitwise():
 
     a, b = run(), run()
     assert np.array_equal(a, b), "nondeterministic trajectory"
+
+
+def test_dense_refine_improves_f32_solve():
+    """dense_refine_steps tightens the f32 global solve toward the f64 one."""
+    from admm_elastic_tpu.geometry import make_beam_tets
+
+    beam = make_beam_tets(4, 3, 3)
+
+    def build(dtype, refine=0):
+        sys = System(Settings(timestep_s=0.04, admm_iters=6, verbose=0,
+                              dtype=dtype, global_solver="dense",
+                              dense_max_nodes=1 << 20,
+                              dense_refine_steps=refine))
+        n = beam.n_vertices
+        sys.add_nodes(beam.vertices, np.full(n, 1.0 / n))
+        sys.add_force(StaticAnchor(np.flatnonzero(beam.vertices[:, 0] < 1e-9)))
+        sys.add_force(LinearTetStrain(beam.tets, stiffness=1e5))
+        sys.add_explicit_force(ExplicitForce(direction=(0, -9.8, 0)))
+        assert sys.initialize()
+        for _ in range(4):
+            sys.step()
+        return sys.x
+
+    ref = build(jnp.float64)
+    raw = build(jnp.float32, refine=0)
+    refined = build(jnp.float32, refine=1)
+    err_raw = np.abs(raw - ref).max()
+    err_ref = np.abs(refined - ref).max()
+    assert err_ref <= err_raw * 1.01  # refinement never worse
+    assert np.isfinite(refined).all()
