@@ -23,7 +23,6 @@ Two modes:
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -25,7 +25,6 @@ scenario sweeps never recompile. The dual u is warm-started across steps
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Callable
 
 import jax

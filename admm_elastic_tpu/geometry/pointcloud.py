@@ -39,7 +39,6 @@ class PointCloud:
 
 
 def load_pointcloud(path: str) -> PointCloud:
-    from .tetmesh import load_node_ele
     from .trimesh import load_ply
 
     if path.endswith(".ply"):

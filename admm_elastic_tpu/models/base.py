@@ -60,8 +60,5 @@ class ForceBatch(abc.ABC):
 
     # ---- helpers ----------------------------------------------------------
 
-    def _n(self) -> int:
-        return self.n_elements
-
     def __repr__(self) -> str:
         return f"{type(self).__name__}(E={self.n_elements})"

@@ -21,7 +21,6 @@ Designed to be vmapped over elements; all shapes static.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp
