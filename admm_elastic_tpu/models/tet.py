@@ -265,8 +265,8 @@ class HyperElasticTet(ForceBatch):
         self.model = model
         if backend not in ("xla", "pallas"):
             raise ValueError(f"unknown backend {backend!r}")
-        if backend == "pallas" and model != "nh":
-            raise ValueError("pallas backend currently implements model='nh'")
+        if backend == "pallas" and model not in ("nh", "stvk"):
+            raise ValueError("pallas backend implements nh and stvk")
         self.backend = backend
 
     @property
@@ -344,7 +344,7 @@ class HyperElasticTet(ForceBatch):
         lam = jnp.pad(params["lam"], (0, pad), constant_values=1.0)
         k = jnp.pad(params["k"], (0, pad), constant_values=1.0)
         z9, _, warm_new = nh_local_step(
-            dx9, zeros, warm, mu, lam, k, iters=self.max_iters
+            dx9, zeros, warm, mu, lam, k, iters=self.max_iters, model=self.model
         )
         zF = z9[:, :E].T.reshape(E, 3, 3)
         return _rows_of(zF), {**state, "sigma": warm_new[:, :E].T}

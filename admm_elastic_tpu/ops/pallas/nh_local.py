@@ -160,6 +160,19 @@ def _svd_columns(f, eps):
     return U, cols, s
 
 
+def _stvk_value(s1, s2, s3, mu, lam, k, c1, c2, c3):
+    """StVK prox objective on lanes (TetForce.cpp:269-278)."""
+    e1 = 0.5 * (s1 * s1 - 1.0)
+    e2 = 0.5 * (s2 * s2 - 1.0)
+    e3 = 0.5 * (s3 * s3 - 1.0)
+    tr = e1 + e2 + e3
+    psi = mu * (e1 * e1 + e2 * e2 + e3 * e3) + 0.5 * lam * tr * tr
+    prox = 0.5 * k * ((s1 - c1) ** 2 + (s2 - c2) ** 2 + (s3 - c3) ** 2)
+    val = psi + prox
+    big = jnp.asarray(3.4e38, val.dtype)
+    return jnp.where((s1 > 0) & (s2 > 0) & (s3 > 0), val, big)
+
+
 def _nh_value(s1, s2, s3, mu, lam, k, c1, c2, c3):
     """NH prox objective on lanes; +inf via big-where for non-positive sigma."""
     det = s1 * s2 * s3
@@ -174,10 +187,11 @@ def _nh_value(s1, s2, s3, mu, lam, k, c1, c2, c3):
     return jnp.where(pos & (s1 > 0) & (s2 > 0) & (s3 > 0), val, big)
 
 
-def _newton_nh(s0, warm, mu, lam, k, iters):
-    """Lane-parallel damped Newton on 3 singular values."""
+def _newton_hyper(s0, warm, mu, lam, k, iters, model):
+    """Lane-parallel damped Newton on 3 singular values; model: 'nh'|'stvk'."""
     c1, c2, c3 = s0  # prox centers (signed SVD values)
     x1, x2, x3 = warm
+    value_fn = _nh_value if model == "nh" else _stvk_value
 
     floor = SIGMA_FLOOR
     x1 = jnp.maximum(x1, floor)
@@ -185,17 +199,30 @@ def _newton_nh(s0, warm, mu, lam, k, iters):
     x3 = jnp.maximum(x3, floor)
 
     for _ in range(iters):
-        inv1, inv2, inv3 = 1.0 / x1, 1.0 / x2, 1.0 / x3
-        logdet = jnp.log(x1 * x2 * x3)
-        g1 = mu * (x1 - inv1) + lam * logdet * inv1 + k * (x1 - c1)
-        g2 = mu * (x2 - inv2) + lam * logdet * inv2 + k * (x2 - c2)
-        g3 = mu * (x3 - inv3) + lam * logdet * inv3 + k * (x3 - c3)
-        h11 = mu * (1.0 + inv1 * inv1) - lam * logdet * inv1 * inv1 + k
-        h22 = mu * (1.0 + inv2 * inv2) - lam * logdet * inv2 * inv2 + k
-        h33 = mu * (1.0 + inv3 * inv3) - lam * logdet * inv3 * inv3 + k
-        h12 = lam * inv1 * inv2
-        h13 = lam * inv1 * inv3
-        h23 = lam * inv2 * inv3
+        if model == "nh":
+            inv1, inv2, inv3 = 1.0 / x1, 1.0 / x2, 1.0 / x3
+            logdet = jnp.log(x1 * x2 * x3)
+            g1 = mu * (x1 - inv1) + lam * logdet * inv1 + k * (x1 - c1)
+            g2 = mu * (x2 - inv2) + lam * logdet * inv2 + k * (x2 - c2)
+            g3 = mu * (x3 - inv3) + lam * logdet * inv3 + k * (x3 - c3)
+            h11 = mu * (1.0 + inv1 * inv1) - lam * logdet * inv1 * inv1 + k
+            h22 = mu * (1.0 + inv2 * inv2) - lam * logdet * inv2 * inv2 + k
+            h33 = mu * (1.0 + inv3 * inv3) - lam * logdet * inv3 * inv3 + k
+            h12 = lam * inv1 * inv2
+            h13 = lam * inv1 * inv3
+            h23 = lam * inv2 * inv3
+        else:  # stvk (closed forms match models/tet.py stvk_grad_hess)
+            ss = x1 * x1 + x2 * x2 + x3 * x3
+            g1 = mu * x1 * (x1 * x1 - 1.0) + 0.5 * lam * (ss - 3.0) * x1 + k * (x1 - c1)
+            g2 = mu * x2 * (x2 * x2 - 1.0) + 0.5 * lam * (ss - 3.0) * x2 + k * (x2 - c2)
+            g3 = mu * x3 * (x3 * x3 - 1.0) + 0.5 * lam * (ss - 3.0) * x3 + k * (x3 - c3)
+            base = 0.5 * lam * (ss - 3.0) + k
+            h11 = mu * (3.0 * x1 * x1 - 1.0) + base + lam * x1 * x1
+            h22 = mu * (3.0 * x2 * x2 - 1.0) + base + lam * x2 * x2
+            h33 = mu * (3.0 * x3 * x3 - 1.0) + base + lam * x3 * x3
+            h12 = lam * x1 * x2
+            h13 = lam * x1 * x3
+            h23 = lam * x2 * x3
         hmax = jnp.maximum(
             jnp.maximum(jnp.abs(h11), jnp.abs(h22)),
             jnp.maximum(jnp.abs(h33), jnp.maximum(jnp.abs(h12), jnp.maximum(jnp.abs(h13), jnp.abs(h23)))),
@@ -223,13 +250,13 @@ def _newton_nh(s0, warm, mu, lam, k, iters):
         d2 = jnp.where(descent, d2, -g2 * gscale)
         d3 = jnp.where(descent, d3, -g3 * gscale)
 
-        f_best = _nh_value(x1, x2, x3, mu, lam, k, c1, c2, c3)
+        f_best = value_fn(x1, x2, x3, mu, lam, k, c1, c2, c3)
         b1, b2, b3 = x1, x2, x3
         for a in _ALPHAS:
             t1 = jnp.maximum(x1 + a * d1, floor)
             t2 = jnp.maximum(x2 + a * d2, floor)
             t3 = jnp.maximum(x3 + a * d3, floor)
-            fv = _nh_value(t1, t2, t3, mu, lam, k, c1, c2, c3)
+            fv = value_fn(t1, t2, t3, mu, lam, k, c1, c2, c3)
             better = fv < f_best
             f_best = jnp.where(better, fv, f_best)
             b1 = jnp.where(better, t1, b1)
@@ -239,7 +266,7 @@ def _newton_nh(s0, warm, mu, lam, k, iters):
     return x1, x2, x3
 
 
-def _make_nh_kernel(iters):
+def _make_hyper_kernel(iters, model):
     def kernel(dx_ref, u_ref, warm_ref, mu_ref, lam_ref, k_ref,
                z_ref, unew_ref, warm_out_ref):
         dx = [dx_ref[p, :] for p in range(9)]
@@ -262,7 +289,7 @@ def _make_nh_kernel(iters):
         mu = mu_ref[0, :]
         lam = lam_ref[0, :]
         k = k_ref[0, :]
-        x1, x2, x3 = _newton_nh(s, (w1, w2_, w3), mu, lam, k, iters)
+        x1, x2, x3 = _newton_hyper(s, (w1, w2_, w3), mu, lam, k, iters, model)
         warm_out_ref[0, :] = x1
         warm_out_ref[1, :] = x2
         warm_out_ref[2, :] = x3
@@ -282,8 +309,9 @@ def _make_nh_kernel(iters):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("iters", "interpret"))
-def nh_local_step(dx9, u9, warm, mu, lam, k, iters=5, interpret=False):
+@functools.partial(jax.jit, static_argnames=("iters", "interpret", "model"))
+def nh_local_step(dx9, u9, warm, mu, lam, k, iters=5, interpret=False,
+                  model="nh"):
     """Fused NH local step. dx9/u9: (9,E); warm: (3,E); mu/lam/k: (E,).
     Returns (z9, u9_new, warm_new). E must be a multiple of BLOCK."""
     E = dx9.shape[1]
@@ -292,7 +320,7 @@ def nh_local_step(dx9, u9, warm, mu, lam, k, iters=5, interpret=False):
     p3 = pl.BlockSpec((3, BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM)
     p1 = pl.BlockSpec((1, BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM)
     z9, unew, warm_new = pl.pallas_call(
-        _make_nh_kernel(iters),
+        _make_hyper_kernel(iters, model),
         grid=grid,
         in_specs=[p9, p9, p3, p1, p1, p1],
         out_specs=[p9, p9, p3],

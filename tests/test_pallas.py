@@ -86,3 +86,30 @@ def test_nh_kernel_matches_model():
     assert np.abs(np.asarray(w9).T - np.asarray(st["sigma"])).max() < 1e-2
     assert np.isfinite(z_k).all() and np.isfinite(np.asarray(un9)).all()
     assert np.all(np.asarray(w9) > 0)
+
+
+def test_stvk_kernel_matches_model():
+    from admm_elastic_tpu.models.tet import HyperElasticTet
+    from admm_elastic_tpu.ops.pallas.nh_local import nh_local_step
+
+    rng = np.random.default_rng(2)
+    E = BLOCK
+    F = rng.normal(size=(E, 3, 3)).astype(np.float32)
+    dx9 = jnp.asarray(F.reshape(E, 9).T)
+    warm = jnp.ones((3, E), jnp.float32)
+    mu = jnp.full(E, 100.0, jnp.float32)
+    z9, _, w9 = nh_local_step(dx9, jnp.zeros_like(dx9), warm, mu, mu, mu,
+                              iters=5, interpret=True, model="stvk")
+
+    het = HyperElasticTet(np.zeros((E, 4), np.int32), 100.0, 100.0, 5, "stvk")
+    params = {"mu": mu, "lam": mu, "k": mu, "weight": jnp.ones(E)}
+    Dx = jnp.asarray(np.swapaxes(F, 1, 2))
+    z_ref, st = het.project(Dx, jnp.zeros_like(Dx), params,
+                            {"sigma": jnp.ones((E, 3), jnp.float32)})
+    zF_ref = np.asarray(jnp.swapaxes(z_ref, 1, 2))
+    z_k = np.asarray(z9).T.reshape(E, 3, 3)
+    svs = np.linalg.svd(F.astype(np.float64), compute_uv=False)
+    gaps = np.minimum(svs[:, 0] - svs[:, 1], svs[:, 1] - svs[:, 2])
+    sep = gaps > 1e-2
+    assert np.abs(z_k[sep] - zF_ref[sep]).max() < 5e-3
+    assert np.abs(np.asarray(w9).T - np.asarray(st["sigma"])).max() < 5e-3
