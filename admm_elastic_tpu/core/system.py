@@ -64,6 +64,9 @@ class Settings:
     #: when set, CG runs exactly this many iterations with no residual test
     #: (static control flow; fastest on TPU with warm starts)
     cg_fixed_iters: int | None = None
+    #: 'fused' runs the CG vector updates as one Pallas kernel per iteration
+    #: (ell mode + cg_fixed_iters only; TPU) — see ops/pallas/cg_step.py
+    cg_backend: str = "xla"
     #: dense mode: iterative-refinement steps per global solve
     #: (x += A^{-1}(b - A x) via the sparse ELL matvec) — recovers accuracy
     #: lost to the f32 stored inverse at ~5 ms/step cost
@@ -250,6 +253,7 @@ class System:
         early_tol = self.settings.residual_tol
         cg_fixed = self.settings.cg_fixed_iters
         dense_refine = self.settings.dense_refine_steps
+        cg_fused = self.settings.cg_backend == "fused"
         collect = self.settings.collect_residuals or early_tol is not None
         n = self.n_nodes
         cnames = [f.name for f in forces]
@@ -326,6 +330,18 @@ class System:
                     for _ in range(dense_refine):
                         r = b - ell_apply(new_x, sv["ell_idx"], sv["ell_vals"])
                         new_x = new_x + sv["A_inv"] @ r
+                elif mode == "ell" and cg_fixed is not None and cg_fused:
+                    from ..ops.pallas.cg_step import (
+                        ell_apply_T,
+                        pcg_solve_fixed_fused,
+                    )
+
+                    sv = params["_solver"]
+                    pad = (-n) % 128
+                    new_x = pcg_solve_fixed_fused(
+                        lambda xt: ell_apply_T(xt, sv["ell_idx"], sv["ell_vals"], pad),
+                        b, curr_x, diag, cg_fixed,
+                    )
                 else:
                     if mode == "ell":
                         sv = params["_solver"]

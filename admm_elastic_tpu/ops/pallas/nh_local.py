@@ -310,10 +310,12 @@ def _make_hyper_kernel(iters, model):
 
 
 @functools.partial(jax.jit, static_argnames=("iters", "interpret", "model"))
-def nh_local_step(dx9, u9, warm, mu, lam, k, iters=5, interpret=False,
+def nh_local_step(dx9, u9, warm, mu, lam, k, iters=5, interpret=None,
                   model="nh"):
     """Fused NH local step. dx9/u9: (9,E); warm: (3,E); mu/lam/k: (E,).
     Returns (z9, u9_new, warm_new). E must be a multiple of BLOCK."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     E = dx9.shape[1]
     grid = (E // BLOCK,)
     p9 = pl.BlockSpec((9, BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM)

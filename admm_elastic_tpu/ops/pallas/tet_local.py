@@ -193,12 +193,14 @@ def _arap_kernel(dx_ref, u_ref, w2_ref, k_ref, z_ref, unew_ref):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def arap_local_step(dx9, u9, w2, k, interpret=False):
+def arap_local_step(dx9, u9, w2, k, interpret=None):
     """Fused ARAP local step.
 
     dx9, u9: (9, E) planes (E a multiple of BLOCK); w2, k: (E,).
     Returns (z9, u9_new) with the same layout.
     """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     E = dx9.shape[1]
     grid = (E // BLOCK,)
     plane_spec = pl.BlockSpec((9, BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM)
