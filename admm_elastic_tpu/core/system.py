@@ -291,13 +291,16 @@ class System:
                 curr_x, u, fstate, z_prev, rp, rd = carry
                 Dx = Dx_all(params, curr_x)
                 z = {}
+                new_u = {}
                 new_fstate = {}
                 for f in forces:
-                    zf, sf = f.project(Dx[f.name], u[f.name], params[f.name], fstate[f.name])
+                    zf, uf, sf = f.project_with_dual(
+                        Dx[f.name], u[f.name], params[f.name], fstate[f.name]
+                    )
                     z[f.name] = zf
+                    new_u[f.name] = uf
                     new_fstate[f.name] = sf
-                # dual update u += Dx - z (Force.cpp:67 pattern, all types)
-                u = {k: u[k] + Dx[k] - z[k] for k in u}
+                u = new_u
 
                 if mode == "ell":
                     # scatter-free RHS: per-element contributions gathered

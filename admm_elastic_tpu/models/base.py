@@ -58,6 +58,16 @@ class ForceBatch(abc.ABC):
         Dx, u: (E,R,3) device arrays; params/state: device dicts.
         """
 
+    def project_with_dual(self, Dx, u, params, state):
+        """Local step + dual update: returns (z, u_new, new_state).
+
+        Default composes project() with the generic u += Dx - z
+        (Force.cpp:67 pattern). Fused-kernel backends override this so the
+        dual update happens inside the kernel.
+        """
+        z, st = self.project(Dx, u, params, state)
+        return z, u + Dx - z, st
+
     # ---- helpers ----------------------------------------------------------
 
     def __repr__(self) -> str:

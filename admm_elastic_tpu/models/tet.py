@@ -107,9 +107,7 @@ class LinearTetStrain(ForceBatch):
         params["k"] = self.stiffness * vol
         return params, {}
 
-    def project(self, Dx, u, params, state):
-        if self.backend == "pallas":
-            return self._project_pallas(Dx, u, params, state)
+    def _project_xla(self, Dx, u, params, state):
         F = _F_of(Dx + u)
         R = jax.vmap(polar_project)(F)
         k = params["k"][:, None, None]
@@ -117,22 +115,37 @@ class LinearTetStrain(ForceBatch):
         zF = (k * R + w2 * F) / (w2 + k)
         return _rows_of(zF), state
 
-    def _project_pallas(self, Dx, u, params, state):
+    def _to_planes(self, rows, pad, fill=1.0):
+        """(E,R,3) canonical rows -> (9, E+pad) F-layout planes."""
+        E = rows.shape[0]
+        planes = _F_of(rows).reshape(E, 9).T
+        if pad:
+            planes = jnp.pad(planes, ((0, 0), (0, pad)), constant_values=fill)
+        return planes
+
+    def _from_planes(self, planes, E):
+        return _rows_of(planes[:, :E].T.reshape(E, 3, 3))
+
+    def project(self, Dx, u, params, state):
+        if self.backend == "pallas":
+            z, _, st = self.project_with_dual(Dx, u, params, state)
+            return z, st
+        return self._project_xla(Dx, u, params, state)
+
+    def project_with_dual(self, Dx, u, params, state):
+        if self.backend != "pallas":
+            z, st = self.project(Dx, u, params, state)
+            return z, u + Dx - z, st
         from ..ops.pallas.tet_local import BLOCK, arap_local_step
 
         E = Dx.shape[0]
-        Ep = -(-E // BLOCK) * BLOCK
-        F = _F_of(Dx + u)  # (E,3,3)
-        dx9 = F.reshape(E, 9).T  # planes p=3r+c of F
-        pad = Ep - E
-        if pad:
-            dx9 = jnp.pad(dx9, ((0, 0), (0, pad)), constant_values=1.0)
-        zeros = jnp.zeros_like(dx9)
+        pad = (-E) % BLOCK
+        dx9 = self._to_planes(Dx, pad)
+        u9 = self._to_planes(u, pad, fill=0.0)
         w2 = jnp.pad((params["weight"] ** 2), (0, pad), constant_values=1.0)
         k = jnp.pad(params["k"], (0, pad), constant_values=1.0)
-        z9, _ = arap_local_step(dx9, zeros, w2, k)
-        zF = z9[:, :E].T.reshape(E, 3, 3)
-        return _rows_of(zF), state
+        z9, unew9 = arap_local_step(dx9, u9, w2, k)
+        return self._from_planes(z9, E), self._from_planes(unew9, E), state
 
 
 class TetVolume(ForceBatch):
@@ -287,7 +300,8 @@ class HyperElasticTet(ForceBatch):
 
     def project(self, Dx, u, params, state):
         if self.backend == "pallas":
-            return self._project_pallas(Dx, u, params, state)
+            z, _, st = self.project_with_dual(Dx, u, params, state)
+            return z, st
         F = _F_of(Dx + u)
         U, s, V = jax.vmap(svd3x3_oriented)(F)
 
@@ -324,27 +338,40 @@ class HyperElasticTet(ForceBatch):
         zF = jnp.einsum("eij,ej,ekj->eik", U, sigma_star, V)
         return _rows_of(zF), {**state, "sigma": sigma_star}
 
-    def _project_pallas(self, Dx, u, params, state):
+    def project_with_dual(self, Dx, u, params, state):
         """Fused VPU kernel path (ops/pallas/nh_local.py): SVD + Newton +
-        reconstruct + dual-free z in one kernel; warm start carried in the
+        reconstruct + dual update in one kernel; warm start carried in the
         kernel's third output."""
+        if self.backend != "pallas":
+            z, st = self.project(Dx, u, params, state)
+            return z, u + Dx - z, st
         from ..ops.pallas.nh_local import nh_local_step
         from ..ops.pallas.tet_local import BLOCK
 
         E = Dx.shape[0]
-        Ep = -(-E // BLOCK) * BLOCK
-        pad = Ep - E
-        F = _F_of(Dx + u)
-        dx9 = F.reshape(E, 9).T
-        if pad:
-            dx9 = jnp.pad(dx9, ((0, 0), (0, pad)), constant_values=1.0)
-        zeros = jnp.zeros_like(dx9)
+        pad = (-E) % BLOCK
+
+        def to_planes(rows, fill):
+            planes = _F_of(rows).reshape(E, 9).T
+            if pad:
+                planes = jnp.pad(planes, ((0, 0), (0, pad)), constant_values=fill)
+            return planes
+
+        dx9 = to_planes(Dx, 1.0)
+        u9 = to_planes(u, 0.0)
         warm = jnp.pad(state["sigma"].T, ((0, 0), (0, pad)), constant_values=1.0)
         mu = jnp.pad(params["mu"], (0, pad), constant_values=1.0)
         lam = jnp.pad(params["lam"], (0, pad), constant_values=1.0)
         k = jnp.pad(params["k"], (0, pad), constant_values=1.0)
-        z9, _, warm_new = nh_local_step(
-            dx9, zeros, warm, mu, lam, k, iters=self.max_iters, model=self.model
+        z9, unew9, warm_new = nh_local_step(
+            dx9, u9, warm, mu, lam, k, iters=self.max_iters, model=self.model
         )
-        zF = z9[:, :E].T.reshape(E, 3, 3)
-        return _rows_of(zF), {**state, "sigma": warm_new[:, :E].T}
+
+        def from_planes(planes):
+            return _rows_of(planes[:, :E].T.reshape(E, 3, 3))
+
+        return (
+            from_planes(z9),
+            from_planes(unew9),
+            {**state, "sigma": warm_new[:, :E].T},
+        )

@@ -113,3 +113,40 @@ def test_stvk_kernel_matches_model():
     sep = gaps > 1e-2
     assert np.abs(z_k[sep] - zF_ref[sep]).max() < 5e-3
     assert np.abs(np.asarray(w9).T - np.asarray(st["sigma"])).max() < 5e-3
+
+
+def test_pallas_backend_end_to_end_matches_xla():
+    """Full System stepping with backend='pallas' (interpreted on CPU) stays
+    close to the XLA path for both ARAP and NH tets."""
+    from admm_elastic_tpu import Settings, System
+    from admm_elastic_tpu.geometry import make_beam_tets
+    from admm_elastic_tpu.models import (
+        ExplicitForce,
+        HyperElasticTet,
+        LinearTetStrain,
+        StaticAnchor,
+    )
+
+    beam = make_beam_tets(3, 2, 2)
+
+    def run(cls, kwargs, backend):
+        sys = System(Settings(timestep_s=0.04, admm_iters=6, verbose=0,
+                              dtype=jnp.float32, global_solver="ell",
+                              cg_fixed_iters=20))
+        n = beam.n_vertices
+        sys.add_nodes(beam.vertices, np.full(n, 1.0 / n))
+        sys.add_force(StaticAnchor(np.flatnonzero(beam.vertices[:, 0] < 1e-9)))
+        sys.add_force(cls(beam.tets, backend=backend, **kwargs))
+        sys.add_explicit_force(ExplicitForce(direction=(0, -9.8, 0)))
+        assert sys.initialize()
+        for _ in range(4):
+            sys.step()
+        return sys.x
+
+    for cls, kwargs in [
+        (LinearTetStrain, dict(stiffness=1e4)),
+        (HyperElasticTet, dict(mu=1e4, lam=1e4, max_iters=5, model="nh")),
+    ]:
+        a = run(cls, kwargs, "xla")
+        b = run(cls, kwargs, "pallas")
+        assert np.abs(a - b).max() < 5e-4, f"{cls.__name__} diverged"
