@@ -71,8 +71,23 @@ def build_tet100k(dtype, admm_iters=10, local_backend="xla", global_solver="ell"
     return sys, beam.n_tets
 
 
-def bench_system(sys, steps, warmup=3):
+def bench_system(sys, steps, warmup=3, rollout=True):
+    """Median ms/step. rollout=True times an on-device lax.scan of `steps`
+    timesteps (production shape: one dispatch for the whole window);
+    rollout=False times individual step() dispatches."""
     import jax
+
+    if rollout:
+        sys.run(2)  # compile + warm caches
+        jax.block_until_ready(sys.state["x"])
+        reps = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            sys.run(steps)
+            jax.block_until_ready(sys.state["x"])
+            reps.append((time.perf_counter() - t0) / steps)
+        assert np.isfinite(sys.x).all(), "benchmark simulation diverged"
+        return float(np.median(reps))
 
     times = []
     for i in range(steps + warmup):
@@ -82,8 +97,7 @@ def bench_system(sys, steps, warmup=3):
         dt = time.perf_counter() - t0
         if i >= warmup:
             times.append(dt)
-    x = sys.x
-    assert np.isfinite(x).all(), "benchmark simulation diverged"
+    assert np.isfinite(sys.x).all(), "benchmark simulation diverged"
     return float(np.median(times))
 
 
