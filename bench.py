@@ -36,7 +36,8 @@ def _load_baseline():
     return None
 
 
-def build_tet100k(dtype, admm_iters=10, local_backend="xla", global_solver="ell"):
+def build_tet100k(dtype, admm_iters=10, local_backend="xla", global_solver="ell",
+                  cg_backend="xla"):
     import jax.numpy as jnp
 
     from admm_elastic_tpu import Settings, System
@@ -52,6 +53,7 @@ def build_tet100k(dtype, admm_iters=10, local_backend="xla", global_solver="ell"
         dtype=dtype,
         global_solver=global_solver,
         cg_fixed_iters=15,
+        cg_backend=cg_backend,
     )
     if global_solver == "dense":
         # n=22,386: A_hat^{-1} is 2 GB f32 in HBM; each global step is one
@@ -191,6 +193,7 @@ def main():
     ap.add_argument("--local-backend", default="xla", choices=["xla", "pallas"])
     ap.add_argument("--global-solver", default="ell",
                     choices=["ell", "cg", "dense"])
+    ap.add_argument("--cg-backend", default="xla", choices=["xla", "fused"])
     args = ap.parse_args()
 
     import jax
@@ -203,7 +206,7 @@ def main():
     if args.preset == "tet100k":
         sys_, n_tets = build_tet100k(
             dtype, local_backend=args.local_backend,
-            global_solver=args.global_solver,
+            global_solver=args.global_solver, cg_backend=args.cg_backend,
         )
         ms = bench_system(sys_, args.steps) * 1e3
         iters_per_s = sys_.settings.admm_iters / (ms / 1e3)
