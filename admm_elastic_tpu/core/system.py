@@ -281,7 +281,12 @@ class System:
             elif mode == "ell":
                 diag = params["_solver"]["diag"]
 
-            z_prev = Dx_all(params, x0)  # z init (System.cpp:43), for residuals
+            if collect:
+                # z init (System.cpp:43) — only consumed by the dual-residual
+                # formula; skipped entirely when residuals are off
+                z_prev = Dx_all(params, x0)
+            else:
+                z_prev = jax.tree_util.tree_map(jnp.zeros_like, u)
 
             res_shape = (iters,) if collect else (0,)
             res_primal = jnp.zeros(res_shape, x0.dtype)
