@@ -339,15 +339,11 @@ class System:
                         r = b - ell_apply(new_x, sv["ell_idx"], sv["ell_vals"])
                         new_x = new_x + sv["A_inv"] @ r
                 elif mode == "ell" and cg_fixed is not None and cg_fused:
-                    from ..ops.pallas.cg_step import (
-                        ell_apply_T,
-                        pcg_solve_fixed_fused,
-                    )
+                    from ..ops.pallas.cg_step import pcg_solve_fixed_fused
 
                     sv = params["_solver"]
-                    pad = (-n) % 128
                     new_x = pcg_solve_fixed_fused(
-                        lambda xt: ell_apply_T(xt, sv["ell_idx"], sv["ell_vals"], pad),
+                        lambda y: ell_apply(y, sv["ell_idx"], sv["ell_vals"]),
                         b, curr_x, diag, cg_fixed,
                     )
                 else:

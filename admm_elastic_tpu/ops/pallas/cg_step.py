@@ -62,34 +62,40 @@ def cg_update(x, r, p, rz, Ap, inv_diag, interpret=None):
     )(x, r, p, rz, Ap, inv3)
 
 
-def pcg_solve_fixed_fused(A_apply_T, b, x0, diag, n_iters: int,
+def pcg_solve_fixed_fused(A_apply, b, x0, diag, n_iters: int,
                           interpret=None):
     """Fixed-iteration Jacobi-PCG with the fused update kernel.
 
-    A_apply_T: operator on the TRANSPOSED (3, n) layout.
-    b, x0: (n, 3) (transposed internally once per solve).
+    A_apply: operator in the standard (n, 3) layout (the fast ELL gather);
+    CG state lives in the kernel-friendly (3, n_padded) layout and is
+    transposed around the matvec each iteration (cheap relayouts vs the
+    ~8 dispatched vector ops the kernel replaces).
     """
     n = b.shape[0]
     pad = (-n) % 128
+
     def to_t(a):
         return jnp.pad(a.T, ((0, 0), (0, pad)))
+
+    def from_t(at):
+        return at[:, :n].T
 
     bt = to_t(b)
     xt = to_t(x0)
     inv = jnp.pad(1.0 / diag, (0, pad))[None, :]
 
-    rt = bt - A_apply_T(xt)
+    rt = bt - to_t(A_apply(x0))
     zt = inv * rt
     pt = zt
     rz = jnp.sum(rt * zt).reshape(1, 1)
 
     def body(_, carry):
         xt, rt, pt, rz = carry
-        Ap = A_apply_T(pt)
+        Ap = to_t(A_apply(from_t(pt)))
         return cg_update(xt, rt, pt, rz, Ap, inv, interpret=interpret)
 
     xt, rt, pt, rz = jax.lax.fori_loop(0, n_iters, body, (xt, rt, pt, rz))
-    return xt[:, :n].T
+    return from_t(xt)
 
 
 def ell_apply_T(xt, ell_idx, ell_vals, pad):
