@@ -176,7 +176,7 @@ class System:
             p, st = f.build(self._x, self._m, dt)
             params[f.name] = p
             state_forces[f.name] = st
-            u0[f.name] = np.zeros((f.n_elements, f.R, 3))
+            u0[f.name] = f.dual_init()
             self._force_list.append(f)
 
         self._explicit_list = []
@@ -259,10 +259,7 @@ class System:
         cnames = [f.name for f in forces]
 
         def Dx_all(params, x):
-            return {
-                f.name: coeff_apply(params[f.name]["coeff"], params[f.name]["indices"], x)
-                for f in forces
-            }
+            return {f.name: f.compute_Dx(params[f.name], x) for f in forces}
 
         def step(state, params):
             x0, v = state["x"], state["v"]
@@ -311,13 +308,10 @@ class System:
                     # scatter-free RHS: per-element contributions gathered
                     # through the precomputed vertex incidence (TPU scatters
                     # serialize; this is a gather + sum)
-                    contribs = []
-                    for f in forces:
-                        p = params[f.name]
-                        w2 = p["weight"] ** 2
-                        y = z[f.name] - u[f.name]
-                        c = jnp.einsum("erk,e,erj->ekj", p["coeff"], w2, y)
-                        contribs.append(c.reshape(-1, 3))
+                    contribs = [
+                        f.rhs_contribution(params[f.name], z[f.name], u[f.name])
+                        for f in forces
+                    ]
                     contribs.append(jnp.zeros((1, 3), b_dtype))  # sentinel row
                     flat = jnp.concatenate(contribs, axis=0)
                     b = Mxbar + dt2 * transpose_gather_apply(
@@ -326,10 +320,8 @@ class System:
                 else:
                     b = Mxbar
                     for f in forces:
-                        p = params[f.name]
-                        w2 = p["weight"] ** 2
-                        b = b + dt2 * coeff_apply_T(
-                            p["coeff"], p["indices"], w2, z[f.name] - u[f.name], n
+                        b = b + dt2 * f.scatter_rhs(
+                            params[f.name], z[f.name], u[f.name], n
                         )
 
                 if mode == "dense":
@@ -365,13 +357,12 @@ class System:
                     r2 = 0.0
                     sresid = jnp.zeros((n, 3), b.dtype)
                     for f in forces:
-                        p = params[f.name]
-                        w = p["weight"][:, None, None]
-                        r2 = r2 + jnp.sum((w * (Dx[f.name] - z[f.name])) ** 2)
-                        sresid = sresid + dt2 * coeff_apply_T(
-                            p["coeff"], p["indices"], p["weight"] ** 2,
-                            z[f.name] - z_prev[f.name], n,
+                        fr2, fs = f.residual_pieces(
+                            params[f.name], Dx[f.name], z[f.name],
+                            z_prev[f.name], n, dt2,
                         )
+                        r2 = r2 + fr2
+                        sresid = sresid + fs
                     rp = rp.at[i].set(jnp.sqrt(r2))
                     rd = rd.at[i].set(jnp.linalg.norm(sresid))
 

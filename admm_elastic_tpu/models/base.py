@@ -68,6 +68,48 @@ class ForceBatch(abc.ABC):
         z, st = self.project(Dx, u, params, state)
         return z, u + Dx - z, st
 
+    # ---- layout-owning hooks ---------------------------------------------
+    # The System treats Dx/u/z as opaque per-force arrays produced and
+    # consumed ONLY through these methods, so a fused backend can keep its
+    # own memory layout (e.g. (9, E) planes) across the whole iteration with
+    # zero relayout traffic. Defaults use the canonical (E, R, 3) layout.
+
+    def dual_init(self, np_module=np):
+        """Initial dual variable u (zeros) in this force's native layout."""
+        return np_module.zeros((self.n_elements, self.R, 3))
+
+    def compute_Dx(self, params, x):
+        """D x in the native layout."""
+        from ..ops.segment import coeff_apply
+
+        return coeff_apply(params["coeff"], params["indices"], x)
+
+    def rhs_contribution(self, params, z, u):
+        """Per-(element,vertex-slot) rows of D^T W^2 (z-u): (E*K, 3), in the
+        flattened order assemble_transpose_incidence expects."""
+        import jax.numpy as jnp
+
+        w2 = params["weight"] ** 2
+        c = jnp.einsum("erk,e,erj->ekj", params["coeff"], w2, z - u)
+        return c.reshape(-1, 3)
+
+    def scatter_rhs(self, params, z, u, n_vertices):
+        """D^T W^2 (z-u) scattered to vertices (segment-sum path)."""
+        from ..ops.segment import coeff_apply_T
+
+        w2 = params["weight"] ** 2
+        return coeff_apply_T(params["coeff"], params["indices"], w2, z - u,
+                             n_vertices)
+
+    def residual_pieces(self, params, Dx, z, z_prev, n_vertices, dt2):
+        """(||W(Dx-z)||^2, dt^2 D^T W^2 (z - z_prev)) for the ADMM residuals."""
+        import jax.numpy as jnp
+
+        w = params["weight"][:, None, None]
+        r2 = jnp.sum((w * (Dx - z)) ** 2)
+        s = dt2 * self.scatter_rhs(params, z, z_prev, n_vertices)
+        return r2, s
+
     # ---- helpers ----------------------------------------------------------
 
     def __repr__(self) -> str:
