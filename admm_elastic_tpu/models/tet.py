@@ -74,7 +74,91 @@ def _reconstruct_plain(U, V, s_mod, s2_sign):
     return jnp.einsum("eij,ej,ekj->eik", U, s, V)
 
 
-class LinearTetStrain(ForceBatch):
+class _PlaneLayoutMixin:
+    """Plane-layout (9, E_padded) Dx/u/z handling for pallas-backed tet
+    forces: the fused kernels consume/produce structure-of-planes arrays, and
+    these overrides keep that layout across the WHOLE ADMM iteration (Dx is
+    produced plane-directly by one einsum, the RHS contribution consumes
+    planes directly) — zero relayout ops on the hot path.
+
+    Plane convention: planes[3a+b, e] = canonical[e, b, a] (i.e. F_{a,b} of
+    the deformation gradient; see _to_planes)."""
+
+    def _padded_E(self):
+        from ..ops.pallas.tet_local import BLOCK
+
+        return -(-self.n_elements // BLOCK) * BLOCK
+
+    def _to_planes(self, rows, pad, fill=1.0):
+        """(E,R,3) canonical rows -> (9, E+pad) F-layout planes."""
+        E = rows.shape[0]
+        planes = _F_of(rows).reshape(E, 9).T
+        if pad:
+            planes = jnp.pad(planes, ((0, 0), (0, pad)), constant_values=fill)
+        return planes
+
+    def _from_planes(self, planes, E):
+        return _rows_of(planes[:, :E].T.reshape(E, 3, 3))
+
+
+    def dual_init(self, np_module=np):
+        if self.backend != "pallas":
+            return super().dual_init(np_module)
+        return np_module.zeros((9, self._padded_E()))
+
+    def compute_Dx(self, params, x):
+        if self.backend != "pallas":
+            return super().compute_Dx(params, x)
+        E = self.n_elements
+        pad = self._padded_E() - E
+        verts = x[params["indices"]]  # (E,K,3)
+        planes = jnp.einsum("ebk,eka->abe", params["coeff"], verts).reshape(9, E)
+        if pad:
+            planes = jnp.pad(planes, ((0, 0), (0, pad)))
+        return planes
+
+    def rhs_contribution(self, params, z, u):
+        if self.backend != "pallas":
+            return super().rhs_contribution(params, z, u)
+        E = self.n_elements
+        y3 = (z - u).reshape(3, 3, -1)[:, :, :E]  # [a,b,e] = ycan[e,b,a]
+        w2 = params["weight"] ** 2
+        c = jnp.einsum("erk,e,jre->ekj", params["coeff"], w2, y3)
+        return c.reshape(-1, 3)
+
+    def scatter_rhs(self, params, z, u, n_vertices):
+        if self.backend != "pallas":
+            return super().scatter_rhs(params, z, u, n_vertices)
+        from ..ops.segment import coeff_apply_T
+
+        w2 = params["weight"] ** 2
+        return coeff_apply_T(
+            params["coeff"], params["indices"], w2,
+            self._planes_to_canonical(z - u), n_vertices,
+        )
+
+    def _planes_to_canonical(self, planes):
+        E = self.n_elements
+        return jnp.transpose(planes.reshape(3, 3, -1)[:, :, :E], (2, 1, 0))
+
+    def residual_pieces(self, params, Dx, z, z_prev, n_vertices, dt2):
+        if self.backend != "pallas":
+            return super().residual_pieces(params, Dx, z, z_prev, n_vertices, dt2)
+        from ..ops.segment import coeff_apply_T
+
+        w = params["weight"][:, None, None]
+        dxc = self._planes_to_canonical(Dx)
+        zc = self._planes_to_canonical(z)
+        zpc = self._planes_to_canonical(z_prev)
+        r2 = jnp.sum((w * (dxc - zc)) ** 2)
+        s = dt2 * coeff_apply_T(
+            params["coeff"], params["indices"], params["weight"] ** 2,
+            zc - zpc, n_vertices,
+        )
+        return r2, s
+
+
+class LinearTetStrain(_PlaneLayoutMixin, ForceBatch):
     """Corotational/ARAP-style tet: project F to the closest rotation and mix
     with k = stiffness * volume (TetForce.cpp:112-153).
 
@@ -115,37 +199,33 @@ class LinearTetStrain(ForceBatch):
         zF = (k * R + w2 * F) / (w2 + k)
         return _rows_of(zF), state
 
-    def _to_planes(self, rows, pad, fill=1.0):
-        """(E,R,3) canonical rows -> (9, E+pad) F-layout planes."""
-        E = rows.shape[0]
-        planes = _F_of(rows).reshape(E, 9).T
-        if pad:
-            planes = jnp.pad(planes, ((0, 0), (0, pad)), constant_values=fill)
-        return planes
-
-    def _from_planes(self, planes, E):
-        return _rows_of(planes[:, :E].T.reshape(E, 3, 3))
-
     def project(self, Dx, u, params, state):
+        """Canonical-layout entry point (tests/direct API). The pallas branch
+        converts to planes around the kernel; the System's hot path uses
+        project_with_dual natively instead."""
         if self.backend == "pallas":
-            z, _, st = self.project_with_dual(Dx, u, params, state)
-            return z, st
+            E = Dx.shape[0]
+            pad = self._padded_E() - E
+            z9, _, st = self.project_with_dual(
+                self._to_planes(Dx, pad), self._to_planes(u, pad, fill=0.0),
+                params, state,
+            )
+            return self._from_planes(z9, E), st
         return self._project_xla(Dx, u, params, state)
 
     def project_with_dual(self, Dx, u, params, state):
+        """Native layout: planes (9, E_padded) when backend='pallas'
+        (produced by compute_Dx, consumed by rhs_contribution)."""
         if self.backend != "pallas":
             z, st = self.project(Dx, u, params, state)
             return z, u + Dx - z, st
-        from ..ops.pallas.tet_local import BLOCK, arap_local_step
+        from ..ops.pallas.tet_local import arap_local_step
 
-        E = Dx.shape[0]
-        pad = (-E) % BLOCK
-        dx9 = self._to_planes(Dx, pad)
-        u9 = self._to_planes(u, pad, fill=0.0)
+        pad = self._padded_E() - self.n_elements
         w2 = jnp.pad((params["weight"] ** 2), (0, pad), constant_values=1.0)
         k = jnp.pad(params["k"], (0, pad), constant_values=1.0)
-        z9, unew9 = arap_local_step(dx9, u9, w2, k)
-        return self._from_planes(z9, E), self._from_planes(unew9, E), state
+        z9, unew9 = arap_local_step(Dx, u, w2, k)
+        return z9, unew9, state
 
 
 class TetVolume(ForceBatch):
@@ -253,7 +333,7 @@ def stvk_grad_hess(sigma, mu, lam, k, sigma0):
     return g, H
 
 
-class HyperElasticTet(ForceBatch):
+class HyperElasticTet(_PlaneLayoutMixin, ForceBatch):
     """General hyperelastic tet: oriented SVD -> minimize the proximal
     objective over the 3 singular values -> z = U diag(sigma*) V^T
     (TetForce.cpp:303-364). The reference's per-element L-BFGS with
@@ -295,13 +375,21 @@ class HyperElasticTet(ForceBatch):
         params["mu"] = self.mu
         params["lam"] = self.lam
         # warm start persists across steps (TetForce.hpp:145 last_prox_result)
-        state = {"sigma": np.ones((len(self.tets), 3))}
+        if self.backend == "pallas":
+            state = {"sigma": np.ones((3, self._padded_E()))}
+        else:
+            state = {"sigma": np.ones((len(self.tets), 3))}
         return params, state
 
     def project(self, Dx, u, params, state):
         if self.backend == "pallas":
-            z, _, st = self.project_with_dual(Dx, u, params, state)
-            return z, st
+            E = Dx.shape[0]
+            pad = self._padded_E() - E
+            z9, _, st = self.project_with_dual(
+                self._to_planes(Dx, pad), self._to_planes(u, pad, fill=0.0),
+                params, state,
+            )
+            return self._from_planes(z9, E), st
         F = _F_of(Dx + u)
         U, s, V = jax.vmap(svd3x3_oriented)(F)
 
@@ -341,37 +429,19 @@ class HyperElasticTet(ForceBatch):
     def project_with_dual(self, Dx, u, params, state):
         """Fused VPU kernel path (ops/pallas/nh_local.py): SVD + Newton +
         reconstruct + dual update in one kernel; warm start carried in the
-        kernel's third output."""
+        kernel's third output. Native layout = planes (9, E_padded) when
+        backend='pallas'; the warm start is stored padded (3, E_padded)."""
         if self.backend != "pallas":
             z, st = self.project(Dx, u, params, state)
             return z, u + Dx - z, st
         from ..ops.pallas.nh_local import nh_local_step
-        from ..ops.pallas.tet_local import BLOCK
 
-        E = Dx.shape[0]
-        pad = (-E) % BLOCK
-
-        def to_planes(rows, fill):
-            planes = _F_of(rows).reshape(E, 9).T
-            if pad:
-                planes = jnp.pad(planes, ((0, 0), (0, pad)), constant_values=fill)
-            return planes
-
-        dx9 = to_planes(Dx, 1.0)
-        u9 = to_planes(u, 0.0)
-        warm = jnp.pad(state["sigma"].T, ((0, 0), (0, pad)), constant_values=1.0)
+        pad = self._padded_E() - self.n_elements
         mu = jnp.pad(params["mu"], (0, pad), constant_values=1.0)
         lam = jnp.pad(params["lam"], (0, pad), constant_values=1.0)
         k = jnp.pad(params["k"], (0, pad), constant_values=1.0)
         z9, unew9, warm_new = nh_local_step(
-            dx9, u9, warm, mu, lam, k, iters=self.max_iters, model=self.model
+            Dx, u, state["sigma"], mu, lam, k, iters=self.max_iters,
+            model=self.model,
         )
-
-        def from_planes(planes):
-            return _rows_of(planes[:, :E].T.reshape(E, 3, 3))
-
-        return (
-            from_planes(z9),
-            from_planes(unew9),
-            {**state, "sigma": warm_new[:, :E].T},
-        )
+        return z9, unew9, {**state, "sigma": warm_new}
