@@ -64,6 +64,9 @@ class Settings:
     #: when set, CG runs exactly this many iterations with no residual test
     #: (static control flow; fastest on TPU with warm starts)
     cg_fixed_iters: int | None = None
+    #: default backend for constraint batches built by the scene layer:
+    #: 'xla' or 'pallas' (fused kernels; tet types)
+    local_backend: str = "xla"
     #: 'fused' runs the CG vector updates as one Pallas kernel per iteration
     #: (ell mode + cg_fixed_iters only; TPU) — see ops/pallas/cg_step.py
     cg_backend: str = "xla"

@@ -112,7 +112,8 @@ def _build_geometry(obj: Component, base_dir: str):
     raise ValueError(f"unknown object type {obj.type!r} for {obj.name!r}")
 
 
-def _make_constraints(obj_mesh, faces, force: Component, offset: int):
+def _make_constraints(obj_mesh, faces, force: Component, offset: int,
+                      backend: str = "xla"):
     """XML force type -> constraint batches (ForceBuilder.cpp:76-446)."""
     ftype = force.type.lower()
     out = []
@@ -148,13 +149,15 @@ def _make_constraints(obj_mesh, faces, force: Component, offset: int):
     elif ftype == "lineartetstrain":
         stiffness = req("stiffness").as_double()
         ws = force.get("weight_scale").as_double() if force.exists("weight_scale") else 1.0
-        out.append(LinearTetStrain(obj_mesh.tets + offset, stiffness, weight_scale=ws))
+        out.append(LinearTetStrain(obj_mesh.tets + offset, stiffness,
+                                   weight_scale=ws, backend=backend))
     elif ftype in ("neohookeantet", "stvktet"):
         mu = req("mu").as_double()
         lam = req("lambda").as_double()
         it = force.get("max_iterations").as_int() if force.exists("max_iterations") else 10
         model = "nh" if ftype == "neohookeantet" else "stvk"
-        out.append(HyperElasticTet(obj_mesh.tets + offset, mu, lam, it, model))
+        out.append(HyperElasticTet(obj_mesh.tets + offset, mu, lam, it, model,
+                                   backend=backend))
     elif ftype == "volpres":
         out.append(
             TetVolume(
@@ -236,7 +239,8 @@ class SimContext:
                     f"{obj.name!r}"
                 )
             for batch in _make_constraints(
-                mesh, so.faces, cfg.forces[fname], so.index_offset
+                mesh, so.faces, cfg.forces[fname], so.index_offset,
+                backend=self.system.settings.local_backend,
             ):
                 self.system.add_force(batch)
 
