@@ -149,6 +149,43 @@ def assemble_A_hat_ell(n, masses, dt, force_params, pad_to: int = 8):
     return ell_idx.astype(np.int32), ell_vals, A.diagonal().copy()
 
 
+def assemble_A_hat_dia(n, masses, dt, force_params, max_diagonals: int = 48):
+    """A_hat in sparse-DIAgonal form, when the mesh permits.
+
+    Meshes with regular (lattice) vertex numbering produce an A_hat whose
+    nonzeros lie on a handful of fixed diagonals (27 for a hexahedral
+    lattice). Storing those diagonals turns the matvec into static
+    shift-multiply-adds — NO gather — which lets the whole CG solve run
+    inside one VMEM-resident Pallas kernel (ops/pallas/cg_dia.py).
+
+    Returns (offsets tuple, dia_vals (D, n) float64, diag (n,)) or None if
+    the matrix has more than max_diagonals distinct diagonals (unstructured
+    mesh — use ELL instead).
+    """
+    A = _assemble_A_hat_csr(n, masses, dt, force_params).tocoo()
+    offs = np.unique(A.col - A.row)
+    if len(offs) > max_diagonals:
+        return None
+    dia = np.zeros((len(offs), n), dtype=np.float64)
+    d_idx = np.searchsorted(offs, A.col - A.row)
+    np.add.at(dia, (d_idx, A.row), A.data)
+    return tuple(int(o) for o in offs), dia, A.tocsr().diagonal().copy()
+
+
+def dia_apply(x, offsets, dia_vals):
+    """A_hat @ x via diagonals: (n,3) -> (n,3). Static shifts, no gather.
+    (XLA reference implementation; the hot path is the fused kernel.)"""
+    n = x.shape[0]
+    out = jnp.zeros_like(x)
+    for d, off in enumerate(offsets):
+        if off >= 0:
+            shifted = jnp.pad(x[off:], ((0, off), (0, 0)))
+        else:
+            shifted = jnp.pad(x[: n + off], ((-off, 0), (0, 0)))
+        out = out + dia_vals[d][:, None] * shifted
+    return out
+
+
 def ell_apply(x, ell_idx, ell_vals):
     """A_hat @ x via ELL: (n,3) -> (n,3). One gather + einsum, no scatter."""
     return jnp.einsum("nk,nkj->nj", ell_vals, x[ell_idx])

@@ -37,8 +37,10 @@ from .solver import (
     A_hat_apply,
     A_hat_diag,
     assemble_A_hat,
+    assemble_A_hat_dia,
     assemble_A_hat_ell,
     assemble_transpose_incidence,
+    dia_apply,
     ell_apply,
     pcg_solve,
     pcg_solve_fixed,
@@ -191,10 +193,11 @@ class System:
         n = self.n_nodes
         mode = s.global_solver
         if mode == "auto":
-            # dense-inverse MXU matmul for small meshes; padded-ELL gather
-            # matvec CG for large single-device meshes. Pick 'cg' explicitly
-            # for element-sharded multi-chip runs or frequent weight edits.
-            mode = "dense" if n <= s.dense_max_nodes else "ell"
+            # dense-inverse MXU matmul for small meshes; for large meshes the
+            # sparse-DIAgonal single-kernel CG when the numbering permits,
+            # else padded-ELL gather CG. Pick 'cg' explicitly for
+            # element-sharded multi-chip runs or frequent weight edits.
+            mode = "dense" if n <= s.dense_max_nodes else "dia"
         self._solver_mode = mode
         self._constraint_names = [f.name for f in self._force_list]
 
@@ -206,18 +209,35 @@ class System:
                 ell_idx, ell_vals, _ = assemble_A_hat_ell(n, self._m, dt, cparams)
                 params["_solver"]["ell_idx"] = ell_idx
                 params["_solver"]["ell_vals"] = ell_vals
-        elif mode == "ell":
+        elif mode in ("ell", "dia"):
             cparams = {k: params[k] for k in self._constraint_names}
-            ell_idx, ell_vals, diag = assemble_A_hat_ell(n, self._m, dt, cparams)
-            inc_idx, _ = assemble_transpose_incidence(
-                n, cparams, self._constraint_names
-            )
-            params["_solver"] = {
-                "ell_idx": ell_idx,
-                "ell_vals": ell_vals,
-                "diag": diag,
-                "inc_idx": inc_idx,
-            }
+            if mode == "dia":
+                dia = assemble_A_hat_dia(n, self._m, dt, cparams)
+                if dia is None:
+                    if s.verbose:
+                        print("Solver: unstructured numbering, dia -> ell")
+                    mode = self._solver_mode = "ell"
+                else:
+                    self._dia_offsets, dia_vals, diag = dia
+                    inc_idx, _ = assemble_transpose_incidence(
+                        n, cparams, self._constraint_names
+                    )
+                    params["_solver"] = {
+                        "dia_vals": dia_vals,
+                        "diag": diag,
+                        "inc_idx": inc_idx,
+                    }
+            if mode == "ell":
+                ell_idx, ell_vals, diag = assemble_A_hat_ell(n, self._m, dt, cparams)
+                inc_idx, _ = assemble_transpose_incidence(
+                    n, cparams, self._constraint_names
+                )
+                params["_solver"] = {
+                    "ell_idx": ell_idx,
+                    "ell_vals": ell_vals,
+                    "diag": diag,
+                    "inc_idx": inc_idx,
+                }
         elif mode != "cg":
             raise ValueError(f"unknown global_solver {mode!r}")
 
@@ -257,6 +277,7 @@ class System:
         cg_fixed = self.settings.cg_fixed_iters
         dense_refine = self.settings.dense_refine_steps
         cg_fused = self.settings.cg_backend == "fused"
+        dia_offsets = getattr(self, "_dia_offsets", None)
         collect = self.settings.collect_residuals or early_tol is not None
         n = self.n_nodes
         cnames = [f.name for f in forces]
@@ -278,7 +299,7 @@ class System:
 
             if mode == "cg":
                 diag = A_hat_diag(masses, dt2, cparams)
-            elif mode == "ell":
+            elif mode in ("ell", "dia"):
                 diag = params["_solver"]["diag"]
 
             if collect:
@@ -307,7 +328,7 @@ class System:
                     new_fstate[f.name] = sf
                 u = new_u
 
-                if mode == "ell":
+                if mode in ("ell", "dia"):
                     # scatter-free RHS: per-element contributions gathered
                     # through the precomputed vertex incidence (TPU scatters
                     # serialize; this is a gather + sum)
@@ -333,6 +354,14 @@ class System:
                     for _ in range(dense_refine):
                         r = b - ell_apply(new_x, sv["ell_idx"], sv["ell_vals"])
                         new_x = new_x + sv["A_inv"] @ r
+                elif mode == "dia":
+                    from ..ops.pallas.cg_dia import cg_dia_solve
+
+                    sv = params["_solver"]
+                    new_x = cg_dia_solve(
+                        b, curr_x, diag, sv["dia_vals"], dia_offsets,
+                        cg_fixed if cg_fixed is not None else 25,
+                    )
                 elif mode == "ell" and cg_fixed is not None and cg_fused:
                     from ..ops.pallas.cg_step import pcg_solve_fixed_fused
 
@@ -463,20 +492,33 @@ class System:
             self.params["_solver"] = {
                 "A_inv": jnp.asarray(np.linalg.inv(A), self.settings.dtype)
             }
-        elif self._solver_mode == "ell":
+        elif self._solver_mode in ("ell", "dia"):
             cparams = {
                 k: jax.tree_util.tree_map(np.asarray, self.params[k])
                 for k in self._constraint_names
             }
-            ell_idx, ell_vals, diag = assemble_A_hat_ell(
-                self.n_nodes, self._m, self.settings.timestep_s, cparams
-            )
             dt_ = self.settings.dtype
-            self.params["_solver"] = {
-                "ell_idx": jnp.asarray(ell_idx),
-                "ell_vals": jnp.asarray(ell_vals, dt_),
-                "diag": jnp.asarray(diag, dt_),
-            }
+            inc = self.params["_solver"]["inc_idx"]
+            if self._solver_mode == "dia":
+                offs, dia_vals, diag = assemble_A_hat_dia(
+                    self.n_nodes, self._m, self.settings.timestep_s, cparams
+                )
+                assert offs == self._dia_offsets, "sparsity pattern changed"
+                self.params["_solver"] = {
+                    "dia_vals": jnp.asarray(dia_vals, dt_),
+                    "diag": jnp.asarray(diag, dt_),
+                    "inc_idx": inc,
+                }
+            else:
+                ell_idx, ell_vals, diag = assemble_A_hat_ell(
+                    self.n_nodes, self._m, self.settings.timestep_s, cparams
+                )
+                self.params["_solver"] = {
+                    "ell_idx": jnp.asarray(ell_idx),
+                    "ell_vals": jnp.asarray(ell_vals, dt_),
+                    "diag": jnp.asarray(diag, dt_),
+                    "inc_idx": inc,
+                }
 
     # ------------------------------------------------------------- access
 

@@ -49,6 +49,7 @@ def batch_params(params, sweep: dict, n_scenarios: int):
         swept_keys = {k for (_, k) in sweep}
         if swept_keys & {"weight", "k", "mu", "lam", "stiffness"} and (
             "ell_vals" in params["_solver"] or "A_inv" in params["_solver"]
+            or "dia_vals" in params["_solver"]
         ):
             raise ValueError(
                 "sweeping weights/material stiffness requires "

@@ -80,7 +80,7 @@ def shard_params_and_state(system, mesh: Mesh, elem_axis: str = "elem"):
     """Place an initialized System's params/state on `mesh`: element-leading
     arrays sharded along elem_axis, everything else replicated. Pads batches
     first. Returns (params, state) (also assigned back to the system)."""
-    if getattr(system, "_solver_mode", None) == "ell":
+    if getattr(system, "_solver_mode", None) in ("ell", "dia"):
         raise ValueError(
             "element sharding requires global_solver='cg' or 'dense': the "
             "'ell' mode's transpose-incidence indexes the unpadded element "

@@ -194,7 +194,7 @@ def main():
     ap.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
     ap.add_argument("--local-backend", default="pallas", choices=["xla", "pallas"])
     ap.add_argument("--global-solver", default="ell",
-                    choices=["ell", "cg", "dense"])
+                    choices=["ell", "cg", "dense", "dia"])
     ap.add_argument("--cg-backend", default="fused", choices=["xla", "fused"])
     args = ap.parse_args()
 

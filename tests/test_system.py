@@ -438,3 +438,51 @@ def test_fused_cg_backend_matches_xla():
     a = build("xla")
     b = build("fused")
     np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-5)
+
+
+def test_dia_solver_matches_ell():
+    """Sparse-DIAgonal single-kernel CG (structured meshes) matches ELL."""
+    from admm_elastic_tpu.geometry import make_beam_tets
+
+    beam = make_beam_tets(5, 4, 3)
+
+    def run(mode):
+        sys = System(Settings(timestep_s=0.04, admm_iters=8, verbose=0,
+                              dtype=jnp.float32, global_solver=mode,
+                              cg_fixed_iters=25))
+        n = beam.n_vertices
+        sys.add_nodes(beam.vertices, np.full(n, 1.0 / n))
+        sys.add_force(StaticAnchor(np.flatnonzero(beam.vertices[:, 0] < 1e-9)))
+        sys.add_force(HyperElasticTet(beam.tets, mu=1e4, lam=1e4, max_iters=5))
+        sys.add_explicit_force(ExplicitForce(direction=(0, -9.8, 0)))
+        assert sys.initialize()
+        for _ in range(5):
+            sys.step()
+        return sys.x
+
+    a = run("ell")
+    b = run("dia")
+    np.testing.assert_allclose(b, a, rtol=1e-3, atol=5e-5)
+
+
+def test_dia_falls_back_for_unstructured():
+    """Randomly permuted numbering -> too many diagonals -> ell fallback."""
+    from admm_elastic_tpu.geometry import make_beam_tets
+
+    beam = make_beam_tets(5, 4, 3)
+    rng = np.random.default_rng(0)
+    perm = rng.permutation(beam.n_vertices)
+    inv = np.argsort(perm)
+    verts = beam.vertices[perm]
+    tets = inv[beam.tets]
+
+    sys = System(Settings(timestep_s=0.04, admm_iters=4, verbose=0,
+                          dtype=jnp.float32, global_solver="dia",
+                          cg_fixed_iters=20))
+    n = len(verts)
+    sys.add_nodes(verts, np.full(n, 1.0 / n))
+    sys.add_force(LinearTetStrain(tets, stiffness=1e4))
+    assert sys.initialize()
+    assert sys._solver_mode == "ell"
+    sys.step()
+    assert np.isfinite(sys.x).all()
