@@ -69,8 +69,11 @@ class Settings:
     #: default backend for constraint batches built by the scene layer:
     #: 'xla' or 'pallas' (fused kernels; tet types)
     local_backend: str = "xla"
-    #: 'fused' runs the CG vector updates as one Pallas kernel per iteration
-    #: (ell mode + cg_fixed_iters only; TPU) — see ops/pallas/cg_step.py
+    #: CG execution backend for ell mode (+ cg_fixed_iters):
+    #:  'xla'    — one dispatched op per vector update
+    #:  'fused'  — CG vector updates as one Pallas kernel per iteration
+    #:  'kernel' — the ENTIRE solve as one VMEM-resident Pallas kernel with
+    #:             in-kernel lane-gather matvec (ops/pallas/cg_ell.py)
     cg_backend: str = "xla"
     #: dense mode: iterative-refinement steps per global solve
     #: (x += A^{-1}(b - A x) via the sparse ELL matvec) — recovers accuracy
@@ -277,6 +280,7 @@ class System:
         cg_fixed = self.settings.cg_fixed_iters
         dense_refine = self.settings.dense_refine_steps
         cg_fused = self.settings.cg_backend == "fused"
+        cg_kernel = self.settings.cg_backend == "kernel"
         dia_offsets = getattr(self, "_dia_offsets", None)
         collect = self.settings.collect_residuals or early_tol is not None
         n = self.n_nodes
@@ -361,6 +365,13 @@ class System:
                     new_x = cg_dia_solve(
                         b, curr_x, diag, sv["dia_vals"], dia_offsets,
                         cg_fixed if cg_fixed is not None else 25,
+                    )
+                elif mode == "ell" and cg_fixed is not None and cg_kernel:
+                    from ..ops.pallas.cg_ell import cg_ell_solve
+
+                    sv = params["_solver"]
+                    new_x = cg_ell_solve(
+                        b, curr_x, diag, sv["ell_idx"], sv["ell_vals"], cg_fixed
                     )
                 elif mode == "ell" and cg_fixed is not None and cg_fused:
                     from ..ops.pallas.cg_step import pcg_solve_fixed_fused

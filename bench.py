@@ -195,7 +195,7 @@ def main():
     ap.add_argument("--local-backend", default="pallas", choices=["xla", "pallas"])
     ap.add_argument("--global-solver", default="ell",
                     choices=["ell", "cg", "dense", "dia"])
-    ap.add_argument("--cg-backend", default="fused", choices=["xla", "fused"])
+    ap.add_argument("--cg-backend", default="fused", choices=["xla", "fused", "kernel"])
     args = ap.parse_args()
 
     import jax

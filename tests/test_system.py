@@ -486,3 +486,28 @@ def test_dia_falls_back_for_unstructured():
     assert sys._solver_mode == "ell"
     sys.step()
     assert np.isfinite(sys.x).all()
+
+
+def test_cg_kernel_backend_matches_xla():
+    """cg_backend='kernel' (single-kernel ELL CG) reproduces the xla path."""
+    from admm_elastic_tpu.geometry import make_beam_tets
+
+    beam = make_beam_tets(4, 3, 3)
+
+    def build(backend):
+        sys = System(Settings(timestep_s=0.04, admm_iters=6, verbose=0,
+                              dtype=jnp.float32, global_solver="ell",
+                              cg_fixed_iters=20, cg_backend=backend))
+        n = beam.n_vertices
+        sys.add_nodes(beam.vertices, np.full(n, 1.0 / n))
+        sys.add_force(StaticAnchor(np.flatnonzero(beam.vertices[:, 0] < 1e-9)))
+        sys.add_force(LinearTetStrain(beam.tets, stiffness=1e4))
+        sys.add_explicit_force(ExplicitForce(direction=(0, -9.8, 0)))
+        assert sys.initialize()
+        for _ in range(4):
+            sys.step()
+        return sys.x
+
+    a = build("xla")
+    b = build("kernel")
+    np.testing.assert_allclose(b, a, rtol=1e-3, atol=5e-5)
