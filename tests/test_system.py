@@ -511,3 +511,29 @@ def test_cg_kernel_backend_matches_xla():
     a = build("xla")
     b = build("kernel")
     np.testing.assert_allclose(b, a, rtol=1e-3, atol=5e-5)
+
+
+def test_dia_assembly_matches_matrix():
+    """assemble_A_hat_dia + dia_apply reproduce the dense operator."""
+    from admm_elastic_tpu.core.solver import (
+        assemble_A_hat,
+        assemble_A_hat_dia,
+        dia_apply,
+    )
+    from admm_elastic_tpu.geometry import make_beam_tets
+
+    beam = make_beam_tets(4, 3, 2)
+    n = beam.n_vertices
+    lt = LinearTetStrain(beam.tets, stiffness=123.0)
+    p, _ = lt.build(beam.vertices, np.full(n, 0.5), 0.04)
+    cparams = {"t": p}
+    masses = np.full(n, 0.5)
+    A = assemble_A_hat(n, masses, 0.04, cparams)
+    offs, dia, diag = assemble_A_hat_dia(n, masses, 0.04, cparams)
+    assert len(offs) <= 40
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(n, 3))
+    want = A @ x
+    got = np.asarray(dia_apply(jnp.asarray(x), offs, jnp.asarray(dia)))
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(diag, np.diag(A), rtol=1e-12)
