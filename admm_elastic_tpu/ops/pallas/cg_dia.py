@@ -23,47 +23,51 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _make_kernel(offsets, n, n_pad, n_iters):
     D = len(offsets)
+    W = n_pad
 
-    def matvec(p, dia):
-        # p: (3, n_pad) values; dia rows indexed statically
-        out = jnp.zeros_like(p)
-        for d in range(D):
-            off = offsets[d]
-            if off == 0:
-                shifted = p
-            elif off > 0:
-                shifted = jnp.pad(p[:, off:], ((0, 0), (0, off)))
-            else:
-                shifted = jnp.pad(p[:, : n_pad + off], ((0, 0), (-off, 0)))
-            out = out + dia[d, :] * shifted
-        return out
+    def kernel(b_ref, x0_ref, invd_ref, dia_ref, x_out, r_s, p_s, Ap_s):
+        # state lives in scratch refs; the CG loop carries only the scalar rz.
+        # The matvec accumulates IN PLACE into Ap_s with static-slice adds —
+        # one live temporary instead of D padded copies (VMEM stack budget).
+        _center = offsets.index(0)
 
-    def kernel(b_ref, x0_ref, invd_ref, dia_ref, x_out):
-        b = b_ref[:, :]
-        x = x0_ref[:, :]
-        invd = invd_ref[:, :]
-        dia = dia_ref[:, :]
+        def matvec_into(src_ref, out_ref):
+            out_ref[:, :] = dia_ref[_center, :] * src_ref[:, :]
+            for d in range(D):
+                off = offsets[d]
+                if off == 0:
+                    continue
+                if off > 0:
+                    out_ref[:, : W - off] = (
+                        out_ref[:, : W - off]
+                        + dia_ref[d, : W - off] * src_ref[:, off:]
+                    )
+                else:
+                    out_ref[:, -off:] = (
+                        out_ref[:, -off:]
+                        + dia_ref[d, -off:] * src_ref[:, : W + off]
+                    )
 
-        r = b - matvec(x, dia)
-        z = invd * r
-        p = z
-        rz = jnp.sum(r * z)
+        # r = b - A x0 ; p = z = invd * r
+        matvec_into(x0_ref, Ap_s)
+        r_s[:, :] = b_ref[:, :] - Ap_s[:, :]
+        p_s[:, :] = invd_ref[:, :] * r_s[:, :]
+        x_out[:, :] = x0_ref[:, :]
+        rz0 = jnp.sum(r_s[:, :] * p_s[:, :])
 
-        def body(_, carry):
-            x, r, p, rz = carry
-            Ap = matvec(p, dia)
-            pAp = jnp.sum(p * Ap)
+        def body(_, rz):
+            matvec_into(p_s, Ap_s)
+            pAp = jnp.sum(p_s[:, :] * Ap_s[:, :])
             alpha = rz / jnp.where(pAp > 0, pAp, 1.0)
-            x = x + alpha * p
-            r = r - alpha * Ap
-            z = invd * r
-            rz_new = jnp.sum(r * z)
+            x_out[:, :] = x_out[:, :] + alpha * p_s[:, :]
+            r_s[:, :] = r_s[:, :] - alpha * Ap_s[:, :]
+            z = invd_ref[:, :] * r_s[:, :]
+            rz_new = jnp.sum(r_s[:, :] * z)
             beta = rz_new / jnp.where(rz > 0, rz, 1.0)
-            p = z + beta * p
-            return (x, r, p, rz_new)
+            p_s[:, :] = z + beta * p_s[:, :]
+            return rz_new
 
-        x, r, p, rz = jax.lax.fori_loop(0, n_iters, body, (x, r, p, rz))
-        x_out[:, :] = x
+        jax.lax.fori_loop(0, n_iters, body, rz0)
 
     return kernel
 
@@ -97,6 +101,11 @@ def cg_dia_solve(b, x0, diag, dia_vals, offsets, n_iters, interpret=None):
         in_specs=[vspec, vspec, vspec, vspec],
         out_specs=vspec,
         out_shape=jax.ShapeDtypeStruct(bt.shape, bt.dtype),
+        scratch_shapes=[
+            pltpu.VMEM(bt.shape, bt.dtype),  # r
+            pltpu.VMEM(bt.shape, bt.dtype),  # p
+            pltpu.VMEM(bt.shape, bt.dtype),  # Ap
+        ],
         interpret=interpret,
     )(bt, xt, invd, dia)
     return out[:, :n].T

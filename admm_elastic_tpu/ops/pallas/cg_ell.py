@@ -19,43 +19,39 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _make_kernel(K, n_iters):
-    def matvec(p, idxs, vals):
-        # p: (8, n) padded-sublane planes (rows 0..2 = xyz); idxs/vals (K, n)
-        out = jnp.zeros_like(p)
-        for k in range(K):
-            idx_row = idxs[k, :]
-            idx2 = jnp.broadcast_to(idx_row[None, :], p.shape)
-            g = jnp.take_along_axis(p, idx2, axis=1)
-            out = out + vals[k, :] * g
-        return out
+    def kernel(b_ref, x0_ref, invd_ref, idx_ref, val_ref, x_out,
+               r_s, p_s, Ap_s):
+        # state in scratch refs, in-place matvec accumulation, scalar-only
+        # loop carry (keeps the Mosaic VMEM stack small)
+        def matvec_into(src_ref, out_ref):
+            src = src_ref[:, :]
+            for k in range(K):
+                idx2 = jnp.broadcast_to(idx_ref[k, :][None, :], src.shape)
+                g = jnp.take_along_axis(src, idx2, axis=1)
+                if k == 0:
+                    out_ref[:, :] = val_ref[0, :] * g
+                else:
+                    out_ref[:, :] = out_ref[:, :] + val_ref[k, :] * g
 
-    def kernel(b_ref, x0_ref, invd_ref, idx_ref, val_ref, x_out):
-        b = b_ref[:, :]
-        x = x0_ref[:, :]
-        invd = invd_ref[:, :]
-        idxs = idx_ref[:, :]
-        vals = val_ref[:, :]
+        matvec_into(x0_ref, Ap_s)
+        r_s[:, :] = b_ref[:, :] - Ap_s[:, :]
+        p_s[:, :] = invd_ref[:, :] * r_s[:, :]
+        x_out[:, :] = x0_ref[:, :]
+        rz0 = jnp.sum(r_s[:, :] * p_s[:, :])
 
-        r = b - matvec(x, idxs, vals)
-        z = invd * r
-        p = z
-        rz = jnp.sum(r * z)
-
-        def body(_, carry):
-            x, r, p, rz = carry
-            Ap = matvec(p, idxs, vals)
-            pAp = jnp.sum(p * Ap)
+        def body(_, rz):
+            matvec_into(p_s, Ap_s)
+            pAp = jnp.sum(p_s[:, :] * Ap_s[:, :])
             alpha = rz / jnp.where(pAp > 0, pAp, 1.0)
-            x = x + alpha * p
-            r = r - alpha * Ap
-            z = invd * r
-            rz_new = jnp.sum(r * z)
+            x_out[:, :] = x_out[:, :] + alpha * p_s[:, :]
+            r_s[:, :] = r_s[:, :] - alpha * Ap_s[:, :]
+            z = invd_ref[:, :] * r_s[:, :]
+            rz_new = jnp.sum(r_s[:, :] * z)
             beta = rz_new / jnp.where(rz > 0, rz, 1.0)
-            p = z + beta * p
-            return (x, r, p, rz_new)
+            p_s[:, :] = z + beta * p_s[:, :]
+            return rz_new
 
-        x, r, p, rz = jax.lax.fori_loop(0, n_iters, body, (x, r, p, rz))
-        x_out[:, :] = x
+        jax.lax.fori_loop(0, n_iters, body, rz0)
 
     return kernel
 
@@ -86,6 +82,11 @@ def cg_ell_solve(b, x0, diag, ell_idx, ell_vals, n_iters, interpret=None):
         in_specs=[vspec] * 5,
         out_specs=vspec,
         out_shape=jax.ShapeDtypeStruct(bt.shape, bt.dtype),
+        scratch_shapes=[
+            pltpu.VMEM(bt.shape, bt.dtype),  # r
+            pltpu.VMEM(bt.shape, bt.dtype),  # p
+            pltpu.VMEM(bt.shape, bt.dtype),  # Ap
+        ],
         interpret=interpret,
     )(bt, xt, invd, idx_t, val_t)
     return out[:, :n].T
