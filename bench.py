@@ -36,7 +36,7 @@ def _load_baseline():
     return None
 
 
-def build_tet100k(dtype, admm_iters=10, local_backend="xla", global_solver="ell",
+def build_tet100k(dtype, admm_iters=10, local_backend="xla", global_solver="dia",
                   cg_backend="xla"):
     import jax.numpy as jnp
 
@@ -193,7 +193,7 @@ def main():
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
     ap.add_argument("--local-backend", default="pallas", choices=["xla", "pallas"])
-    ap.add_argument("--global-solver", default="ell",
+    ap.add_argument("--global-solver", default="dia",
                     choices=["ell", "cg", "dense", "dia"])
     ap.add_argument("--cg-backend", default="fused", choices=["xla", "fused", "kernel"])
     args = ap.parse_args()
