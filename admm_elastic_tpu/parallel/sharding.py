@@ -86,6 +86,12 @@ def shard_params_and_state(system, mesh: Mesh, elem_axis: str = "elem"):
             "'ell' mode's transpose-incidence indexes the unpadded element "
             "layout (and its matvec is vertex-major, not element-sharded)"
         )
+    if any(getattr(f, "backend", "xla") == "pallas" for f in system._force_list):
+        raise ValueError(
+            "element sharding currently requires backend='xla' constraint "
+            "batches: pallas batches keep duals in a kernel-native plane "
+            "layout that the element padding/sharding rules do not cover"
+        )
     n_shards = mesh.shape[elem_axis]
     pad_batches(system, n_shards)
 
