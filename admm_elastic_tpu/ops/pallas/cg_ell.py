@@ -2,10 +2,16 @@
 
 The general-mesh counterpart of cg_dia.py: the ELL matrix is stored
 column-major ((K, n) planes) so each matvec is K lane-wise
-`take_along_axis(x, idx_k, axis=1)` gathers — Mosaic supports lane gathers —
-followed by multiply-accumulate, all inside ONE VMEM-resident kernel. The
-complete CG state + matrix (~6 MB at n=22k, K=24) lives in VMEM: zero
-per-iteration dispatch, zero HBM round-trips per iteration.
+`take_along_axis(x, idx_k, axis=1)` gathers followed by multiply-accumulate,
+all inside ONE VMEM-resident kernel.
+
+CURRENT MOSAIC LIMITATION: `tpu.dynamic_gather` only shuffles within a
+single 128-lane register, so this kernel compiles only when gather indices
+stay within 128-lane windows — real meshes span all of n and the backend
+compiler rejects it (verified on v5e). The kernel is correct in interpreter
+mode and kept for when Mosaic grows cross-tile gathers; until then,
+unstructured meshes should use cg_backend='fused' (per-iteration update
+kernel + XLA matvec) and lattice meshes the DIA kernel (cg_dia.py).
 """
 
 from __future__ import annotations
