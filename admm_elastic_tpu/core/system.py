@@ -317,16 +317,40 @@ class System:
             res_primal = jnp.zeros(res_shape, x0.dtype)
             res_dual = jnp.zeros(res_shape, x0.dtype)
 
+            # forces whose whole per-iteration element pipeline (Dx, prox,
+            # dual, RHS contribution) runs inside one fused kernel; residual
+            # collection needs Dx/z in canonical form, so it uses the
+            # unfused path
+            fused_names = {
+                f.name
+                for f in forces
+                if mode in ("ell", "dia")
+                and not collect
+                and getattr(f, "supports_fused_local_rhs", False)
+            }
+
             def iteration(i, carry):
                 curr_x, u, fstate, z_prev, rp, rd = carry
-                Dx = Dx_all(params, curr_x)
+                Dx = {
+                    f.name: f.compute_Dx(params[f.name], curr_x)
+                    for f in forces
+                    if f.name not in fused_names
+                }
                 z = {}
                 new_u = {}
                 new_fstate = {}
+                fused_contrib = {}
                 for f in forces:
-                    zf, uf, sf = f.project_with_dual(
-                        Dx[f.name], u[f.name], params[f.name], fstate[f.name]
-                    )
+                    if f.name in fused_names:
+                        zf, uf, sf, cf = f.fused_local_rhs(
+                            params[f.name], curr_x, u[f.name], fstate[f.name]
+                        )
+                        fused_contrib[f.name] = cf
+                    else:
+                        zf, uf, sf = f.project_with_dual(
+                            Dx[f.name], u[f.name], params[f.name],
+                            fstate[f.name]
+                        )
                     z[f.name] = zf
                     new_u[f.name] = uf
                     new_fstate[f.name] = sf
@@ -337,7 +361,11 @@ class System:
                     # through the precomputed vertex incidence (TPU scatters
                     # serialize; this is a gather + sum)
                     contribs = [
-                        f.rhs_contribution(params[f.name], z[f.name], u[f.name])
+                        fused_contrib[f.name]
+                        if f.name in fused_names
+                        else f.rhs_contribution(
+                            params[f.name], z[f.name], u[f.name]
+                        )
                         for f in forces
                     ]
                     contribs.append(jnp.zeros((1, 3), b_dtype))  # sentinel row

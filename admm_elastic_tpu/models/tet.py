@@ -377,9 +377,43 @@ class HyperElasticTet(_PlaneLayoutMixin, ForceBatch):
         # warm start persists across steps (TetForce.hpp:145 last_prox_result)
         if self.backend == "pallas":
             state = {"sigma": np.ones((3, self._padded_E()))}
+            # selector-coefficient planes cp[4b+k, e] = B[e,k,b] for the
+            # fully fused local+RHS kernel (loop-invariant; precomputed so
+            # the hot loop does zero relayout work)
+            Ep = self._padded_E()
+            cp = np.transpose(params["coeff"], (1, 2, 0)).reshape(12, -1)
+            params["coeff_p"] = np.pad(cp, ((0, 0), (0, Ep - cp.shape[1])))
         else:
             state = {"sigma": np.ones((len(self.tets), 3))}
         return params, state
+
+    @property
+    def supports_fused_local_rhs(self) -> bool:
+        return self.backend == "pallas"
+
+    def fused_local_rhs(self, params, x, u, state):
+        """One-kernel per-iteration element pipeline for the ell/dia global
+        modes: gathered positions in, (z, u', warm, D^T W^2 (z-u') flat
+        contribution rows) out — everything between the vertex gather and the
+        incidence gather runs inside ops/pallas/nh_local.nh_local_step_fused."""
+        from ..ops.pallas.nh_local import nh_local_step_fused
+
+        E = self.n_elements
+        pad = self._padded_E() - E
+        verts = x[params["indices"]]  # (E,4,3)
+        xg = verts.reshape(E, 12).T
+        if pad:
+            xg = jnp.pad(xg, ((0, 0), (0, pad)))
+        mu = jnp.pad(params["mu"], (0, pad), constant_values=1.0)
+        lam = jnp.pad(params["lam"], (0, pad), constant_values=1.0)
+        k = jnp.pad(params["k"], (0, pad), constant_values=1.0)
+        w2 = jnp.pad(params["weight"] ** 2, (0, pad))
+        z9, unew9, warm_new, contrib = nh_local_step_fused(
+            xg, u, state["sigma"], params["coeff_p"], mu, lam, k, w2,
+            iters=self.max_iters, model=self.model,
+        )
+        flat = contrib[:, :E].T.reshape(E * 4, 3)
+        return z9, unew9, {**state, "sigma": warm_new}, flat
 
     def project(self, Dx, u, params, state):
         if self.backend == "pallas":

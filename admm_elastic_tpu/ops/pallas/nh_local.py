@@ -309,6 +309,108 @@ def _make_hyper_kernel(iters, model):
     return kernel
 
 
+def _make_hyper_fused_kernel(iters, model):
+    """Like _make_hyper_kernel but additionally computes Dx in-kernel from
+    gathered vertex planes and emits the global-step RHS contribution planes,
+    fusing the whole per-iteration element pipeline (selector apply -> SVD ->
+    Newton prox -> reconstruct -> dual update -> D^T W^2 (z-u) contribution)
+    into one VMEM pass. Plane conventions:
+      xg[3k+a, e]   = x[tet[e,k], a]          (gathered positions)
+      cp[4b+k, e]   = coeff[e,b,k] = B[e,k,b] (selector coefficients)
+      dx[3a+b, e]   = F_{a,b} = sum_k cp[4b+k] * xg[3k+a]
+      contrib[3k+j] = w2 * sum_r cp[4r+k] * (z - u')[3j+r]
+    """
+
+    def kernel(xg_ref, u_ref, warm_ref, cp_ref, mu_ref, lam_ref, k_ref,
+               w2_ref, z_ref, unew_ref, warm_out_ref, contrib_ref):
+        xg = [xg_ref[p, :] for p in range(12)]
+        cp = [cp_ref[p, :] for p in range(12)]
+        dx = []
+        for a in range(3):
+            for b in range(3):
+                acc = cp[4 * b] * xg[a]
+                for kk in range(1, 4):
+                    acc = acc + cp[4 * b + kk] * xg[3 * kk + a]
+                dx.append(acc)
+        uu = [u_ref[p, :] for p in range(9)]
+        f = [dx[p] + uu[p] for p in range(9)]
+        eps = jnp.asarray(jnp.finfo(dx[0].dtype).eps, dx[0].dtype)
+        U, V, s = _svd_columns(f, eps)
+
+        w1 = warm_ref[0, :]
+        w2_ = warm_ref[1, :]
+        w3 = jnp.abs(warm_ref[2, :])
+        collapsed = (
+            (jnp.abs(w1) < 1e-3) & (jnp.abs(w2_) < 1e-3) & (jnp.abs(w3) < 1e-3)
+        )
+        w1 = jnp.where(collapsed, 1e-3, w1)
+        w2_ = jnp.where(collapsed, 1e-3, w2_)
+        w3 = jnp.where(collapsed, 1e-3, w3)
+
+        mu = mu_ref[0, :]
+        lam = lam_ref[0, :]
+        k = k_ref[0, :]
+        x1, x2, x3 = _newton_hyper(s, (w1, w2_, w3), mu, lam, k, iters, model)
+        warm_out_ref[0, :] = x1
+        warm_out_ref[1, :] = x2
+        warm_out_ref[2, :] = x3
+
+        sig = (x1, x2, x3)
+        zu = [None] * 9
+        for r in range(3):
+            for c in range(3):
+                z = (
+                    U[0][r] * sig[0] * V[0][c]
+                    + U[1][r] * sig[1] * V[1][c]
+                    + U[2][r] * sig[2] * V[2][c]
+                )
+                un = uu[3 * r + c] + dx[3 * r + c] - z
+                z_ref[3 * r + c, :] = z
+                unew_ref[3 * r + c, :] = un
+                zu[3 * r + c] = z - un
+
+        w2e = w2_ref[0, :]
+        for kk in range(4):
+            for j in range(3):
+                acc = cp[kk] * zu[3 * j]
+                for r in range(1, 3):
+                    acc = acc + cp[4 * r + kk] * zu[3 * j + r]
+                contrib_ref[3 * kk + j, :] = w2e * acc
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "interpret", "model"))
+def nh_local_step_fused(xg12, u9, warm, cp12, mu, lam, k, w2, iters=5,
+                        interpret=None, model="nh"):
+    """Fully fused local step + RHS contribution. xg12/cp12/contrib: (12,E);
+    u9: (9,E); warm: (3,E); mu/lam/k/w2: (E,). E must be a multiple of BLOCK.
+    Returns (z9, u9_new, warm_new, contrib12)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    E = xg12.shape[1]
+    grid = (E // BLOCK,)
+    p12 = pl.BlockSpec((12, BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM)
+    p9 = pl.BlockSpec((9, BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM)
+    p3 = pl.BlockSpec((3, BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM)
+    p1 = pl.BlockSpec((1, BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM)
+    z9, unew, warm_new, contrib = pl.pallas_call(
+        _make_hyper_fused_kernel(iters, model),
+        grid=grid,
+        in_specs=[p12, p9, p3, p12, p1, p1, p1, p1],
+        out_specs=[p9, p9, p3, p12],
+        out_shape=[
+            jax.ShapeDtypeStruct(u9.shape, u9.dtype),
+            jax.ShapeDtypeStruct(u9.shape, u9.dtype),
+            jax.ShapeDtypeStruct(warm.shape, warm.dtype),
+            jax.ShapeDtypeStruct(xg12.shape, xg12.dtype),
+        ],
+        interpret=interpret,
+    )(xg12, u9, warm, cp12, mu.reshape(1, E), lam.reshape(1, E),
+      k.reshape(1, E), w2.reshape(1, E))
+    return z9, unew, warm_new, contrib
+
+
 @functools.partial(jax.jit, static_argnames=("iters", "interpret", "model"))
 def nh_local_step(dx9, u9, warm, mu, lam, k, iters=5, interpret=None,
                   model="nh"):

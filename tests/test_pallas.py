@@ -129,9 +129,9 @@ def test_pallas_backend_end_to_end_matches_xla():
 
     beam = make_beam_tets(3, 2, 2)
 
-    def run(cls, kwargs, backend):
+    def run(cls, kwargs, backend, solver="ell"):
         sys = System(Settings(timestep_s=0.04, admm_iters=6, verbose=0,
-                              dtype=jnp.float32, global_solver="ell",
+                              dtype=jnp.float32, global_solver=solver,
                               cg_fixed_iters=20))
         n = beam.n_vertices
         sys.add_nodes(beam.vertices, np.full(n, 1.0 / n))
@@ -150,3 +150,10 @@ def test_pallas_backend_end_to_end_matches_xla():
         a = run(cls, kwargs, "xla")
         b = run(cls, kwargs, "pallas")
         assert np.abs(a - b).max() < 5e-4, f"{cls.__name__} diverged"
+
+    # the dia mode routes HyperElasticTet through the fully fused
+    # local+RHS kernel (fused_local_rhs); must agree with the xla path too
+    kwargs = dict(mu=1e4, lam=1e4, max_iters=5, model="nh")
+    a = run(HyperElasticTet, kwargs, "xla", solver="dia")
+    b = run(HyperElasticTet, kwargs, "pallas", solver="dia")
+    assert np.abs(a - b).max() < 5e-4, "fused local+RHS kernel diverged"
