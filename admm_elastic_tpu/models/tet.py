@@ -100,6 +100,28 @@ class _PlaneLayoutMixin:
     def _from_planes(self, planes, E):
         return _rows_of(planes[:, :E].T.reshape(E, 3, 3))
 
+    def _coeff_planes(self, params):
+        """cp[4b+k, e] = coeff[e,b,k] = B[e,k,b], padded (12, Ep) — the
+        selector layout the fused local+RHS kernels consume."""
+        Ep = self._padded_E()
+        cp = np.transpose(params["coeff"], (1, 2, 0)).reshape(12, -1)
+        return np.pad(cp, ((0, 0), (0, Ep - cp.shape[1])))
+
+    def _gathered_planes(self, params, x):
+        """xg[3k+a, e] = x[tet[e,k], a], padded (12, Ep)."""
+        E = self.n_elements
+        pad = self._padded_E() - E
+        xg = x[params["indices"]].reshape(E, 12).T
+        if pad:
+            xg = jnp.pad(xg, ((0, 0), (0, pad)))
+        return xg
+
+    def _contrib_flat(self, contrib):
+        """(12, Ep) contribution planes -> (E*4, 3) flat rows matching the
+        unfused rhs_contribution layout."""
+        E = self.n_elements
+        return contrib[:, :E].T.reshape(E * 4, 3)
+
 
     def dual_init(self, np_module=np):
         if self.backend != "pallas":
@@ -189,7 +211,27 @@ class LinearTetStrain(_PlaneLayoutMixin, ForceBatch):
         params = _tet_selector_params(self.tets, B)
         params["weight"] = np.sqrt(self.stiffness) * np.sqrt(vol)
         params["k"] = self.stiffness * vol
+        if self.backend == "pallas":
+            params["coeff_p"] = self._coeff_planes(params)
         return params, {}
+
+    @property
+    def supports_fused_local_rhs(self) -> bool:
+        return self.backend == "pallas"
+
+    def fused_local_rhs(self, params, x, u, state):
+        """One-kernel ARAP pipeline for the ell/dia global modes
+        (ops/pallas/tet_local.arap_local_step_fused)."""
+        from ..ops.pallas.tet_local import arap_local_step_fused
+
+        pad = self._padded_E() - self.n_elements
+        xg = self._gathered_planes(params, x)
+        w2 = jnp.pad(params["weight"] ** 2, (0, pad), constant_values=1.0)
+        k = jnp.pad(params["k"], (0, pad), constant_values=1.0)
+        z9, unew9, contrib = arap_local_step_fused(
+            xg, u, params["coeff_p"], w2, k
+        )
+        return z9, unew9, state, self._contrib_flat(contrib)
 
     def _project_xla(self, Dx, u, params, state):
         F = _F_of(Dx + u)
@@ -377,12 +419,10 @@ class HyperElasticTet(_PlaneLayoutMixin, ForceBatch):
         # warm start persists across steps (TetForce.hpp:145 last_prox_result)
         if self.backend == "pallas":
             state = {"sigma": np.ones((3, self._padded_E()))}
-            # selector-coefficient planes cp[4b+k, e] = B[e,k,b] for the
-            # fully fused local+RHS kernel (loop-invariant; precomputed so
-            # the hot loop does zero relayout work)
-            Ep = self._padded_E()
-            cp = np.transpose(params["coeff"], (1, 2, 0)).reshape(12, -1)
-            params["coeff_p"] = np.pad(cp, ((0, 0), (0, Ep - cp.shape[1])))
+            # selector-coefficient planes for the fully fused local+RHS
+            # kernel (loop-invariant; precomputed so the hot loop does zero
+            # relayout work)
+            params["coeff_p"] = self._coeff_planes(params)
         else:
             state = {"sigma": np.ones((len(self.tets), 3))}
         return params, state
@@ -398,12 +438,8 @@ class HyperElasticTet(_PlaneLayoutMixin, ForceBatch):
         incidence gather runs inside ops/pallas/nh_local.nh_local_step_fused."""
         from ..ops.pallas.nh_local import nh_local_step_fused
 
-        E = self.n_elements
-        pad = self._padded_E() - E
-        verts = x[params["indices"]]  # (E,4,3)
-        xg = verts.reshape(E, 12).T
-        if pad:
-            xg = jnp.pad(xg, ((0, 0), (0, pad)))
+        pad = self._padded_E() - self.n_elements
+        xg = self._gathered_planes(params, x)
         mu = jnp.pad(params["mu"], (0, pad), constant_values=1.0)
         lam = jnp.pad(params["lam"], (0, pad), constant_values=1.0)
         k = jnp.pad(params["k"], (0, pad), constant_values=1.0)
@@ -412,8 +448,7 @@ class HyperElasticTet(_PlaneLayoutMixin, ForceBatch):
             xg, u, state["sigma"], params["coeff_p"], mu, lam, k, w2,
             iters=self.max_iters, model=self.model,
         )
-        flat = contrib[:, :E].T.reshape(E * 4, 3)
-        return z9, unew9, {**state, "sigma": warm_new}, flat
+        return z9, unew9, {**state, "sigma": warm_new}, self._contrib_flat(contrib)
 
     def project(self, Dx, u, params, state):
         if self.backend == "pallas":

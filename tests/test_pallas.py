@@ -151,9 +151,14 @@ def test_pallas_backend_end_to_end_matches_xla():
         b = run(cls, kwargs, "pallas")
         assert np.abs(a - b).max() < 5e-4, f"{cls.__name__} diverged"
 
-    # the dia mode routes HyperElasticTet through the fully fused
-    # local+RHS kernel (fused_local_rhs); must agree with the xla path too
-    kwargs = dict(mu=1e4, lam=1e4, max_iters=5, model="nh")
-    a = run(HyperElasticTet, kwargs, "xla", solver="dia")
-    b = run(HyperElasticTet, kwargs, "pallas", solver="dia")
-    assert np.abs(a - b).max() < 5e-4, "fused local+RHS kernel diverged"
+    # the dia mode routes pallas tet forces through the fully fused
+    # local+RHS kernels (fused_local_rhs); must agree with the xla path too
+    for cls, kwargs in [
+        (HyperElasticTet, dict(mu=1e4, lam=1e4, max_iters=5, model="nh")),
+        (LinearTetStrain, dict(stiffness=1e4)),
+    ]:
+        a = run(cls, kwargs, "xla", solver="dia")
+        b = run(cls, kwargs, "pallas", solver="dia")
+        assert np.abs(a - b).max() < 5e-4, (
+            f"fused local+RHS kernel diverged for {cls.__name__}"
+        )
