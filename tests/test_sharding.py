@@ -151,6 +151,51 @@ def test_sweep_guard_rejects_precomputed_matrix_modes():
         batch_params(sys.params, sweep, 2)
 
 
+def test_scenario_sweep_with_precomputed_solver():
+    """Passing the system to batch_params re-assembles the ell/dia global
+    matrix per scenario, so stiffness sweeps work with the precomputed-matrix
+    (single-kernel CG) modes and match sequential per-scenario runs."""
+
+    def build_seq(stiffness, mode):
+        beam = make_beam_tets(4, 2, 2)
+        ss = System(
+            Settings(timestep_s=0.04, admm_iters=8, verbose=0,
+                     dtype=jnp.float64, global_solver=mode,
+                     cg_fixed_iters=80)
+        )
+        n = beam.n_vertices
+        ss.add_nodes(beam.vertices, np.full(n, 1.0 / n))
+        ss.add_force(StaticAnchor(np.flatnonzero(beam.vertices[:, 0] < 1e-9)))
+        ss.add_force(LinearTetStrain(beam.tets, stiffness=stiffness))
+        ss.add_explicit_force(ExplicitForce(direction=(0, -9.8, 0)))
+        ss.initialize()
+        return ss
+
+    stiffness = np.array([150.0, 420.0])
+    for mode in ("dia", "ell"):
+        sys = build_seq(200.0, mode)
+        assert sys._solver_mode == mode
+        name = sys._force_list[1].name
+        vols = np.asarray(sys.params[name]["k"]) / 200.0
+        sweep = {
+            (name, "weight"): np.stack([np.sqrt(s * vols) for s in stiffness]),
+            (name, "k"): np.stack([s * vols for s in stiffness]),
+        }
+        bstate = batch_state(sys.state, 2)
+        bparams = batch_params(sys.params, sweep, 2, system=sys)
+        step = vmap_step(sys)
+        for _ in range(3):
+            bstate, _ = step(bstate, bparams)
+        for i, s in enumerate(stiffness):
+            ss = build_seq(float(s), mode)
+            for _ in range(3):
+                ss.step()
+            np.testing.assert_allclose(
+                np.asarray(bstate["x"])[i], ss.x, rtol=1e-8, atol=1e-9,
+                err_msg=f"{mode} scenario {i}",
+            )
+
+
 def test_ell_sharding_rejected():
     sys = _build(mode="ell")
     mesh = make_sim_mesh(data=1)
