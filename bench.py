@@ -126,10 +126,15 @@ def build_windyflag(dtype):
     return ctx.system
 
 
-def bench_sweep(dtype, n_scenarios=64, steps=10):
+def bench_sweep(dtype, n_scenarios=64, steps=10, global_solver="ell",
+                local_backend="pallas"):
     """Scenario-batch sweep: n parallel hyperelastic drops with varied
     stiffness (the BASELINE '64 parallel armadillo drops' workload),
-    vmapped in a single program."""
+    vmapped in a single program.
+
+    global_solver: 'cg' (matrix-free) or 'ell' (per-scenario re-assembled
+    precomputed matrix + fused CG; batch_params(..., system=) handles the
+    weight sweep)."""
     import jax
     import jax.numpy as jnp
 
@@ -148,16 +153,18 @@ def bench_sweep(dtype, n_scenarios=64, steps=10):
 
     sys_ = System(
         Settings(timestep_s=0.06, admm_iters=10, verbose=0, dtype=dtype,
-                 # matrix-free CG: the global operator must read the
-                 # per-scenario (swept) weights; ell/dense bake weights into
-                 # a precomputed matrix and would be wrong under a sweep
-                 global_solver="cg", cg_fixed_iters=12)
+                 # 'cg' reads swept weights directly (matrix-free); 'ell'
+                 # precomputes per-scenario matrices via
+                 # batch_params(..., system=) and uses the fused CG kernel
+                 global_solver=global_solver, cg_fixed_iters=12,
+                 cg_backend="fused")
     )
     n = len(verts)
     sys_.add_nodes(verts, np.full(n, 140.0 / n))
     anchored = np.argsort(verts[:, 1])[-8:]  # hang from top verts
     sys_.add_force(StaticAnchor(anchored))
-    het = sys_.add_force(HyperElasticTet(tets, mu=1e5, lam=1e5, max_iters=5))
+    het = sys_.add_force(HyperElasticTet(tets, mu=1e5, lam=1e5, max_iters=5,
+                                         backend=local_backend))
     sys_.add_explicit_force(ExplicitForce(direction=(0, -9.8, 0)))
     assert sys_.initialize()
 
@@ -172,7 +179,7 @@ def bench_sweep(dtype, n_scenarios=64, steps=10):
     }
     step = vmap_step(sys_)
     bstate = batch_state(sys_.state, n_scenarios)
-    bparams = batch_params(sys_.params, sweep, n_scenarios)
+    bparams = batch_params(sys_.params, sweep, n_scenarios, system=sys_)
 
     # warmup + timed
     bstate, _ = step(bstate, bparams)
@@ -250,7 +257,9 @@ def main():
             )
         )
     elif args.preset == "sweep64":
-        ms, n_sc, E = bench_sweep(dtype, steps=args.steps)
+        solver = args.global_solver if args.global_solver in ("cg", "ell") else "ell"
+        ms, n_sc, E = bench_sweep(dtype, steps=args.steps, global_solver=solver,
+                                  local_backend=args.local_backend)
         print(
             f"# sweep: {n_sc} scenarios x {E} tets, {ms*1e3:.2f} ms/step total",
             file=sys.stderr,

@@ -196,6 +196,52 @@ def test_scenario_sweep_with_precomputed_solver():
             )
 
 
+def test_scenario_sweep_pallas_backend():
+    """Scenario vmap over the fused pallas local+RHS kernels (ell mode with
+    per-scenario re-assembled matrices) matches the xla/cg path."""
+    from admm_elastic_tpu.models import HyperElasticTet
+
+    def build(backend, mode):
+        beam = make_beam_tets(4, 2, 2)
+        ss = System(
+            Settings(timestep_s=0.04, admm_iters=6, verbose=0,
+                     dtype=jnp.float64, global_solver=mode,
+                     cg_fixed_iters=60)
+        )
+        n = beam.n_vertices
+        ss.add_nodes(beam.vertices, np.full(n, 1.0 / n))
+        ss.add_force(StaticAnchor(np.flatnonzero(beam.vertices[:, 0] < 1e-9)))
+        ss.add_force(HyperElasticTet(beam.tets, 2e4, 2e4, max_iters=5,
+                                     model="nh", backend=backend))
+        ss.add_explicit_force(ExplicitForce(direction=(0, -9.8, 0)))
+        ss.initialize()
+        return ss
+
+    mus = np.array([1e4, 5e4])
+
+    def run(backend, mode):
+        ss = build(backend, mode)
+        name = ss._force_list[1].name
+        E = ss._force_list[1].n_elements
+        vols = (np.asarray(ss.params[name]["weight"]) ** 2) / 2e4
+        sweep = {
+            (name, "mu"): np.repeat(mus[:, None], E, axis=1),
+            (name, "lam"): np.repeat(mus[:, None], E, axis=1),
+            (name, "k"): np.repeat(mus[:, None], E, axis=1),
+            (name, "weight"): np.sqrt(mus[:, None] * vols[None, :]),
+        }
+        bstate = batch_state(ss.state, 2)
+        bparams = batch_params(ss.params, sweep, 2, system=ss)
+        step = vmap_step(ss)
+        for _ in range(3):
+            bstate, _ = step(bstate, bparams)
+        return np.asarray(bstate["x"])
+
+    a = run("xla", "cg")
+    b = run("pallas", "ell")
+    np.testing.assert_allclose(b, a, rtol=1e-6, atol=1e-6)
+
+
 def test_ell_sharding_rejected():
     sys = _build(mode="ell")
     mesh = make_sim_mesh(data=1)
