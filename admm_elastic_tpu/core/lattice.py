@@ -1,0 +1,183 @@
+"""Lattice fast path: whole-timestep single-kernel ADMM for beam lattices.
+
+LatticeStepper runs the same algorithm as a System configured with
+{HyperElasticTet(model='nh', backend='pallas'), StaticAnchor, gravity,
+global_solver='dia'} on a `make_beam_tets` mesh — but executes the ENTIRE
+timestep (10 ADMM iterations: local prox steps, dual updates, RHS, CG
+solves) as ONE Pallas kernel (ops/pallas/lattice_step.py), exploiting the
+lattice's constant-offset selector structure to replace every gather and
+scatter with static lane shifts.
+
+Use when the mesh is a uniform-cell lattice and the force set fits the
+restrictions; fall back to the general System otherwise. Trajectories match
+the general dia path to f32 round-off (tests/test_lattice.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry.primitives import make_beam_tets
+from ..models.anchor import StaticAnchor
+from ..models.tet import HyperElasticTet
+from .solver import assemble_A_hat_dia
+
+
+class LatticeStepper:
+    """Single-kernel ADMM stepper for an (nx,ny,nz)-cell uniform beam.
+
+    Matches System semantics for: NeoHookean HyperElasticTet (uniform
+    mu/lam, `newton_iters` local iterations, warm-started), StaticAnchor
+    on `anchor_idx` (uniform `anchor_weight`), a gravity velocity kick,
+    dia global solve with `cg_iters` fixed Jacobi-PCG iterations.
+    """
+
+    def __init__(self, nx, ny, nz, size, masses, mu, lam, anchor_idx,
+                 gravity=(0.0, -9.8, 0.0), dt=0.04, admm_iters=10,
+                 newton_iters=5, cg_iters=25, anchor_weight=1000.0,
+                 dtype=jnp.float32):
+        from ..ops.pallas.lattice_step import corner_offsets, group_tables
+
+        self.mesh = make_beam_tets(nx, ny, nz, size)
+        gx, gy, gz = nx + 1, ny + 1, nz + 1
+        n = gx * gy * gz
+        assert self.mesh.n_vertices == n
+        self.n_nodes = n
+        self.dt = float(dt)
+        self.admm_iters = int(admm_iters)
+        self.cg_iters = int(cg_iters)
+        self.newton_iters = int(newton_iters)
+        self.dtype = dtype
+        self.gravity = jnp.asarray(gravity, dtype)
+        masses = np.broadcast_to(np.asarray(masses, np.float64), (n,)).copy()
+
+        kprox = float(min(mu, lam))
+        self._mu, self._lam, self._kprox = float(mu), float(lam), kprox
+
+        # group tables (per-group selector coefficients + w2 = k*vol)
+        self.offs = tuple(corner_offsets(gy, gz))
+        raw = group_tables(size)
+        self.groups = tuple(
+            (corners, parity, tuple(np.asarray(cp).ravel().tolist()),
+             kprox * vol)
+            for (corners, parity, cp, vol) in raw
+        )
+        self.n_groups = len(self.groups)
+
+        # exact same global matrix as the general path
+        het = HyperElasticTet(self.mesh.tets, mu, lam,
+                              max_iters=newton_iters, model="nh")
+        p_het, _ = het.build(self.mesh.vertices, masses, self.dt)
+        anc = StaticAnchor(anchor_idx, weight=anchor_weight)
+        p_anc, _ = anc.build(self.mesh.vertices, masses, self.dt)
+        out = assemble_A_hat_dia(
+            n, masses, self.dt, {"het": p_het, "anchor": p_anc}
+        )
+        if out is None:
+            raise ValueError("mesh is not dia-structured (not a lattice?)")
+        self.dia_offs, dia_vals, diag = out
+
+        self.N = -(-n // 128) * 128
+        pad = self.N - n
+
+        def padp(a, fill=0.0):
+            return np.pad(np.asarray(a, np.float64), ((0, 0), (0, pad)),
+                          constant_values=fill)
+
+        self._dia = jnp.asarray(padp(dia_vals), dtype)
+        self._invd = jnp.asarray(
+            padp(1.0 / diag[None, :], fill=1.0), dtype
+        )
+
+        # masks: [anchor w2 plane, even-parity validity, odd-parity validity]
+        aw2 = np.zeros(n)
+        aw2[np.asarray(anchor_idx, np.int64)] = anchor_weight ** 2
+        I, J, K = np.meshgrid(
+            np.arange(gx), np.arange(gy), np.arange(gz), indexing="ij"
+        )
+        valid = (I < nx) & (J < ny) & (K < nz)
+        even = (valid & (((I + J + K) % 2) == 0)).ravel().astype(np.float64)
+        odd = (valid & (((I + J + K) % 2) == 1)).ravel().astype(np.float64)
+        self._masks = jnp.asarray(
+            padp(np.stack([aw2, even, odd])), dtype
+        )
+        self._ancz = jnp.asarray(
+            padp(self.mesh.vertices.T), dtype
+        )
+        self._mpad = jnp.asarray(
+            np.pad(masses, (0, pad))[None, :], dtype
+        )
+
+        self.state = {
+            "x": jnp.asarray(self.mesh.vertices, dtype),
+            "v": jnp.zeros((n, 3), dtype),
+            "u": jnp.zeros((self.n_groups, 9, self.N), dtype),
+            "warm": jnp.ones((self.n_groups, 3, self.N), dtype),
+            "ancu": jnp.zeros((3, self.N), dtype),
+            "t": jnp.asarray(0.0, dtype),
+        }
+        self._step_jit = jax.jit(self._make_step(), donate_argnums=(0,))
+        self._rollouts = {}
+
+    @property
+    def x(self):
+        return self.state["x"]
+
+    def _make_step(self):
+        from ..ops.pallas.lattice_step import lattice_timestep
+
+        n = self.n_nodes
+        N = self.N
+        dt = self.dt
+        g = self.gravity
+        masks, ancz, dia, invd, mpad = (
+            self._masks, self._ancz, self._dia, self._invd, self._mpad
+        )
+        kw = dict(
+            offs=self.offs, groups=self.groups, dia_offs=self.dia_offs,
+            mu=self._mu, lam=self._lam, kprox=self._kprox,
+            newton_iters=self.newton_iters, cg_iters=self.cg_iters,
+            dt2=dt * dt, n_iters=self.admm_iters,
+        )
+
+        def step(state):
+            x, v = state["x"], state["v"]
+            v = v + dt * g
+            xbar = x + dt * v
+            xb3 = jnp.pad(xbar.T, ((0, 0), (0, N - n)))
+            Mxb = mpad * xb3
+            x3, u, warm, ancu = lattice_timestep(
+                Mxb, masks, ancz, dia, invd, xb3,
+                state["u"], state["warm"], state["ancu"], **kw
+            )
+            x_new = x3[:, :n].T
+            v_new = (x_new - x) / dt
+            return {
+                "x": x_new, "v": v_new, "u": u, "warm": warm,
+                "ancu": ancu, "t": state["t"] + dt,
+            }
+
+        return step
+
+    def step(self):
+        self.state = self._step_jit(self.state)
+        return True
+
+    def run(self, n_steps: int):
+        """On-device lax.scan rollout of n_steps timesteps."""
+        if n_steps not in self._rollouts:
+            step = self._make_step()
+
+            def roll(state):
+                def body(s, _):
+                    return step(s), ()
+
+                s2, _ = jax.lax.scan(body, state, None, length=n_steps)
+                return s2
+
+            self._rollouts[n_steps] = jax.jit(roll, donate_argnums=(0,))
+        self.state = self._rollouts[n_steps](self.state)
+        return True

@@ -1,0 +1,357 @@
+"""Whole-ADMM-timestep Pallas kernel for uniform tet lattices.
+
+The dia global solver (cg_dia.py) already exploits the fact that a
+lattice-numbered mesh makes A_hat's sparsity a set of constant diagonals.
+The same fact applies to the SELECTOR: on a `make_beam_tets` lattice every
+tet's vertex indices are `base + constant_offset` where base is the cell's
+corner-0 vertex id and the offsets depend only on the tet's (parity, slot)
+group — 10 groups, 8 distinct corner offsets. Vertex gather AND the
+D^T scatter therefore become static lane shifts, which (unlike gathers)
+Mosaic handles natively. That removes the last reason to leave the kernel
+between ADMM sub-steps:
+
+    ONE pallas_call per timestep, grid (admm_iters, 31):
+      phase 3g+0  (static per group): DMA u/warm block g into VMEM;
+                                      F = u_g + sum_k cp[b,k] x(shift o_k)
+      phase 3g+1  (shared code):      oriented SVD + warm-started Newton
+                                      prox + reconstruct; u' = F - z
+      phase 3g+2  (static per group): b += w2_g mask_g D_g^T (z - u') via
+                                      reverse shifts; DMA u'/warm back
+      phase 30:                       anchor dual/contribution + whole
+                                      Jacobi-PCG solve (dia matvec, static
+                                      shifts), updating live x
+
+Live state (x, anchor duals) sits in persistent VMEM scratch initialized
+from the inputs on the first grid step and emitted through the outputs in
+the CG phase; the per-group duals/warm starts stay in HBM (memory_space
+ANY) and stream through one (9,N)+(3,N) VMEM block via explicit async
+copies. Zero gathers, zero XLA glue, one kernel launch per timestep.
+
+Algorithmically identical to the general System path (same math as
+reference System.cpp:26-75 with HyperElasticTet local steps,
+TetForce.cpp:303-364): trajectories match the general dia path to f32
+round-off (tests/test_lattice.py).
+
+Restrictions: uniform-cell `make_beam_tets` lattices, one NeoHookean
+HyperElasticTet force with uniform material, StaticAnchors, gravity-style
+explicit velocity kicks, residual collection off.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .nh_local import _newton_hyper, _svd_columns
+
+# 5-tet decompositions (same tables as geometry/primitives.py make_beam_tets)
+_EVEN = [(0, 1, 2, 5), (0, 2, 3, 7), (0, 5, 7, 4), (2, 7, 5, 6), (0, 2, 5, 7)]
+_ODD = [(1, 3, 0, 4), (1, 6, 2, 3), (1, 4, 6, 5), (3, 6, 4, 7), (1, 3, 4, 6)]
+_CORNER_DIJK = [
+    (0, 0, 0), (1, 0, 0), (1, 1, 0), (0, 1, 0),
+    (0, 0, 1), (1, 0, 1), (1, 1, 1), (0, 1, 1),
+]
+
+
+def corner_offsets(gy: int, gz: int):
+    """Linear vertex-index offset of each cell corner from corner 0."""
+    return [di * gy * gz + dj * gz + dk for (di, dj, dk) in _CORNER_DIJK]
+
+
+def group_tables(size: float):
+    """Per-group (corners, parity, cp (3,4), volume) for a uniform cell of
+    edge `size`. cp[b,k] = B[k,b] with B from the same construction as
+    models/tet.build_tet_basis."""
+    import numpy as np
+
+    from ...models.tet import build_tet_basis
+
+    coords = np.asarray(_CORNER_DIJK, dtype=np.float64) * size
+    groups = []
+    for parity, pattern in ((0, _EVEN), (1, _ODD)):
+        for corners in pattern:
+            tet = np.asarray([[0, 1, 2, 3]])
+            B, vol = build_tet_basis(coords[list(corners)], tet)
+            cp = B[0].T  # (3,4): cp[b,k] = B[k,b]
+            groups.append((tuple(corners), parity, cp, float(vol[0])))
+    return groups
+
+
+def _make_lattice_kernel(N, offs, groups, dia_offs, mu, lam, kprox,
+                         newton_iters, cg_iters, dt2):
+    """groups: list of (corners, parity, cp (3,4) ndarray, w2 float)."""
+    n_groups = len(groups)
+    CG_PHASE = 3 * n_groups
+
+    def kernel(Mxbar_ref, masks_ref, ancz_ref, dia_ref, invd_ref,
+               xbar_ref, u_hbm, warm_hbm, ancu_ref,
+               x_out, u_hbm_out, warm_hbm_out, ancu_out,
+               x_s, ancu_s, u_blk, warm_blk, f9, z9, b_s, r_s, p_s, Ap_s,
+               sem):
+        i = pl.program_id(0)
+        p1 = pl.program_id(1)
+
+        # ---- first grid step: init live x and anchor duals
+        @pl.when(jnp.logical_and(i == 0, p1 == 0))
+        def _init():
+            for a in range(3):
+                x_s[a, :] = xbar_ref[a, :]
+                ancu_s[a, :] = ancu_ref[a, :]
+
+        @pl.when(p1 == 0)
+        def _reset_b():
+            for a in range(3):
+                b_s[a, :] = jnp.zeros_like(b_s[a, :])
+
+        # ---- phase 3g+0 (static per group): stream duals in, F = u + Dx
+        for g, (corners, parity, cp, w2) in enumerate(groups):
+            @pl.when(p1 == 3 * g)
+            def _load(g=g, corners=corners, cp=cp):
+                # iteration 0 seeds from the inputs; later iterations read
+                # the running duals back from the OUTPUT buffers (interpret
+                # mode does not alias in/out, so inputs would be stale)
+                @pl.when(i == 0)
+                def _seed():
+                    cu = pltpu.make_async_copy(u_hbm.at[g], u_blk, sem)
+                    cu.start()
+                    cu.wait()
+                    cw = pltpu.make_async_copy(warm_hbm.at[g], warm_blk, sem)
+                    cw.start()
+                    cw.wait()
+
+                @pl.when(i > 0)
+                def _reload():
+                    cu = pltpu.make_async_copy(u_hbm_out.at[g], u_blk, sem)
+                    cu.start()
+                    cu.wait()
+                    cw = pltpu.make_async_copy(
+                        warm_hbm_out.at[g], warm_blk, sem
+                    )
+                    cw.start()
+                    cw.wait()
+
+                for a in range(3):
+                    for b in range(3):
+                        f9[3 * a + b, :] = u_blk[3 * a + b, :]
+                for kk, c in enumerate(corners):
+                    o = offs[c]
+                    for a in range(3):
+                        for b in range(3):
+                            w = float(cp[b, kk])
+                            if w == 0.0:
+                                continue
+                            if o == 0:
+                                f9[3 * a + b, :] += w * x_s[a, :]
+                            else:
+                                f9[3 * a + b, : N - o] += w * x_s[a, o:]
+
+        # ---- shared compute phase 3g+1: SVD + Newton + reconstruct
+        @pl.when(jnp.logical_and(p1 < CG_PHASE, p1 % 3 == 1))
+        def _compute():
+            f = [f9[p, :] for p in range(9)]
+            eps = jnp.asarray(jnp.finfo(f[0].dtype).eps, f[0].dtype)
+            U, V, s = _svd_columns(f, eps)
+
+            w1 = warm_blk[0, :]
+            w2_ = warm_blk[1, :]
+            w3 = jnp.abs(warm_blk[2, :])
+            collapsed = (
+                (jnp.abs(w1) < 1e-3) & (jnp.abs(w2_) < 1e-3)
+                & (jnp.abs(w3) < 1e-3)
+            )
+            w1 = jnp.where(collapsed, 1e-3, w1)
+            w2_ = jnp.where(collapsed, 1e-3, w2_)
+            w3 = jnp.where(collapsed, 1e-3, w3)
+
+            mu_l = jnp.full_like(f[0], mu)
+            lam_l = jnp.full_like(f[0], lam)
+            k_l = jnp.full_like(f[0], kprox)
+            x1, x2, x3 = _newton_hyper(
+                s, (w1, w2_, w3), mu_l, lam_l, k_l, newton_iters, "nh"
+            )
+            warm_blk[0, :] = x1
+            warm_blk[1, :] = x2
+            warm_blk[2, :] = x3
+            sig = (x1, x2, x3)
+            for r in range(3):
+                for c in range(3):
+                    z = (
+                        U[0][r] * sig[0] * V[0][c]
+                        + U[1][r] * sig[1] * V[1][c]
+                        + U[2][r] * sig[2] * V[2][c]
+                    )
+                    z9[3 * r + c, :] = z
+                    # u' = u + Dx - z = F - z
+                    u_blk[3 * r + c, :] = f9[3 * r + c, :] - z
+
+        # ---- phase 3g+2: b += w2 mask D^T (z - u'); stream duals out
+        for g, (corners, parity, cp, w2) in enumerate(groups):
+            @pl.when(p1 == 3 * g + 2)
+            def _scatter(g=g, corners=corners, cp=cp, w2=w2, parity=parity):
+                # zu = z - u' = 2z - F, masked to valid cells of this parity
+                m = w2 * masks_ref[1 + parity, :]
+                zu = [m * (2.0 * z9[p, :] - f9[p, :]) for p in range(9)]
+                for kk, c in enumerate(corners):
+                    o = offs[c]
+                    for j in range(3):
+                        acc = None
+                        for r in range(3):
+                            w = float(cp[r, kk])
+                            if w == 0.0:
+                                continue
+                            t = w * zu[3 * j + r]
+                            acc = t if acc is None else acc + t
+                        if o == 0:
+                            b_s[j, :] += acc
+                        else:
+                            b_s[j, o:] += acc[: N - o]
+                cu = pltpu.make_async_copy(u_blk, u_hbm_out.at[g], sem)
+                cu.start()
+                cu.wait()
+                cw = pltpu.make_async_copy(warm_blk, warm_hbm_out.at[g], sem)
+                cw.start()
+                cw.wait()
+
+        # ---- CG phase: anchors + whole Jacobi-PCG dia solve on live x
+        @pl.when(p1 == CG_PHASE)
+        def _solve():
+            aw2 = masks_ref[0, :]
+            for a in range(3):
+                ua = ancu_s[a, :] + x_s[a, :] - ancz_ref[a, :]
+                ancu_s[a, :] = ua
+                ancu_out[a, :] = ua
+                b_s[a, :] += aw2 * (ancz_ref[a, :] - ua)
+
+            def matvec_into(src_ref, out_ref):
+                for d, off in enumerate(dia_offs):
+                    if d == 0:
+                        for a in range(3):
+                            out_ref[a, :] = jnp.zeros_like(out_ref[a, :])
+                    if off == 0:
+                        for a in range(3):
+                            out_ref[a, :] += dia_ref[d, :] * src_ref[a, :]
+                    elif off > 0:
+                        for a in range(3):
+                            out_ref[a, : N - off] += (
+                                dia_ref[d, : N - off] * src_ref[a, off:]
+                            )
+                    else:
+                        o = -off
+                        for a in range(3):
+                            out_ref[a, o:] += (
+                                dia_ref[d, o:] * src_ref[a, : N - o]
+                            )
+
+            matvec_into(x_s, Ap_s)
+            for a in range(3):
+                r_s[a, :] = Mxbar_ref[a, :] + dt2 * b_s[a, :] - Ap_s[a, :]
+                p_s[a, :] = invd_ref[0, :] * r_s[a, :]
+            rz0 = sum(jnp.sum(r_s[a, :] * p_s[a, :]) for a in range(3))
+
+            def body(_, rz):
+                matvec_into(p_s, Ap_s)
+                pAp = sum(
+                    jnp.sum(p_s[a, :] * Ap_s[a, :]) for a in range(3)
+                )
+                alpha = rz / jnp.where(pAp > 0, pAp, 1.0)
+                for a in range(3):
+                    x_s[a, :] += alpha * p_s[a, :]
+                    r_s[a, :] -= alpha * Ap_s[a, :]
+                rz_new = sum(
+                    jnp.sum(r_s[a, :] * invd_ref[0, :] * r_s[a, :])
+                    for a in range(3)
+                )
+                beta = rz_new / jnp.where(rz > 0, rz, 1.0)
+                for a in range(3):
+                    p_s[a, :] = invd_ref[0, :] * r_s[a, :] + beta * p_s[a, :]
+                return rz_new
+
+            jax.lax.fori_loop(0, cg_iters, body, rz0)
+            for a in range(3):
+                x_out[a, :] = x_s[a, :]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "offs", "groups_key", "dia_offs", "mu", "lam", "kprox",
+        "newton_iters", "cg_iters", "dt2", "n_iters", "interpret",
+    ),
+    donate_argnums=(6, 7),
+)
+def _lattice_call(Mxbar, masks, ancz, dia, invd, xbar, u, warm, ancu,
+                  offs, groups_key, dia_offs, mu, lam, kprox, newton_iters,
+                  cg_iters, dt2, n_iters, interpret):
+    import numpy as np
+
+    groups = [
+        (c, p, np.asarray(cpf, np.float64).reshape(3, 4), w2)
+        for (c, p, cpf, w2) in groups_key
+    ]
+    N = xbar.shape[1]
+    n_groups = len(groups)
+    n_phases = 3 * n_groups + 1
+    kern = _make_lattice_kernel(
+        N, offs, groups, dia_offs, mu, lam, kprox, newton_iters, cg_iters,
+        dt2,
+    )
+    full = lambda *_: (0, 0)
+    f3 = pl.BlockSpec((3, N), full, memory_space=pltpu.VMEM)
+    f1 = pl.BlockSpec((1, N), full, memory_space=pltpu.VMEM)
+    fd = pl.BlockSpec(dia.shape, full, memory_space=pltpu.VMEM)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
+    out = pl.pallas_call(
+        kern,
+        grid=(n_iters, n_phases),
+        in_specs=[f3, f3, f3, fd, f1, f3, hbm, hbm, f3],
+        out_specs=[f3, hbm, hbm, f3],
+        out_shape=[
+            jax.ShapeDtypeStruct(xbar.shape, xbar.dtype),
+            jax.ShapeDtypeStruct(u.shape, u.dtype),
+            jax.ShapeDtypeStruct(warm.shape, warm.dtype),
+            jax.ShapeDtypeStruct(ancu.shape, ancu.dtype),
+        ],
+        input_output_aliases={6: 1, 7: 2},
+        scratch_shapes=[
+            pltpu.VMEM((3, N), xbar.dtype),   # live x
+            pltpu.VMEM((3, N), xbar.dtype),   # live anchor duals
+            pltpu.VMEM((9, N), xbar.dtype),   # streamed u block
+            pltpu.VMEM((3, N), xbar.dtype),   # streamed warm block
+            pltpu.VMEM((9, N), xbar.dtype),   # F planes
+            pltpu.VMEM((9, N), xbar.dtype),   # z planes
+            pltpu.VMEM((3, N), xbar.dtype),   # b accumulator
+            pltpu.VMEM((3, N), xbar.dtype),   # CG r
+            pltpu.VMEM((3, N), xbar.dtype),   # CG p
+            pltpu.VMEM((3, N), xbar.dtype),   # CG Ap
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(Mxbar, masks, ancz, dia, invd, xbar, u, warm, ancu)
+    return out
+
+
+def lattice_timestep(Mxbar, masks, ancz, dia, invd, xbar, u, warm, ancu, *,
+                     offs, groups, dia_offs, mu, lam, kprox, newton_iters,
+                     cg_iters, dt2, n_iters, interpret=None):
+    """One whole ADMM timestep in one kernel.
+
+    Mxbar/ancz/xbar/ancu: (3,N); masks: (3,N) rows = [anchor w2 plane,
+    even-parity validity, odd-parity validity]; dia: (D,N); invd: (1,N);
+    u: (n_groups,9,N); warm: (n_groups,3,N). Returns (x, u, warm, ancu)
+    with the same layouts. `groups` is the hashable tuple built by
+    core/lattice.LatticeStepper."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    return _lattice_call(
+        Mxbar, masks, ancz, dia, invd, xbar, u, warm, ancu,
+        offs=tuple(offs), groups_key=groups, dia_offs=tuple(dia_offs),
+        mu=float(mu), lam=float(lam), kprox=float(kprox),
+        newton_iters=int(newton_iters), cg_iters=int(cg_iters),
+        dt2=float(dt2), n_iters=int(n_iters), interpret=bool(interpret),
+    )

@@ -75,6 +75,24 @@ def build_tet100k(dtype, admm_iters=10, local_backend="xla", global_solver="dia"
     return sys, beam.n_tets
 
 
+def build_tet100k_lattice(dtype, admm_iters=10):
+    """Same 100k-tet workload through the lattice fast path: the whole
+    ADMM timestep (local steps, duals, RHS, CG) as ONE Pallas kernel
+    (core/lattice.LatticeStepper)."""
+    from admm_elastic_tpu.core.lattice import LatticeStepper
+    from admm_elastic_tpu.geometry import make_beam_tets
+
+    beam = make_beam_tets(40, 25, 20, size=0.05)
+    n = beam.n_vertices
+    anchored = np.flatnonzero(beam.vertices[:, 0] < 1e-9)
+    lat = LatticeStepper(
+        40, 25, 20, 0.05, np.full(n, 50.0 / n), 1e5, 1e5, anchored,
+        dt=0.04, admm_iters=admm_iters, newton_iters=5, cg_iters=25,
+        dtype=dtype,
+    )
+    return lat, beam.n_tets
+
+
 def bench_system(sys, steps, warmup=3, rollout=True):
     """Median ms/step. rollout=True times an on-device lax.scan of `steps`
     timesteps (production shape: one dispatch for the whole window);
@@ -203,6 +221,8 @@ def main():
     ap.add_argument("--global-solver", default="dia",
                     choices=["ell", "cg", "dense", "dia"])
     ap.add_argument("--cg-backend", default="fused", choices=["xla", "fused", "kernel"])
+    ap.add_argument("--lattice", action="store_true",
+                    help="tet100k: single-kernel whole-timestep lattice path")
     args = ap.parse_args()
 
     import jax
@@ -213,12 +233,17 @@ def main():
     print(f"# backend: {dev.platform} ({dev.device_kind})", file=sys.stderr)
 
     if args.preset == "tet100k":
-        sys_, n_tets = build_tet100k(
-            dtype, local_backend=args.local_backend,
-            global_solver=args.global_solver, cg_backend=args.cg_backend,
-        )
+        if args.lattice:
+            sys_, n_tets = build_tet100k_lattice(dtype)
+            admm_iters = sys_.admm_iters
+        else:
+            sys_, n_tets = build_tet100k(
+                dtype, local_backend=args.local_backend,
+                global_solver=args.global_solver, cg_backend=args.cg_backend,
+            )
+            admm_iters = sys_.settings.admm_iters
         ms = bench_system(sys_, args.steps) * 1e3
-        iters_per_s = sys_.settings.admm_iters / (ms / 1e3)
+        iters_per_s = admm_iters / (ms / 1e3)
         baseline = _load_baseline()
         if baseline and "tet100k_ms_per_step" in baseline:
             vs = baseline["tet100k_ms_per_step"] / ms
