@@ -114,8 +114,10 @@ class LatticeStepper:
         self.state = {
             "x": jnp.asarray(self.mesh.vertices, dtype),
             "v": jnp.zeros((n, 3), dtype),
-            "u": jnp.zeros((self.n_groups, 9, self.N), dtype),
-            "warm": jnp.ones((self.n_groups, 3, self.N), dtype),
+            # second-minor dim padded to the (8,128) HBM tile so the
+            # per-group DMA slices are tiling-aligned (planes 0-8 / 0-2 used)
+            "u": jnp.zeros((self.n_groups, 16, self.N), dtype),
+            "warm": jnp.ones((self.n_groups, 8, self.N), dtype),
             "ancu": jnp.zeros((3, self.N), dtype),
             "t": jnp.asarray(0.0, dtype),
         }

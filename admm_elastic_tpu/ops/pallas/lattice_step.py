@@ -321,8 +321,8 @@ def _lattice_call(Mxbar, masks, ancz, dia, invd, xbar, u, warm, ancu,
         scratch_shapes=[
             pltpu.VMEM((3, N), xbar.dtype),   # live x
             pltpu.VMEM((3, N), xbar.dtype),   # live anchor duals
-            pltpu.VMEM((9, N), xbar.dtype),   # streamed u block
-            pltpu.VMEM((3, N), xbar.dtype),   # streamed warm block
+            pltpu.VMEM((16, N), xbar.dtype),  # streamed u block (8-row tiled)
+            pltpu.VMEM((8, N), xbar.dtype),   # streamed warm block
             pltpu.VMEM((9, N), xbar.dtype),   # F planes
             pltpu.VMEM((9, N), xbar.dtype),   # z planes
             pltpu.VMEM((3, N), xbar.dtype),   # b accumulator
@@ -343,7 +343,8 @@ def lattice_timestep(Mxbar, masks, ancz, dia, invd, xbar, u, warm, ancu, *,
 
     Mxbar/ancz/xbar/ancu: (3,N); masks: (3,N) rows = [anchor w2 plane,
     even-parity validity, odd-parity validity]; dia: (D,N); invd: (1,N);
-    u: (n_groups,9,N); warm: (n_groups,3,N). Returns (x, u, warm, ancu)
+    u: (n_groups,16,N) (planes 0-8 used; 16 rows for (8,128) HBM tiling);
+    warm: (n_groups,8,N) (planes 0-2 used). Returns (x, u, warm, ancu)
     with the same layouts. `groups` is the hashable tuple built by
     core/lattice.LatticeStepper."""
     if interpret is None:
