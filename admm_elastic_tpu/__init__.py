@@ -20,8 +20,9 @@ Layout:
 """
 
 from .core.system import System, Settings
+from .core.lattice import LatticeStepper
 from . import models, geometry, ops
 
 __version__ = "0.1.0"
 
-__all__ = ["System", "Settings", "models", "geometry", "ops"]
+__all__ = ["System", "LatticeStepper", "Settings", "models", "geometry", "ops"]

@@ -221,8 +221,10 @@ def main():
     ap.add_argument("--global-solver", default="dia",
                     choices=["ell", "cg", "dense", "dia"])
     ap.add_argument("--cg-backend", default="fused", choices=["xla", "fused", "kernel"])
-    ap.add_argument("--lattice", action="store_true",
-                    help="tet100k: single-kernel whole-timestep lattice path")
+    ap.add_argument("--lattice", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="tet100k: single-kernel whole-timestep lattice path "
+                         "(default; --no-lattice uses the general System)")
     args = ap.parse_args()
 
     import jax
