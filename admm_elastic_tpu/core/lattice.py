@@ -112,8 +112,13 @@ class LatticeStepper:
         )
 
         self.state = {
-            "x": jnp.asarray(self.mesh.vertices, dtype),
-            "v": jnp.zeros((n, 3), dtype),
+            # x/v live in padded plane layout (3,N) — the kernel does the
+            # whole step (incl. velocity kick + update) in that layout, so
+            # rollouts run with zero per-step relayout work
+            "x": jnp.asarray(
+                np.pad(self.mesh.vertices.T, ((0, 0), (0, pad))), dtype
+            ),
+            "v": jnp.zeros((3, self.N), dtype),
             # second-minor dim padded to the (8,128) HBM tile so the
             # per-group DMA slices are tiling-aligned (planes 0-8 / 0-2 used)
             "u": jnp.zeros((self.n_groups, 16, self.N), dtype),
@@ -126,15 +131,17 @@ class LatticeStepper:
 
     @property
     def x(self):
-        return self.state["x"]
+        """(n,3) positions (converted from the internal plane layout)."""
+        return self.state["x"][:, : self.n_nodes].T
+
+    @property
+    def v(self):
+        return self.state["v"][:, : self.n_nodes].T
 
     def _make_step(self):
         from ..ops.pallas.lattice_step import lattice_timestep
 
-        n = self.n_nodes
-        N = self.N
         dt = self.dt
-        g = self.gravity
         masks, ancz, dia, invd, mpad = (
             self._masks, self._ancz, self._dia, self._invd, self._mpad
         )
@@ -142,23 +149,17 @@ class LatticeStepper:
             offs=self.offs, groups=self.groups, dia_offs=self.dia_offs,
             mu=self._mu, lam=self._lam, kprox=self._kprox,
             newton_iters=self.newton_iters, cg_iters=self.cg_iters,
-            dt2=dt * dt, n_iters=self.admm_iters,
+            dt=dt, gravity=tuple(float(q) for q in np.asarray(self.gravity)),
+            n_iters=self.admm_iters,
         )
 
         def step(state):
-            x, v = state["x"], state["v"]
-            v = v + dt * g
-            xbar = x + dt * v
-            xb3 = jnp.pad(xbar.T, ((0, 0), (0, N - n)))
-            Mxb = mpad * xb3
-            x3, u, warm, ancu = lattice_timestep(
-                Mxb, masks, ancz, dia, invd, xb3,
+            x3, v3, u, warm, ancu = lattice_timestep(
+                masks, ancz, dia, invd, mpad, state["x"], state["v"],
                 state["u"], state["warm"], state["ancu"], **kw
             )
-            x_new = x3[:, :n].T
-            v_new = (x_new - x) / dt
             return {
-                "x": x_new, "v": v_new, "u": u, "warm": warm,
+                "x": x3, "v": v3, "u": u, "warm": warm,
                 "ancu": ancu, "t": state["t"] + dt,
             }
 

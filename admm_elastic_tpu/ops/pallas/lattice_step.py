@@ -82,24 +82,28 @@ def group_tables(size: float):
 
 
 def _make_lattice_kernel(N, offs, groups, dia_offs, mu, lam, kprox,
-                         newton_iters, cg_iters, dt2):
+                         newton_iters, cg_iters, dt, dt2, gvec, n_iters):
     """groups: list of (corners, parity, cp (3,4) ndarray, w2 float)."""
     n_groups = len(groups)
     CG_PHASE = 3 * n_groups
 
-    def kernel(Mxbar_ref, masks_ref, ancz_ref, dia_ref, invd_ref,
-               xbar_ref, u_hbm, warm_hbm, ancu_ref,
-               x_out, u_hbm_out, warm_hbm_out, ancu_out,
-               x_s, ancu_s, u_blk, warm_blk, f9, z9, b_s, r_s, p_s, Ap_s,
-               sem):
+    def kernel(masks_ref, ancz_ref, dia_ref, invd_ref, mass_ref,
+               x3_ref, v3_ref, u_hbm, warm_hbm, ancu_ref,
+               x_out, v_out, u_hbm_out, warm_hbm_out, ancu_out,
+               x_s, ancu_s, Mxb_s, u_blk, warm_blk, f9, z9, b_s, r_s, p_s,
+               Ap_s, sem):
         i = pl.program_id(0)
         p1 = pl.program_id(1)
 
-        # ---- first grid step: init live x and anchor duals
+        # ---- first grid step: in-kernel prologue — gravity kick,
+        # xbar = x + dt v', M xbar; init live x and anchor duals
         @pl.when(jnp.logical_and(i == 0, p1 == 0))
         def _init():
             for a in range(3):
-                x_s[a, :] = xbar_ref[a, :]
+                va = v3_ref[a, :] + dt * gvec[a]
+                xs = x3_ref[a, :] + dt * va
+                x_s[a, :] = xs
+                Mxb_s[a, :] = mass_ref[0, :] * xs
                 ancu_s[a, :] = ancu_ref[a, :]
 
         @pl.when(p1 == 0)
@@ -248,7 +252,7 @@ def _make_lattice_kernel(N, offs, groups, dia_offs, mu, lam, kprox,
 
             matvec_into(x_s, Ap_s)
             for a in range(3):
-                r_s[a, :] = Mxbar_ref[a, :] + dt2 * b_s[a, :] - Ap_s[a, :]
+                r_s[a, :] = Mxb_s[a, :] + dt2 * b_s[a, :] - Ap_s[a, :]
                 p_s[a, :] = invd_ref[0, :] * r_s[a, :]
             rz0 = sum(jnp.sum(r_s[a, :] * p_s[a, :]) for a in range(3))
 
@@ -271,8 +275,11 @@ def _make_lattice_kernel(N, offs, groups, dia_offs, mu, lam, kprox,
                 return rz_new
 
             jax.lax.fori_loop(0, cg_iters, body, rz0)
+            # in-kernel epilogue: emit x and v = (x' - x)/dt (final
+            # iteration's values are the ones written back)
             for a in range(3):
                 x_out[a, :] = x_s[a, :]
+                v_out[a, :] = (x_s[a, :] - x3_ref[a, :]) * (1.0 / dt)
 
     return kernel
 
@@ -281,25 +288,26 @@ def _make_lattice_kernel(N, offs, groups, dia_offs, mu, lam, kprox,
     jax.jit,
     static_argnames=(
         "offs", "groups_key", "dia_offs", "mu", "lam", "kprox",
-        "newton_iters", "cg_iters", "dt2", "n_iters", "interpret",
+        "newton_iters", "cg_iters", "dt", "dt2", "gvec", "n_iters",
+        "interpret",
     ),
-    donate_argnums=(6, 7),
+    donate_argnums=(7, 8),
 )
-def _lattice_call(Mxbar, masks, ancz, dia, invd, xbar, u, warm, ancu,
+def _lattice_call(masks, ancz, dia, invd, mass, x3, v3, u, warm, ancu,
                   offs, groups_key, dia_offs, mu, lam, kprox, newton_iters,
-                  cg_iters, dt2, n_iters, interpret):
+                  cg_iters, dt, dt2, gvec, n_iters, interpret):
     import numpy as np
 
     groups = [
         (c, p, np.asarray(cpf, np.float64).reshape(3, 4), w2)
         for (c, p, cpf, w2) in groups_key
     ]
-    N = xbar.shape[1]
+    N = x3.shape[1]
     n_groups = len(groups)
     n_phases = 3 * n_groups + 1
     kern = _make_lattice_kernel(
         N, offs, groups, dia_offs, mu, lam, kprox, newton_iters, cg_iters,
-        dt2,
+        dt, dt2, gvec, n_iters,
     )
     full = lambda *_: (0, 0)
     f3 = pl.BlockSpec((3, N), full, memory_space=pltpu.VMEM)
@@ -309,50 +317,56 @@ def _lattice_call(Mxbar, masks, ancz, dia, invd, xbar, u, warm, ancu,
     out = pl.pallas_call(
         kern,
         grid=(n_iters, n_phases),
-        in_specs=[f3, f3, f3, fd, f1, f3, hbm, hbm, f3],
-        out_specs=[f3, hbm, hbm, f3],
+        in_specs=[f3, f3, fd, f1, f1, f3, f3, hbm, hbm, f3],
+        out_specs=[f3, f3, hbm, hbm, f3],
         out_shape=[
-            jax.ShapeDtypeStruct(xbar.shape, xbar.dtype),
+            jax.ShapeDtypeStruct(x3.shape, x3.dtype),
+            jax.ShapeDtypeStruct(v3.shape, v3.dtype),
             jax.ShapeDtypeStruct(u.shape, u.dtype),
             jax.ShapeDtypeStruct(warm.shape, warm.dtype),
             jax.ShapeDtypeStruct(ancu.shape, ancu.dtype),
         ],
-        input_output_aliases={6: 1, 7: 2},
+        input_output_aliases={7: 2, 8: 3},
         scratch_shapes=[
-            pltpu.VMEM((3, N), xbar.dtype),   # live x
-            pltpu.VMEM((3, N), xbar.dtype),   # live anchor duals
-            pltpu.VMEM((16, N), xbar.dtype),  # streamed u block (8-row tiled)
-            pltpu.VMEM((8, N), xbar.dtype),   # streamed warm block
-            pltpu.VMEM((9, N), xbar.dtype),   # F planes
-            pltpu.VMEM((9, N), xbar.dtype),   # z planes
-            pltpu.VMEM((3, N), xbar.dtype),   # b accumulator
-            pltpu.VMEM((3, N), xbar.dtype),   # CG r
-            pltpu.VMEM((3, N), xbar.dtype),   # CG p
-            pltpu.VMEM((3, N), xbar.dtype),   # CG Ap
+            pltpu.VMEM((3, N), x3.dtype),   # live x
+            pltpu.VMEM((3, N), x3.dtype),   # live anchor duals
+            pltpu.VMEM((3, N), x3.dtype),   # M xbar
+            pltpu.VMEM((16, N), x3.dtype),  # streamed u block (8-row tiled)
+            pltpu.VMEM((8, N), x3.dtype),   # streamed warm block
+            pltpu.VMEM((9, N), x3.dtype),   # F planes
+            pltpu.VMEM((9, N), x3.dtype),   # z planes
+            pltpu.VMEM((3, N), x3.dtype),   # b accumulator
+            pltpu.VMEM((3, N), x3.dtype),   # CG r
+            pltpu.VMEM((3, N), x3.dtype),   # CG p
+            pltpu.VMEM((3, N), x3.dtype),   # CG Ap
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(Mxbar, masks, ancz, dia, invd, xbar, u, warm, ancu)
+    )(masks, ancz, dia, invd, mass, x3, v3, u, warm, ancu)
     return out
 
 
-def lattice_timestep(Mxbar, masks, ancz, dia, invd, xbar, u, warm, ancu, *,
+def lattice_timestep(masks, ancz, dia, invd, mass, x3, v3, u, warm, ancu, *,
                      offs, groups, dia_offs, mu, lam, kprox, newton_iters,
-                     cg_iters, dt2, n_iters, interpret=None):
-    """One whole ADMM timestep in one kernel.
+                     cg_iters, dt, gravity, n_iters, interpret=None):
+    """One whole ADMM timestep in one kernel — including the explicit
+    velocity kick prologue and v=(x'-x)/dt epilogue, so state stays in
+    plane layout across whole rollouts with zero XLA glue per step.
 
-    Mxbar/ancz/xbar/ancu: (3,N); masks: (3,N) rows = [anchor w2 plane,
-    even-parity validity, odd-parity validity]; dia: (D,N); invd: (1,N);
-    u: (n_groups,16,N) (planes 0-8 used; 16 rows for (8,128) HBM tiling);
-    warm: (n_groups,8,N) (planes 0-2 used). Returns (x, u, warm, ancu)
-    with the same layouts. `groups` is the hashable tuple built by
+    x3/v3/ancz/ancu: (3,N); masks: (3,N) rows = [anchor w2 plane,
+    even-parity validity, odd-parity validity]; dia: (D,N); invd/mass:
+    (1,N); u: (n_groups,16,N) (planes 0-8 used; 16 rows for (8,128) HBM
+    tiling); warm: (n_groups,8,N) (planes 0-2 used). Returns
+    (x3, v3, u, warm, ancu). `groups` is the hashable tuple built by
     core/lattice.LatticeStepper."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     return _lattice_call(
-        Mxbar, masks, ancz, dia, invd, xbar, u, warm, ancu,
+        masks, ancz, dia, invd, mass, x3, v3, u, warm, ancu,
         offs=tuple(offs), groups_key=groups, dia_offs=tuple(dia_offs),
         mu=float(mu), lam=float(lam), kprox=float(kprox),
         newton_iters=int(newton_iters), cg_iters=int(cg_iters),
-        dt2=float(dt2), n_iters=int(n_iters), interpret=bool(interpret),
+        dt=float(dt), dt2=float(dt) * float(dt),
+        gvec=tuple(float(q) for q in gravity),
+        n_iters=int(n_iters), interpret=bool(interpret),
     )
