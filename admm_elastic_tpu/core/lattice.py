@@ -138,6 +138,16 @@ class LatticeStepper:
     def v(self):
         return self.state["v"][:, : self.n_nodes].T
 
+    def _kernel_kwargs(self):
+        dt = self.dt
+        return dict(
+            offs=self.offs, groups=self.groups, dia_offs=self.dia_offs,
+            mu=self._mu, lam=self._lam, kprox=self._kprox,
+            newton_iters=self.newton_iters, cg_iters=self.cg_iters,
+            dt=dt, gravity=tuple(float(q) for q in np.asarray(self.gravity)),
+            n_iters=self.admm_iters,
+        )
+
     def _make_step(self):
         from ..ops.pallas.lattice_step import lattice_timestep
 
@@ -145,13 +155,7 @@ class LatticeStepper:
         masks, ancz, dia, invd, mpad = (
             self._masks, self._ancz, self._dia, self._invd, self._mpad
         )
-        kw = dict(
-            offs=self.offs, groups=self.groups, dia_offs=self.dia_offs,
-            mu=self._mu, lam=self._lam, kprox=self._kprox,
-            newton_iters=self.newton_iters, cg_iters=self.cg_iters,
-            dt=dt, gravity=tuple(float(q) for q in np.asarray(self.gravity)),
-            n_iters=self.admm_iters,
-        )
+        kw = self._kernel_kwargs()
 
         def step(state):
             x3, v3, u, warm, ancu = lattice_timestep(
@@ -170,16 +174,27 @@ class LatticeStepper:
         return True
 
     def run(self, n_steps: int):
-        """On-device lax.scan rollout of n_steps timesteps."""
+        """n_steps timesteps in ONE kernel call (the rollout grid amortizes
+        the per-call launch cost over the whole window)."""
+        from ..ops.pallas.lattice_step import lattice_rollout
+
         if n_steps not in self._rollouts:
-            step = self._make_step()
+            dt = self.dt
+            masks, ancz, dia, invd, mpad = (
+                self._masks, self._ancz, self._dia, self._invd, self._mpad
+            )
+            kw = self._kernel_kwargs()
 
             def roll(state):
-                def body(s, _):
-                    return step(s), ()
-
-                s2, _ = jax.lax.scan(body, state, None, length=n_steps)
-                return s2
+                x3, v3, u, warm, ancu = lattice_rollout(
+                    masks, ancz, dia, invd, mpad, state["x"], state["v"],
+                    state["u"], state["warm"], state["ancu"],
+                    n_steps=n_steps, **kw
+                )
+                return {
+                    "x": x3, "v": v3, "u": u, "warm": warm, "ancu": ancu,
+                    "t": state["t"] + n_steps * dt,
+                }
 
             self._rollouts[n_steps] = jax.jit(roll, donate_argnums=(0,))
         self.state = self._rollouts[n_steps](self.state)

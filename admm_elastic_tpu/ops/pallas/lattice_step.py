@@ -83,28 +83,43 @@ def group_tables(size: float):
 
 def _make_lattice_kernel(N, offs, groups, dia_offs, mu, lam, kprox,
                          newton_iters, cg_iters, dt, dt2, gvec, n_iters):
-    """groups: list of (corners, parity, cp (3,4) ndarray, w2 float)."""
+    """groups: list of (corners, parity, cp (3,4) ndarray, w2 float).
+    Grid is (n_steps, n_iters, 3*n_groups+1): a whole ROLLOUT per call,
+    amortizing the ~3 ms pallas_call launch cost over the window."""
     n_groups = len(groups)
     CG_PHASE = 3 * n_groups
 
     def kernel(masks_ref, ancz_ref, dia_ref, invd_ref, mass_ref,
                x3_ref, v3_ref, u_hbm, warm_hbm, ancu_ref,
                x_out, v_out, u_hbm_out, warm_hbm_out, ancu_out,
-               x_s, ancu_s, Mxb_s, u_blk, warm_blk, f9, z9, b_s, r_s, p_s,
-               Ap_s, sem):
-        i = pl.program_id(0)
-        p1 = pl.program_id(1)
+               x_s, ancu_s, Mxb_s, v_sc, xst_s, u_blk, warm_blk, f9, z9,
+               b_s, r_s, p_s, Ap_s, sem):
+        st = pl.program_id(0)
+        i = pl.program_id(1)
+        p1 = pl.program_id(2)
 
-        # ---- first grid step: in-kernel prologue — gravity kick,
-        # xbar = x + dt v', M xbar; init live x and anchor duals
+        # ---- very first grid step: seed live state from the inputs
+        @pl.when(
+            jnp.logical_and(st == 0, jnp.logical_and(i == 0, p1 == 0))
+        )
+        def _seed_state():
+            for a in range(3):
+                x_s[a, :] = x3_ref[a, :]
+                v_sc[a, :] = v3_ref[a, :]
+                ancu_s[a, :] = ancu_ref[a, :]
+
+        # ---- per-timestep prologue: gravity kick, xbar = x + dt v',
+        # M xbar; remember the pre-step x for the velocity update
         @pl.when(jnp.logical_and(i == 0, p1 == 0))
         def _init():
             for a in range(3):
-                va = v3_ref[a, :] + dt * gvec[a]
-                xs = x3_ref[a, :] + dt * va
+                va = v_sc[a, :] + dt * gvec[a]
+                v_sc[a, :] = va
+                xst = x_s[a, :]
+                xst_s[a, :] = xst
+                xs = xst + dt * va
                 x_s[a, :] = xs
                 Mxb_s[a, :] = mass_ref[0, :] * xs
-                ancu_s[a, :] = ancu_ref[a, :]
 
         @pl.when(p1 == 0)
         def _reset_b():
@@ -118,7 +133,9 @@ def _make_lattice_kernel(N, offs, groups, dia_offs, mu, lam, kprox,
                 # iteration 0 seeds from the inputs; later iterations read
                 # the running duals back from the OUTPUT buffers (interpret
                 # mode does not alias in/out, so inputs would be stale)
-                @pl.when(i == 0)
+                first = jnp.logical_and(st == 0, i == 0)
+
+                @pl.when(first)
                 def _seed():
                     cu = pltpu.make_async_copy(u_hbm.at[g], u_blk, sem)
                     cu.start()
@@ -127,7 +144,7 @@ def _make_lattice_kernel(N, offs, groups, dia_offs, mu, lam, kprox,
                     cw.start()
                     cw.wait()
 
-                @pl.when(i > 0)
+                @pl.when(jnp.logical_not(first))
                 def _reload():
                     cu = pltpu.make_async_copy(u_hbm_out.at[g], u_blk, sem)
                     cu.start()
@@ -275,11 +292,17 @@ def _make_lattice_kernel(N, offs, groups, dia_offs, mu, lam, kprox,
                 return rz_new
 
             jax.lax.fori_loop(0, cg_iters, body, rz0)
-            # in-kernel epilogue: emit x and v = (x' - x)/dt (final
-            # iteration's values are the ones written back)
-            for a in range(3):
-                x_out[a, :] = x_s[a, :]
-                v_out[a, :] = (x_s[a, :] - x3_ref[a, :]) * (1.0 / dt)
+
+            # per-timestep epilogue on the last ADMM iteration:
+            # v = (x' - x_prestep)/dt; emit outputs (final step's persist)
+            @pl.when(i == n_iters - 1)
+            def _epilogue():
+                for a in range(3):
+                    vn = (x_s[a, :] - xst_s[a, :]) * (1.0 / dt)
+                    v_sc[a, :] = vn
+                    v_out[a, :] = vn
+                    x_out[a, :] = x_s[a, :]
+                    ancu_out[a, :] = ancu_s[a, :]
 
     return kernel
 
@@ -289,13 +312,13 @@ def _make_lattice_kernel(N, offs, groups, dia_offs, mu, lam, kprox,
     static_argnames=(
         "offs", "groups_key", "dia_offs", "mu", "lam", "kprox",
         "newton_iters", "cg_iters", "dt", "dt2", "gvec", "n_iters",
-        "interpret",
+        "n_steps", "interpret",
     ),
     donate_argnums=(7, 8),
 )
 def _lattice_call(masks, ancz, dia, invd, mass, x3, v3, u, warm, ancu,
                   offs, groups_key, dia_offs, mu, lam, kprox, newton_iters,
-                  cg_iters, dt, dt2, gvec, n_iters, interpret):
+                  cg_iters, dt, dt2, gvec, n_iters, n_steps, interpret):
     import numpy as np
 
     groups = [
@@ -316,7 +339,7 @@ def _lattice_call(masks, ancz, dia, invd, mass, x3, v3, u, warm, ancu,
     hbm = pl.BlockSpec(memory_space=pl.ANY)
     out = pl.pallas_call(
         kern,
-        grid=(n_iters, n_phases),
+        grid=(n_steps, n_iters, n_phases),
         in_specs=[f3, f3, fd, f1, f1, f3, f3, hbm, hbm, f3],
         out_specs=[f3, f3, hbm, hbm, f3],
         out_shape=[
@@ -331,6 +354,8 @@ def _lattice_call(masks, ancz, dia, invd, mass, x3, v3, u, warm, ancu,
             pltpu.VMEM((3, N), x3.dtype),   # live x
             pltpu.VMEM((3, N), x3.dtype),   # live anchor duals
             pltpu.VMEM((3, N), x3.dtype),   # M xbar
+            pltpu.VMEM((3, N), x3.dtype),   # live v
+            pltpu.VMEM((3, N), x3.dtype),   # pre-step x
             pltpu.VMEM((16, N), x3.dtype),  # streamed u block (8-row tiled)
             pltpu.VMEM((8, N), x3.dtype),   # streamed warm block
             pltpu.VMEM((9, N), x3.dtype),   # F planes
@@ -359,6 +384,20 @@ def lattice_timestep(masks, ancz, dia, invd, mass, x3, v3, u, warm, ancu, *,
     tiling); warm: (n_groups,8,N) (planes 0-2 used). Returns
     (x3, v3, u, warm, ancu). `groups` is the hashable tuple built by
     core/lattice.LatticeStepper."""
+    return lattice_rollout(
+        masks, ancz, dia, invd, mass, x3, v3, u, warm, ancu,
+        offs=offs, groups=groups, dia_offs=dia_offs, mu=mu, lam=lam,
+        kprox=kprox, newton_iters=newton_iters, cg_iters=cg_iters, dt=dt,
+        gravity=gravity, n_iters=n_iters, n_steps=1, interpret=interpret,
+    )
+
+
+def lattice_rollout(masks, ancz, dia, invd, mass, x3, v3, u, warm, ancu, *,
+                    offs, groups, dia_offs, mu, lam, kprox, newton_iters,
+                    cg_iters, dt, gravity, n_iters, n_steps,
+                    interpret=None):
+    """n_steps whole timesteps in ONE kernel call (grid leading axis =
+    timestep), amortizing the per-call launch cost over the window."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     return _lattice_call(
@@ -368,5 +407,6 @@ def lattice_timestep(masks, ancz, dia, invd, mass, x3, v3, u, warm, ancu, *,
         newton_iters=int(newton_iters), cg_iters=int(cg_iters),
         dt=float(dt), dt2=float(dt) * float(dt),
         gvec=tuple(float(q) for q in gravity),
-        n_iters=int(n_iters), interpret=bool(interpret),
+        n_iters=int(n_iters), n_steps=int(n_steps),
+        interpret=bool(interpret),
     )
