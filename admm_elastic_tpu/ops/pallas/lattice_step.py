@@ -89,14 +89,63 @@ def _make_lattice_kernel(N, offs, groups, dia_offs, mu, lam, kprox,
     n_groups = len(groups)
     CG_PHASE = 3 * n_groups
 
+    last_g = n_groups - 1
+    lb = last_g % 2
+
     def kernel(masks_ref, ancz_ref, dia_ref, invd_ref, mass_ref,
                x3_ref, v3_ref, u_hbm, warm_hbm, ancu_ref,
                x_out, v_out, u_hbm_out, warm_hbm_out, ancu_out,
                x_s, ancu_s, Mxb_s, v_sc, xst_s, u_blk, warm_blk, f9, z9,
-               b_s, r_s, p_s, Ap_s, sem):
+               b_s, r_s, p_s, Ap_s, sru, srw, swu, sww):
         st = pl.program_id(0)
         i = pl.program_id(1)
         p1 = pl.program_id(2)
+        first = jnp.logical_and(st == 0, i == 0)
+
+        # -- double-buffered dual streaming: reads for group g+1 start
+        # during group g's phases; write-backs overlap the next group's
+        # work. All copy descriptors are static per call site.
+        def rd_u(g, b, seed):
+            src = u_hbm if seed else u_hbm_out
+            return pltpu.make_async_copy(src.at[g], u_blk.at[b], sru.at[b])
+
+        def rd_w(g, b, seed):
+            src = warm_hbm if seed else warm_hbm_out
+            return pltpu.make_async_copy(
+                src.at[g], warm_blk.at[b], srw.at[b]
+            )
+
+        def wr_u(g, b):
+            return pltpu.make_async_copy(
+                u_blk.at[b], u_hbm_out.at[g], swu.at[b]
+            )
+
+        def wr_w(g, b):
+            return pltpu.make_async_copy(
+                warm_blk.at[b], warm_hbm_out.at[g], sww.at[b]
+            )
+
+        def start_read(g, b):
+            @pl.when(first)
+            def _s():
+                rd_u(g, b, True).start()
+                rd_w(g, b, True).start()
+
+            @pl.when(jnp.logical_not(first))
+            def _n():
+                rd_u(g, b, False).start()
+                rd_w(g, b, False).start()
+
+        def wait_read(g, b):
+            @pl.when(first)
+            def _s():
+                rd_u(g, b, True).wait()
+                rd_w(g, b, True).wait()
+
+            @pl.when(jnp.logical_not(first))
+            def _n():
+                rd_u(g, b, False).wait()
+                rd_w(g, b, False).wait()
 
         # ---- very first grid step: seed live state from the inputs
         @pl.when(
@@ -126,60 +175,57 @@ def _make_lattice_kernel(N, offs, groups, dia_offs, mu, lam, kprox,
             for a in range(3):
                 b_s[a, :] = jnp.zeros_like(b_s[a, :])
 
-        # ---- phase 3g+0 (static per group): stream duals in, F = u + Dx
+        # ---- phase 3g+0 (static per group): duals arrive, F = u + Dx
         for g, (corners, parity, cp, w2) in enumerate(groups):
             @pl.when(p1 == 3 * g)
             def _load(g=g, corners=corners, cp=cp):
-                # iteration 0 seeds from the inputs; later iterations read
-                # the running duals back from the OUTPUT buffers (interpret
-                # mode does not alias in/out, so inputs would be stale)
-                first = jnp.logical_and(st == 0, i == 0)
-
-                @pl.when(first)
-                def _seed():
-                    cu = pltpu.make_async_copy(u_hbm.at[g], u_blk, sem)
-                    cu.start()
-                    cu.wait()
-                    cw = pltpu.make_async_copy(warm_hbm.at[g], warm_blk, sem)
-                    cw.start()
-                    cw.wait()
-
-                @pl.when(jnp.logical_not(first))
-                def _reload():
-                    cu = pltpu.make_async_copy(u_hbm_out.at[g], u_blk, sem)
-                    cu.start()
-                    cu.wait()
-                    cw = pltpu.make_async_copy(
-                        warm_hbm_out.at[g], warm_blk, sem
-                    )
-                    cw.start()
-                    cw.wait()
+                b = g % 2
+                if g == 0:
+                    # read(0) was started at the previous CG phase (or, on
+                    # the very first grid step, right here)
+                    @pl.when(first)
+                    def _seed0():
+                        rd_u(0, 0, True).start()
+                        rd_w(0, 0, True).start()
+                wait_read(g, b)
+                if g < last_g:
+                    nb = (g + 1) % 2
+                    # buffer nb's previous write must land before reuse
+                    if g >= 1:
+                        wr_u(g - 1, nb).wait()
+                        wr_w(g - 1, nb).wait()
+                    else:
+                        @pl.when(jnp.logical_not(first))
+                        def _wprev():
+                            wr_u(last_g, nb).wait()
+                            wr_w(last_g, nb).wait()
+                    start_read(g + 1, nb)
 
                 for a in range(3):
-                    for b in range(3):
-                        f9[3 * a + b, :] = u_blk[3 * a + b, :]
+                    for bb in range(3):
+                        f9[3 * a + bb, :] = u_blk[b, 3 * a + bb, :]
                 for kk, c in enumerate(corners):
                     o = offs[c]
                     for a in range(3):
-                        for b in range(3):
-                            w = float(cp[b, kk])
+                        for bb in range(3):
+                            w = float(cp[bb, kk])
                             if w == 0.0:
                                 continue
                             if o == 0:
-                                f9[3 * a + b, :] += w * x_s[a, :]
+                                f9[3 * a + bb, :] += w * x_s[a, :]
                             else:
-                                f9[3 * a + b, : N - o] += w * x_s[a, o:]
+                                f9[3 * a + bb, : N - o] += w * x_s[a, o:]
 
-        # ---- shared compute phase 3g+1: SVD + Newton + reconstruct
-        @pl.when(jnp.logical_and(p1 < CG_PHASE, p1 % 3 == 1))
-        def _compute():
+        # ---- shared compute phase 3g+1 (one body per buffer parity):
+        # SVD + Newton + reconstruct
+        def _compute_body(par):
             f = [f9[p, :] for p in range(9)]
             eps = jnp.asarray(jnp.finfo(f[0].dtype).eps, f[0].dtype)
             U, V, s = _svd_columns(f, eps)
 
-            w1 = warm_blk[0, :]
-            w2_ = warm_blk[1, :]
-            w3 = jnp.abs(warm_blk[2, :])
+            w1 = warm_blk[par, 0, :]
+            w2_ = warm_blk[par, 1, :]
+            w3 = jnp.abs(warm_blk[par, 2, :])
             collapsed = (
                 (jnp.abs(w1) < 1e-3) & (jnp.abs(w2_) < 1e-3)
                 & (jnp.abs(w3) < 1e-3)
@@ -194,9 +240,9 @@ def _make_lattice_kernel(N, offs, groups, dia_offs, mu, lam, kprox,
             x1, x2, x3 = _newton_hyper(
                 s, (w1, w2_, w3), mu_l, lam_l, k_l, newton_iters, "nh"
             )
-            warm_blk[0, :] = x1
-            warm_blk[1, :] = x2
-            warm_blk[2, :] = x3
+            warm_blk[par, 0, :] = x1
+            warm_blk[par, 1, :] = x2
+            warm_blk[par, 2, :] = x3
             sig = (x1, x2, x3)
             for r in range(3):
                 for c in range(3):
@@ -207,7 +253,15 @@ def _make_lattice_kernel(N, offs, groups, dia_offs, mu, lam, kprox,
                     )
                     z9[3 * r + c, :] = z
                     # u' = u + Dx - z = F - z
-                    u_blk[3 * r + c, :] = f9[3 * r + c, :] - z
+                    u_blk[par, 3 * r + c, :] = f9[3 * r + c, :] - z
+
+        for par in (0, 1):
+            @pl.when(jnp.logical_and(
+                jnp.logical_and(p1 < CG_PHASE, p1 % 3 == 1),
+                (p1 // 3) % 2 == par,
+            ))
+            def _compute(par=par):
+                _compute_body(par)
 
         # ---- phase 3g+2: b += w2 mask D^T (z - u'); stream duals out
         for g, (corners, parity, cp, w2) in enumerate(groups):
@@ -230,16 +284,34 @@ def _make_lattice_kernel(N, offs, groups, dia_offs, mu, lam, kprox,
                             b_s[j, :] += acc
                         else:
                             b_s[j, o:] += acc[: N - o]
-                cu = pltpu.make_async_copy(u_blk, u_hbm_out.at[g], sem)
-                cu.start()
-                cu.wait()
-                cw = pltpu.make_async_copy(warm_blk, warm_hbm_out.at[g], sem)
-                cw.start()
-                cw.wait()
+                # write-back overlaps the next group's phases; waited
+                # before this buffer is reused for a read
+                wr_u(g, g % 2).start()
+                wr_w(g, g % 2).start()
 
         # ---- CG phase: anchors + whole Jacobi-PCG dia solve on live x
         @pl.when(p1 == CG_PHASE)
         def _solve():
+            # settle group last_g-1's write (buffer (last_g-1)%2), then
+            # prefetch next iteration's group-0 read into buffer 0 — it has
+            # the whole CG solve to land. The very last grid step instead
+            # settles everything.
+            wr_u(last_g - 1, (last_g - 1) % 2).wait()
+            wr_w(last_g - 1, (last_g - 1) % 2).wait()
+            last_all = jnp.logical_and(
+                st == pl.num_programs(0) - 1, i == pl.num_programs(1) - 1
+            )
+
+            @pl.when(jnp.logical_not(last_all))
+            def _prefetch0():
+                rd_u(0, 0, False).start()
+                rd_w(0, 0, False).start()
+
+            @pl.when(last_all)
+            def _settle():
+                wr_u(last_g, lb).wait()
+                wr_w(last_g, lb).wait()
+
             aw2 = masks_ref[0, :]
             for a in range(3):
                 ua = ancu_s[a, :] + x_s[a, :] - ancz_ref[a, :]
@@ -356,15 +428,18 @@ def _lattice_call(masks, ancz, dia, invd, mass, x3, v3, u, warm, ancu,
             pltpu.VMEM((3, N), x3.dtype),   # M xbar
             pltpu.VMEM((3, N), x3.dtype),   # live v
             pltpu.VMEM((3, N), x3.dtype),   # pre-step x
-            pltpu.VMEM((16, N), x3.dtype),  # streamed u block (8-row tiled)
-            pltpu.VMEM((8, N), x3.dtype),   # streamed warm block
+            pltpu.VMEM((2, 16, N), x3.dtype),  # double-buffered u blocks
+            pltpu.VMEM((2, 8, N), x3.dtype),   # double-buffered warm blocks
             pltpu.VMEM((9, N), x3.dtype),   # F planes
             pltpu.VMEM((9, N), x3.dtype),   # z planes
             pltpu.VMEM((3, N), x3.dtype),   # b accumulator
             pltpu.VMEM((3, N), x3.dtype),   # CG r
             pltpu.VMEM((3, N), x3.dtype),   # CG p
             pltpu.VMEM((3, N), x3.dtype),   # CG Ap
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),  # u reads
+            pltpu.SemaphoreType.DMA((2,)),  # warm reads
+            pltpu.SemaphoreType.DMA((2,)),  # u writes
+            pltpu.SemaphoreType.DMA((2,)),  # warm writes
         ],
         interpret=interpret,
     )(masks, ancz, dia, invd, mass, x3, v3, u, warm, ancu)
