@@ -119,12 +119,10 @@ class LatticeStepper:
                 np.pad(self.mesh.vertices.T, ((0, 0), (0, pad))), dtype
             ),
             "v": jnp.zeros((3, self.N), dtype),
-            # packed per-group dual state, tile-aligned (16 rows): planes
-            # 0-8 selector duals (init 0), 9-11 Newton warm starts (init 1)
-            "uw": jnp.asarray(np.broadcast_to(
-                np.array([0.0] * 9 + [1.0] * 3 + [0.0] * 4)[None, :, None],
-                (self.n_groups, 16, self.N),
-            ).copy(), dtype),
+            # second-minor dim padded to the (8,128) HBM tile so the
+            # per-group DMA slices are tiling-aligned (planes 0-8 / 0-2 used)
+            "u": jnp.zeros((self.n_groups, 16, self.N), dtype),
+            "warm": jnp.ones((self.n_groups, 8, self.N), dtype),
             "ancu": jnp.zeros((3, self.N), dtype),
             "t": jnp.asarray(0.0, dtype),
         }
@@ -160,13 +158,13 @@ class LatticeStepper:
         kw = self._kernel_kwargs()
 
         def step(state):
-            x3, v3, uw, ancu = lattice_timestep(
+            x3, v3, u, warm, ancu = lattice_timestep(
                 masks, ancz, dia, invd, mpad, state["x"], state["v"],
-                state["uw"], state["ancu"], **kw
+                state["u"], state["warm"], state["ancu"], **kw
             )
             return {
-                "x": x3, "v": v3, "uw": uw, "ancu": ancu,
-                "t": state["t"] + dt,
+                "x": x3, "v": v3, "u": u, "warm": warm,
+                "ancu": ancu, "t": state["t"] + dt,
             }
 
         return step
@@ -188,13 +186,13 @@ class LatticeStepper:
             kw = self._kernel_kwargs()
 
             def roll(state):
-                x3, v3, uw, ancu = lattice_rollout(
+                x3, v3, u, warm, ancu = lattice_rollout(
                     masks, ancz, dia, invd, mpad, state["x"], state["v"],
-                    state["uw"], state["ancu"],
+                    state["u"], state["warm"], state["ancu"],
                     n_steps=n_steps, **kw
                 )
                 return {
-                    "x": x3, "v": v3, "uw": uw, "ancu": ancu,
+                    "x": x3, "v": v3, "u": u, "warm": warm, "ancu": ancu,
                     "t": state["t"] + n_steps * dt,
                 }
 

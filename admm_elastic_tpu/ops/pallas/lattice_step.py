@@ -1,4 +1,4 @@
-"""Whole-rollout Pallas kernel for uniform tet lattices.
+"""Whole-ADMM-timestep Pallas kernel for uniform tet lattices.
 
 The dia global solver (cg_dia.py) already exploits the fact that a
 lattice-numbered mesh makes A_hat's sparsity a set of constant diagonals.
@@ -10,34 +10,27 @@ D^T scatter therefore become static lane shifts, which (unlike gathers)
 Mosaic handles natively. That removes the last reason to leave the kernel
 between ADMM sub-steps:
 
-    ONE pallas_call for a whole n-step rollout,
-    grid (n_steps, admm_iters, 3*n_groups+1):
-      phase 3g+0  (static per group): group-g dual block arrives (started
-                                      one group earlier — double-buffered);
+    ONE pallas_call per timestep, grid (admm_iters, 31):
+      phase 3g+0  (static per group): DMA u/warm block g into VMEM;
                                       F = u_g + sum_k cp[b,k] x(shift o_k)
       phase 3g+1  (shared code):      oriented SVD + warm-started Newton
                                       prox + reconstruct; u' = F - z
       phase 3g+2  (static per group): b += w2_g mask_g D_g^T (z - u') via
-                                      reverse shifts; write-back starts
-      phase 3*n_groups:               anchor dual/contribution + whole
+                                      reverse shifts; DMA u'/warm back
+      phase 30:                       anchor dual/contribution + whole
                                       Jacobi-PCG solve (dia matvec, static
-                                      shifts) on the live x; per-timestep
-                                      epilogue on the last ADMM iteration
+                                      shifts), updating live x
 
-Live state (x, v, anchor duals) sits in persistent VMEM scratch seeded
-from the inputs on the first grid step; per-group duals + Newton warm
-starts live in HBM packed in ONE (n_groups,16,N) array (planes 0-8 duals,
-9-11 warm starts, rest tile padding) and stream through two (16,N) VMEM
-buffers with fully overlapped async copies: group g+1's read starts during
-group g's load phase, write-backs are waited only before buffer reuse, and
-each next iteration's group-0 read lands during the CG solve. The
-in-kernel prologue (gravity kick, xbar) and epilogue (v update) keep the
-whole rollout free of XLA glue: zero gathers, zero per-step dispatches.
+Live state (x, anchor duals) sits in persistent VMEM scratch initialized
+from the inputs on the first grid step and emitted through the outputs in
+the CG phase; the per-group duals/warm starts stay in HBM (memory_space
+ANY) and stream through one (9,N)+(3,N) VMEM block via explicit async
+copies. Zero gathers, zero XLA glue, one kernel launch per timestep.
 
 Algorithmically identical to the general System path (same math as
 reference System.cpp:26-75 with HyperElasticTet local steps,
 TetForce.cpp:303-364): trajectories match the general dia path to f32
-round-off (tests/test_lattice.py) including at the full 100k-tet scale.
+round-off (tests/test_lattice.py).
 
 Restrictions: uniform-cell `make_beam_tets` lattices, one NeoHookean
 HyperElasticTet force with uniform material, StaticAnchors, gravity-style
@@ -90,60 +83,33 @@ def group_tables(size: float):
 
 def _make_lattice_kernel(N, offs, groups, dia_offs, mu, lam, kprox,
                          newton_iters, cg_iters, dt, dt2, gvec, n_iters):
-    """groups: list of (corners, parity, cp (3,4) ndarray, w2 float)."""
+    """groups: list of (corners, parity, cp (3,4) ndarray, w2 float).
+    Grid is (n_steps, n_iters, 3*n_groups+1): a whole ROLLOUT per call,
+    amortizing the ~3 ms pallas_call launch cost over the window."""
     n_groups = len(groups)
     CG_PHASE = 3 * n_groups
-    last_g = n_groups - 1
-    lb = last_g % 2
 
     def kernel(masks_ref, ancz_ref, dia_ref, invd_ref, mass_ref,
-               x3_ref, v3_ref, uw_hbm, ancu_ref,
-               x_out, v_out, uw_hbm_out, ancu_out,
-               x_s, ancu_s, v_sc, xst_s, uw_blk, f9, b_s, p_s, Ap_s,
-               sr, sw):
+               x3_ref, v3_ref, u_hbm, warm_hbm, ancu_ref,
+               x_out, v_out, u_hbm_out, warm_hbm_out, ancu_out,
+               x_s, ancu_s, Mxb_s, v_sc, xst_s, u_blk, warm_blk, f9, z9,
+               b_s, r_s, p_s, Ap_s, sem):
         st = pl.program_id(0)
         i = pl.program_id(1)
         p1 = pl.program_id(2)
-        first = jnp.logical_and(st == 0, i == 0)
-
-        # -- double-buffered dual streaming (planes 0-8 duals, 9-11 warm)
-        def rd(g, b, seed):
-            src = uw_hbm if seed else uw_hbm_out
-            return pltpu.make_async_copy(src.at[g], uw_blk.at[b], sr.at[b])
-
-        def wr(g, b):
-            return pltpu.make_async_copy(
-                uw_blk.at[b], uw_hbm_out.at[g], sw.at[b]
-            )
-
-        def start_read(g, b):
-            @pl.when(first)
-            def _s():
-                rd(g, b, True).start()
-
-            @pl.when(jnp.logical_not(first))
-            def _n():
-                rd(g, b, False).start()
-
-        def wait_read(g, b):
-            @pl.when(first)
-            def _s():
-                rd(g, b, True).wait()
-
-            @pl.when(jnp.logical_not(first))
-            def _n():
-                rd(g, b, False).wait()
 
         # ---- very first grid step: seed live state from the inputs
-        @pl.when(jnp.logical_and(first, p1 == 0))
+        @pl.when(
+            jnp.logical_and(st == 0, jnp.logical_and(i == 0, p1 == 0))
+        )
         def _seed_state():
             for a in range(3):
                 x_s[a, :] = x3_ref[a, :]
                 v_sc[a, :] = v3_ref[a, :]
                 ancu_s[a, :] = ancu_ref[a, :]
 
-        # ---- per-timestep prologue: gravity kick, xbar = x + dt v';
-        # remember the pre-step x for the velocity update
+        # ---- per-timestep prologue: gravity kick, xbar = x + dt v',
+        # M xbar; remember the pre-step x for the velocity update
         @pl.when(jnp.logical_and(i == 0, p1 == 0))
         def _init():
             for a in range(3):
@@ -151,61 +117,69 @@ def _make_lattice_kernel(N, offs, groups, dia_offs, mu, lam, kprox,
                 v_sc[a, :] = va
                 xst = x_s[a, :]
                 xst_s[a, :] = xst
-                x_s[a, :] = xst + dt * va
+                xs = xst + dt * va
+                x_s[a, :] = xs
+                Mxb_s[a, :] = mass_ref[0, :] * xs
 
         @pl.when(p1 == 0)
         def _reset_b():
             for a in range(3):
                 b_s[a, :] = jnp.zeros_like(b_s[a, :])
 
-        # ---- phase 3g+0 (static per group): duals arrive, F = u + Dx
+        # ---- phase 3g+0 (static per group): stream duals in, F = u + Dx
         for g, (corners, parity, cp, w2) in enumerate(groups):
             @pl.when(p1 == 3 * g)
             def _load(g=g, corners=corners, cp=cp):
-                b = g % 2
-                if g == 0:
-                    # read(0) was started at the previous CG phase (or, on
-                    # the very first grid step, right here)
-                    @pl.when(first)
-                    def _seed0():
-                        rd(0, 0, True).start()
-                wait_read(g, b)
-                if g < last_g:
-                    nb = (g + 1) % 2
-                    # buffer nb's previous write must land before reuse
-                    if g >= 1:
-                        wr(g - 1, nb).wait()
-                    else:
-                        @pl.when(jnp.logical_not(first))
-                        def _wprev():
-                            wr(last_g, nb).wait()
-                    start_read(g + 1, nb)
+                # iteration 0 seeds from the inputs; later iterations read
+                # the running duals back from the OUTPUT buffers (interpret
+                # mode does not alias in/out, so inputs would be stale)
+                first = jnp.logical_and(st == 0, i == 0)
+
+                @pl.when(first)
+                def _seed():
+                    cu = pltpu.make_async_copy(u_hbm.at[g], u_blk, sem)
+                    cu.start()
+                    cu.wait()
+                    cw = pltpu.make_async_copy(warm_hbm.at[g], warm_blk, sem)
+                    cw.start()
+                    cw.wait()
+
+                @pl.when(jnp.logical_not(first))
+                def _reload():
+                    cu = pltpu.make_async_copy(u_hbm_out.at[g], u_blk, sem)
+                    cu.start()
+                    cu.wait()
+                    cw = pltpu.make_async_copy(
+                        warm_hbm_out.at[g], warm_blk, sem
+                    )
+                    cw.start()
+                    cw.wait()
 
                 for a in range(3):
-                    for bb in range(3):
-                        f9[3 * a + bb, :] = uw_blk[b, 3 * a + bb, :]
+                    for b in range(3):
+                        f9[3 * a + b, :] = u_blk[3 * a + b, :]
                 for kk, c in enumerate(corners):
                     o = offs[c]
                     for a in range(3):
-                        for bb in range(3):
-                            w = float(cp[bb, kk])
+                        for b in range(3):
+                            w = float(cp[b, kk])
                             if w == 0.0:
                                 continue
                             if o == 0:
-                                f9[3 * a + bb, :] += w * x_s[a, :]
+                                f9[3 * a + b, :] += w * x_s[a, :]
                             else:
-                                f9[3 * a + bb, : N - o] += w * x_s[a, o:]
+                                f9[3 * a + b, : N - o] += w * x_s[a, o:]
 
-        # ---- shared compute phase 3g+1 (one body per buffer parity):
-        # SVD + Newton + reconstruct; afterwards f9 holds z - u'
-        def _compute_body(par):
+        # ---- shared compute phase 3g+1: SVD + Newton + reconstruct
+        @pl.when(jnp.logical_and(p1 < CG_PHASE, p1 % 3 == 1))
+        def _compute():
             f = [f9[p, :] for p in range(9)]
             eps = jnp.asarray(jnp.finfo(f[0].dtype).eps, f[0].dtype)
             U, V, s = _svd_columns(f, eps)
 
-            w1 = uw_blk[par, 9, :]
-            w2_ = uw_blk[par, 10, :]
-            w3 = jnp.abs(uw_blk[par, 11, :])
+            w1 = warm_blk[0, :]
+            w2_ = warm_blk[1, :]
+            w3 = jnp.abs(warm_blk[2, :])
             collapsed = (
                 (jnp.abs(w1) < 1e-3) & (jnp.abs(w2_) < 1e-3)
                 & (jnp.abs(w3) < 1e-3)
@@ -220,9 +194,9 @@ def _make_lattice_kernel(N, offs, groups, dia_offs, mu, lam, kprox,
             x1, x2, x3 = _newton_hyper(
                 s, (w1, w2_, w3), mu_l, lam_l, k_l, newton_iters, "nh"
             )
-            uw_blk[par, 9, :] = x1
-            uw_blk[par, 10, :] = x2
-            uw_blk[par, 11, :] = x3
+            warm_blk[0, :] = x1
+            warm_blk[1, :] = x2
+            warm_blk[2, :] = x3
             sig = (x1, x2, x3)
             for r in range(3):
                 for c in range(3):
@@ -231,25 +205,17 @@ def _make_lattice_kernel(N, offs, groups, dia_offs, mu, lam, kprox,
                         + U[1][r] * sig[1] * V[1][c]
                         + U[2][r] * sig[2] * V[2][c]
                     )
-                    fp = f9[3 * r + c, :]
-                    # u' = u + Dx - z = F - z ;  z - u' = 2z - F
-                    uw_blk[par, 3 * r + c, :] = fp - z
-                    f9[3 * r + c, :] = 2.0 * z - fp
+                    z9[3 * r + c, :] = z
+                    # u' = u + Dx - z = F - z
+                    u_blk[3 * r + c, :] = f9[3 * r + c, :] - z
 
-        for par in (0, 1):
-            @pl.when(jnp.logical_and(
-                jnp.logical_and(p1 < CG_PHASE, p1 % 3 == 1),
-                (p1 // 3) % 2 == par,
-            ))
-            def _compute(par=par):
-                _compute_body(par)
-
-        # ---- phase 3g+2: b += w2 mask D^T (z - u'); write-back starts
+        # ---- phase 3g+2: b += w2 mask D^T (z - u'); stream duals out
         for g, (corners, parity, cp, w2) in enumerate(groups):
             @pl.when(p1 == 3 * g + 2)
             def _scatter(g=g, corners=corners, cp=cp, w2=w2, parity=parity):
+                # zu = z - u' = 2z - F, masked to valid cells of this parity
                 m = w2 * masks_ref[1 + parity, :]
-                zu = [m * f9[p, :] for p in range(9)]
+                zu = [m * (2.0 * z9[p, :] - f9[p, :]) for p in range(9)]
                 for kk, c in enumerate(corners):
                     o = offs[c]
                     for j in range(3):
@@ -264,33 +230,21 @@ def _make_lattice_kernel(N, offs, groups, dia_offs, mu, lam, kprox,
                             b_s[j, :] += acc
                         else:
                             b_s[j, o:] += acc[: N - o]
-                # write-back overlaps the next group's phases; waited
-                # before this buffer is reused for a read
-                wr(g, g % 2).start()
+                cu = pltpu.make_async_copy(u_blk, u_hbm_out.at[g], sem)
+                cu.start()
+                cu.wait()
+                cw = pltpu.make_async_copy(warm_blk, warm_hbm_out.at[g], sem)
+                cw.start()
+                cw.wait()
 
         # ---- CG phase: anchors + whole Jacobi-PCG dia solve on live x
         @pl.when(p1 == CG_PHASE)
         def _solve():
-            # settle the second-to-last group's write, then prefetch the
-            # next iteration's group-0 read — it has the whole CG solve to
-            # land. The very last grid step settles everything instead.
-            wr(last_g - 1, (last_g - 1) % 2).wait()
-            last_all = jnp.logical_and(
-                st == pl.num_programs(0) - 1, i == pl.num_programs(1) - 1
-            )
-
-            @pl.when(jnp.logical_not(last_all))
-            def _prefetch0():
-                rd(0, 0, False).start()
-
-            @pl.when(last_all)
-            def _settle():
-                wr(last_g, lb).wait()
-
             aw2 = masks_ref[0, :]
             for a in range(3):
                 ua = ancu_s[a, :] + x_s[a, :] - ancz_ref[a, :]
                 ancu_s[a, :] = ua
+                ancu_out[a, :] = ua
                 b_s[a, :] += aw2 * (ancz_ref[a, :] - ua)
 
             def matvec_into(src_ref, out_ref):
@@ -313,15 +267,11 @@ def _make_lattice_kernel(N, offs, groups, dia_offs, mu, lam, kprox,
                                 dia_ref[d, o:] * src_ref[a, : N - o]
                             )
 
-            # r (stored in b_s) = M xbar + dt^2 b - A x ; xbar = xst + dt v
             matvec_into(x_s, Ap_s)
             for a in range(3):
-                xbar = xst_s[a, :] + dt * v_sc[a, :]
-                b_s[a, :] = (
-                    mass_ref[0, :] * xbar + dt2 * b_s[a, :] - Ap_s[a, :]
-                )
-                p_s[a, :] = invd_ref[0, :] * b_s[a, :]
-            rz0 = sum(jnp.sum(b_s[a, :] * p_s[a, :]) for a in range(3))
+                r_s[a, :] = Mxb_s[a, :] + dt2 * b_s[a, :] - Ap_s[a, :]
+                p_s[a, :] = invd_ref[0, :] * r_s[a, :]
+            rz0 = sum(jnp.sum(r_s[a, :] * p_s[a, :]) for a in range(3))
 
             def body(_, rz):
                 matvec_into(p_s, Ap_s)
@@ -331,14 +281,14 @@ def _make_lattice_kernel(N, offs, groups, dia_offs, mu, lam, kprox,
                 alpha = rz / jnp.where(pAp > 0, pAp, 1.0)
                 for a in range(3):
                     x_s[a, :] += alpha * p_s[a, :]
-                    b_s[a, :] -= alpha * Ap_s[a, :]
+                    r_s[a, :] -= alpha * Ap_s[a, :]
                 rz_new = sum(
-                    jnp.sum(b_s[a, :] * invd_ref[0, :] * b_s[a, :])
+                    jnp.sum(r_s[a, :] * invd_ref[0, :] * r_s[a, :])
                     for a in range(3)
                 )
                 beta = rz_new / jnp.where(rz > 0, rz, 1.0)
                 for a in range(3):
-                    p_s[a, :] = invd_ref[0, :] * b_s[a, :] + beta * p_s[a, :]
+                    p_s[a, :] = invd_ref[0, :] * r_s[a, :] + beta * p_s[a, :]
                 return rz_new
 
             jax.lax.fori_loop(0, cg_iters, body, rz0)
@@ -364,9 +314,9 @@ def _make_lattice_kernel(N, offs, groups, dia_offs, mu, lam, kprox,
         "newton_iters", "cg_iters", "dt", "dt2", "gvec", "n_iters",
         "n_steps", "interpret",
     ),
-    donate_argnums=(7,),
+    donate_argnums=(7, 8),
 )
-def _lattice_call(masks, ancz, dia, invd, mass, x3, v3, uw, ancu,
+def _lattice_call(masks, ancz, dia, invd, mass, x3, v3, u, warm, ancu,
                   offs, groups_key, dia_offs, mu, lam, kprox, newton_iters,
                   cg_iters, dt, dt2, gvec, n_iters, n_steps, interpret):
     import numpy as np
@@ -390,61 +340,68 @@ def _lattice_call(masks, ancz, dia, invd, mass, x3, v3, uw, ancu,
     out = pl.pallas_call(
         kern,
         grid=(n_steps, n_iters, n_phases),
-        in_specs=[f3, f3, fd, f1, f1, f3, f3, hbm, f3],
-        out_specs=[f3, f3, hbm, f3],
+        in_specs=[f3, f3, fd, f1, f1, f3, f3, hbm, hbm, f3],
+        out_specs=[f3, f3, hbm, hbm, f3],
         out_shape=[
             jax.ShapeDtypeStruct(x3.shape, x3.dtype),
             jax.ShapeDtypeStruct(v3.shape, v3.dtype),
-            jax.ShapeDtypeStruct(uw.shape, uw.dtype),
+            jax.ShapeDtypeStruct(u.shape, u.dtype),
+            jax.ShapeDtypeStruct(warm.shape, warm.dtype),
             jax.ShapeDtypeStruct(ancu.shape, ancu.dtype),
         ],
-        input_output_aliases={7: 2},
+        input_output_aliases={7: 2, 8: 3},
         scratch_shapes=[
-            pltpu.VMEM((3, N), x3.dtype),      # live x
-            pltpu.VMEM((3, N), x3.dtype),      # live anchor duals
-            pltpu.VMEM((3, N), x3.dtype),      # live v
-            pltpu.VMEM((3, N), x3.dtype),      # pre-step x
-            pltpu.VMEM((2, 16, N), x3.dtype),  # double-buffered dual blocks
-            pltpu.VMEM((9, N), x3.dtype),      # F planes, then z - u'
-            pltpu.VMEM((3, N), x3.dtype),      # b accumulator / CG r
-            pltpu.VMEM((3, N), x3.dtype),      # CG p
-            pltpu.VMEM((3, N), x3.dtype),      # CG Ap
-            pltpu.SemaphoreType.DMA((2,)),     # reads
-            pltpu.SemaphoreType.DMA((2,)),     # writes
+            pltpu.VMEM((3, N), x3.dtype),   # live x
+            pltpu.VMEM((3, N), x3.dtype),   # live anchor duals
+            pltpu.VMEM((3, N), x3.dtype),   # M xbar
+            pltpu.VMEM((3, N), x3.dtype),   # live v
+            pltpu.VMEM((3, N), x3.dtype),   # pre-step x
+            pltpu.VMEM((16, N), x3.dtype),  # streamed u block (8-row tiled)
+            pltpu.VMEM((8, N), x3.dtype),   # streamed warm block
+            pltpu.VMEM((9, N), x3.dtype),   # F planes
+            pltpu.VMEM((9, N), x3.dtype),   # z planes
+            pltpu.VMEM((3, N), x3.dtype),   # b accumulator
+            pltpu.VMEM((3, N), x3.dtype),   # CG r
+            pltpu.VMEM((3, N), x3.dtype),   # CG p
+            pltpu.VMEM((3, N), x3.dtype),   # CG Ap
+            pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(masks, ancz, dia, invd, mass, x3, v3, uw, ancu)
+    )(masks, ancz, dia, invd, mass, x3, v3, u, warm, ancu)
     return out
 
 
-def lattice_timestep(masks, ancz, dia, invd, mass, x3, v3, uw, ancu, *,
+def lattice_timestep(masks, ancz, dia, invd, mass, x3, v3, u, warm, ancu, *,
                      offs, groups, dia_offs, mu, lam, kprox, newton_iters,
                      cg_iters, dt, gravity, n_iters, interpret=None):
-    """One whole ADMM timestep in one kernel (see lattice_rollout)."""
+    """One whole ADMM timestep in one kernel — including the explicit
+    velocity kick prologue and v=(x'-x)/dt epilogue, so state stays in
+    plane layout across whole rollouts with zero XLA glue per step.
+
+    x3/v3/ancz/ancu: (3,N); masks: (3,N) rows = [anchor w2 plane,
+    even-parity validity, odd-parity validity]; dia: (D,N); invd/mass:
+    (1,N); u: (n_groups,16,N) (planes 0-8 used; 16 rows for (8,128) HBM
+    tiling); warm: (n_groups,8,N) (planes 0-2 used). Returns
+    (x3, v3, u, warm, ancu). `groups` is the hashable tuple built by
+    core/lattice.LatticeStepper."""
     return lattice_rollout(
-        masks, ancz, dia, invd, mass, x3, v3, uw, ancu,
+        masks, ancz, dia, invd, mass, x3, v3, u, warm, ancu,
         offs=offs, groups=groups, dia_offs=dia_offs, mu=mu, lam=lam,
         kprox=kprox, newton_iters=newton_iters, cg_iters=cg_iters, dt=dt,
         gravity=gravity, n_iters=n_iters, n_steps=1, interpret=interpret,
     )
 
 
-def lattice_rollout(masks, ancz, dia, invd, mass, x3, v3, uw, ancu, *,
+def lattice_rollout(masks, ancz, dia, invd, mass, x3, v3, u, warm, ancu, *,
                     offs, groups, dia_offs, mu, lam, kprox, newton_iters,
                     cg_iters, dt, gravity, n_iters, n_steps,
                     interpret=None):
-    """n_steps whole timesteps in ONE kernel call.
-
-    x3/v3/ancz/ancu: (3,N); masks: (3,N) rows = [anchor w2 plane,
-    even-parity validity, odd-parity validity]; dia: (D,N); invd/mass:
-    (1,N); uw: (n_groups,16,N) packed state — planes 0-8 selector duals,
-    9-11 Newton warm starts, 12-15 tile padding. Returns
-    (x3, v3, uw, ancu). `groups` is the hashable tuple built by
-    core/lattice.LatticeStepper."""
+    """n_steps whole timesteps in ONE kernel call (grid leading axis =
+    timestep), amortizing the per-call launch cost over the window."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     return _lattice_call(
-        masks, ancz, dia, invd, mass, x3, v3, uw, ancu,
+        masks, ancz, dia, invd, mass, x3, v3, u, warm, ancu,
         offs=tuple(offs), groups_key=groups, dia_offs=tuple(dia_offs),
         mu=float(mu), lam=float(lam), kprox=float(kprox),
         newton_iters=int(newton_iters), cg_iters=int(cg_iters),
