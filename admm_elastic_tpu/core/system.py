@@ -216,9 +216,22 @@ class System:
             cparams = {k: params[k] for k in self._constraint_names}
             if mode == "dia":
                 dia = assemble_A_hat_dia(n, self._m, dt, cparams)
+                if dia is not None:
+                    # the single-kernel CG keeps (D + ~13) vertex planes
+                    # VMEM-resident; fall back to ell+fused CG when the
+                    # mesh is too large for the ~16 MB budget
+                    n_pad = -(-n // 128) * 128
+                    vmem = (len(dia[0]) + 14) * n_pad * 4
+                    if vmem > 11 * 2**20:
+                        if s.verbose:
+                            print(
+                                f"Solver: dia kernel needs ~{vmem/2**20:.0f}"
+                                " MB VMEM, dia -> ell"
+                            )
+                        dia = None
+                elif s.verbose:
+                    print("Solver: unstructured numbering, dia -> ell")
                 if dia is None:
-                    if s.verbose:
-                        print("Solver: unstructured numbering, dia -> ell")
                     mode = self._solver_mode = "ell"
                 else:
                     self._dia_offsets, dia_vals, diag = dia
