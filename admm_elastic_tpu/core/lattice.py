@@ -126,7 +126,6 @@ class LatticeStepper:
             "ancu": jnp.zeros((3, self.N), dtype),
             "t": jnp.asarray(0.0, dtype),
         }
-        self._step_jit = jax.jit(self._make_step(), donate_argnums=(0,))
         self._rollouts = {}
 
     @property
@@ -148,34 +147,9 @@ class LatticeStepper:
             n_iters=self.admm_iters,
         )
 
-    def _make_step(self):
-        from ..ops.pallas.lattice_step import lattice_timestep
+    ROLLOUT_WINDOW = 10
 
-        dt = self.dt
-        masks, ancz, dia, invd, mpad = (
-            self._masks, self._ancz, self._dia, self._invd, self._mpad
-        )
-        kw = self._kernel_kwargs()
-
-        def step(state):
-            x3, v3, u, warm, ancu = lattice_timestep(
-                masks, ancz, dia, invd, mpad, state["x"], state["v"],
-                state["u"], state["warm"], state["ancu"], **kw
-            )
-            return {
-                "x": x3, "v": v3, "u": u, "warm": warm,
-                "ancu": ancu, "t": state["t"] + dt,
-            }
-
-        return step
-
-    def step(self):
-        self.state = self._step_jit(self.state)
-        return True
-
-    def run(self, n_steps: int):
-        """n_steps timesteps in ONE kernel call (the rollout grid amortizes
-        the per-call launch cost over the whole window)."""
+    def _roll_fn(self, n_steps):
         from ..ops.pallas.lattice_step import lattice_rollout
 
         if n_steps not in self._rollouts:
@@ -197,5 +171,22 @@ class LatticeStepper:
                 }
 
             self._rollouts[n_steps] = jax.jit(roll, donate_argnums=(0,))
-        self.state = self._rollouts[n_steps](self.state)
+        return self._rollouts[n_steps]
+
+    def step(self):
+        """One timestep (the 1-step rollout kernel)."""
+        self.state = self._roll_fn(1)(self.state)
+        return True
+
+    def run(self, n_steps: int):
+        """n_steps timesteps via whole-rollout kernel calls, chunked into
+        fixed ROLLOUT_WINDOW-step windows (remainder as single steps) so
+        any n_steps reuses at most two compiled kernels (remote compiles
+        are expensive)."""
+        W = self.ROLLOUT_WINDOW
+        full, rem = divmod(n_steps, W)
+        for _ in range(full):
+            self.state = self._roll_fn(W)(self.state)
+        for _ in range(rem):
+            self.state = self._roll_fn(1)(self.state)
         return True
