@@ -58,7 +58,10 @@ def _assemble_A_hat_csr(n, masses, dt, force_params):
     else:
         A = sp.csr_matrix((n, n))
     A = A + sp.diags(np.asarray(masses, dtype=np.float64))
-    A.eliminate_zeros()
+    # keep structural zeros: the sparsity pattern is determined by the
+    # constraint TOPOLOGY, not the current weights, so runtime weight edits
+    # (poordillo release: weight -> 0, System.cpp:159-179) never change the
+    # ELL/DIA pattern and recompute_weights() is a pure value refresh
     return A
 
 

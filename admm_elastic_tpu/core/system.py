@@ -544,6 +544,15 @@ class System:
             self.params["_solver"] = {
                 "A_inv": jnp.asarray(np.linalg.inv(A), self.settings.dtype)
             }
+            if self.settings.dense_refine_steps > 0:
+                # keep the iterative-refinement operands initialize() installed
+                ell_idx, ell_vals, _ = assemble_A_hat_ell(
+                    self.n_nodes, self._m, self.settings.timestep_s, cparams
+                )
+                self.params["_solver"]["ell_idx"] = jnp.asarray(ell_idx)
+                self.params["_solver"]["ell_vals"] = jnp.asarray(
+                    ell_vals, self.settings.dtype
+                )
         elif self._solver_mode in ("ell", "dia"):
             cparams = {
                 k: jax.tree_util.tree_map(np.asarray, self.params[k])

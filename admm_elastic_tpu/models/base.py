@@ -101,6 +101,29 @@ class ForceBatch(abc.ABC):
         return coeff_apply_T(params["coeff"], params["indices"], w2, z - u,
                              n_vertices)
 
+    def primal_piece(self, params, u_new, u_old):
+        """||W (Dx - z)||^2 for this batch via the dual-update identity
+        Dx - z = u_new - u_old (u' = u + Dx - z holds for every force,
+        fused or not) — the primal residual with no Dx/z materialization."""
+        import jax.numpy as jnp
+
+        w = params["weight"][:, None, None]
+        return jnp.sum((w * (u_new - u_old)) ** 2)
+
+    def rhs_contribution6(self, params, z, u):
+        """(E*K, 6): columns 0:3 the D^T W^2 (z-u) RHS rows (as
+        rhs_contribution), columns 3:6 the D^T W^2 z rows used for the dual
+        residual s_i = dt^2 ||T z_i - T z_{i-1}|| (one shared incidence
+        gather recovers both)."""
+        import jax.numpy as jnp
+
+        w2 = params["weight"] ** 2
+        czu = jnp.einsum("erk,e,erj->ekj", params["coeff"], w2, z - u)
+        cz = jnp.einsum("erk,e,erj->ekj", params["coeff"], w2, z)
+        return jnp.concatenate(
+            [czu.reshape(-1, 3), cz.reshape(-1, 3)], axis=1
+        )
+
     def residual_pieces(self, params, Dx, z, z_prev, n_vertices, dt2):
         """(||W(Dx-z)||^2, dt^2 D^T W^2 (z - z_prev)) for the ADMM residuals."""
         import jax.numpy as jnp

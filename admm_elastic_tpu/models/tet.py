@@ -122,6 +122,34 @@ class _PlaneLayoutMixin:
         E = self.n_elements
         return contrib[:, :E].T.reshape(E * 4, 3)
 
+    def _contrib_flat6(self, contrib, contribz):
+        """Two (12, Ep) contribution plane blocks -> (E*4, 6) flat rows
+        (cols 0:3 RHS, 3:6 dual-residual z rows)."""
+        return jnp.concatenate(
+            [self._contrib_flat(contrib), self._contrib_flat(contribz)], axis=1
+        )
+
+    def primal_piece(self, params, u_new, u_old):
+        if self.backend != "pallas":
+            return super().primal_piece(params, u_new, u_old)
+        E = self.n_elements
+        du = (u_new - u_old)[:, :E]
+        w2 = params["weight"] ** 2
+        return jnp.sum(w2 * jnp.sum(du * du, axis=0))
+
+    def rhs_contribution6(self, params, z, u):
+        if self.backend != "pallas":
+            return super().rhs_contribution6(params, z, u)
+        E = self.n_elements
+        w2 = params["weight"] ** 2
+        zu3 = (z - u).reshape(3, 3, -1)[:, :, :E]
+        z3 = z.reshape(3, 3, -1)[:, :, :E]
+        czu = jnp.einsum("erk,e,jre->ekj", params["coeff"], w2, zu3)
+        cz = jnp.einsum("erk,e,jre->ekj", params["coeff"], w2, z3)
+        return jnp.concatenate(
+            [czu.reshape(-1, 3), cz.reshape(-1, 3)], axis=1
+        )
+
 
     def dual_init(self, np_module=np):
         if self.backend != "pallas":
@@ -219,18 +247,23 @@ class LinearTetStrain(_PlaneLayoutMixin, ForceBatch):
     def supports_fused_local_rhs(self) -> bool:
         return self.backend == "pallas"
 
-    def fused_local_rhs(self, params, x, u, state):
+    def fused_local_rhs(self, params, x, u, state, with_z=False):
         """One-kernel ARAP pipeline for the ell/dia global modes
-        (ops/pallas/tet_local.arap_local_step_fused)."""
+        (ops/pallas/tet_local.arap_local_step_fused). with_z additionally
+        returns the dual-residual z-contribution columns ((E*4, 6) flat)."""
         from ..ops.pallas.tet_local import arap_local_step_fused
 
         pad = self._padded_E() - self.n_elements
         xg = self._gathered_planes(params, x)
         w2 = jnp.pad(params["weight"] ** 2, (0, pad), constant_values=1.0)
         k = jnp.pad(params["k"], (0, pad), constant_values=1.0)
-        z9, unew9, contrib = arap_local_step_fused(
-            xg, u, params["coeff_p"], w2, k
+        out = arap_local_step_fused(
+            xg, u, params["coeff_p"], w2, k, emit_z=with_z
         )
+        if with_z:
+            z9, unew9, contrib, contribz = out
+            return z9, unew9, state, self._contrib_flat6(contrib, contribz)
+        z9, unew9, contrib = out
         return z9, unew9, state, self._contrib_flat(contrib)
 
     def _project_xla(self, Dx, u, params, state):
@@ -463,10 +496,12 @@ class HyperElasticTet(_PlaneLayoutMixin, ForceBatch):
         U, s, V = jax.vmap(svd3x3_oriented)(F)
 
         # warm-start guards (TetForce.cpp:339-347): flip a negative third
-        # component; bump a collapsed (all ~0) start to 1e-3
+        # component, ELSE bump a collapsed (all ~0) start to 1e-3 — the
+        # bump only applies when the third component was non-negative
         x2 = state["sigma"]
+        neg3 = x2[:, 2] < 0.0
         x2 = x2.at[:, 2].set(jnp.abs(x2[:, 2]))
-        collapsed = jnp.all(jnp.abs(x2) < 1e-3, axis=1)
+        collapsed = (~neg3) & jnp.all(jnp.abs(x2) < 1e-3, axis=1)
         x2 = jnp.where(collapsed[:, None], 1e-3, x2)
 
         energy = nh_energy if self.model == "nh" else stvk_energy

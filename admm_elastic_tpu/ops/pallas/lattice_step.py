@@ -179,8 +179,9 @@ def _make_lattice_kernel(N, offs, groups, dia_offs, mu, lam, kprox,
 
             w1 = warm_blk[0, :]
             w2_ = warm_blk[1, :]
+            neg3 = warm_blk[2, :] < 0.0
             w3 = jnp.abs(warm_blk[2, :])
-            collapsed = (
+            collapsed = (~neg3) & (
                 (jnp.abs(w1) < 1e-3) & (jnp.abs(w2_) < 1e-3)
                 & (jnp.abs(w3) < 1e-3)
             )

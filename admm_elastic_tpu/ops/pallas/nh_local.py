@@ -205,9 +205,11 @@ def _newton_hyper(s0, warm, mu, lam, k, iters, model):
             g1 = mu * (x1 - inv1) + lam * logdet * inv1 + k * (x1 - c1)
             g2 = mu * (x2 - inv2) + lam * logdet * inv2 + k * (x2 - c2)
             g3 = mu * (x3 - inv3) + lam * logdet * inv3 + k * (x3 - c3)
-            h11 = mu * (1.0 + inv1 * inv1) - lam * logdet * inv1 * inv1 + k
-            h22 = mu * (1.0 + inv2 * inv2) - lam * logdet * inv2 * inv2 + k
-            h33 = mu * (1.0 + inv3 * inv3) - lam * logdet * inv3 * inv3 + k
+            # diag of lam*outer(inv,inv) contributes +lam*inv_i^2, matching
+            # the validated closed form models/tet.py:nh_grad_hess.
+            h11 = mu * (1.0 + inv1 * inv1) + (lam - lam * logdet) * inv1 * inv1 + k
+            h22 = mu * (1.0 + inv2 * inv2) + (lam - lam * logdet) * inv2 * inv2 + k
+            h33 = mu * (1.0 + inv3 * inv3) + (lam - lam * logdet) * inv3 * inv3 + k
             h12 = lam * inv1 * inv2
             h13 = lam * inv1 * inv3
             h23 = lam * inv2 * inv3
@@ -275,11 +277,13 @@ def _make_hyper_kernel(iters, model):
         eps = jnp.asarray(jnp.finfo(dx[0].dtype).eps, dx[0].dtype)
         U, V, s = _svd_columns(f, eps)
 
-        # warm-start guards (TetForce.cpp:339-347)
+        # warm-start guards (TetForce.cpp:339-347): flip negative third
+        # component, ELSE (third was non-negative) bump a collapsed start
         w1 = warm_ref[0, :]
         w2_ = warm_ref[1, :]
+        neg3 = warm_ref[2, :] < 0.0
         w3 = jnp.abs(warm_ref[2, :])
-        collapsed = (
+        collapsed = (~neg3) & (
             (jnp.abs(w1) < 1e-3) & (jnp.abs(w2_) < 1e-3) & (jnp.abs(w3) < 1e-3)
         )
         w1 = jnp.where(collapsed, 1e-3, w1)
@@ -309,7 +313,7 @@ def _make_hyper_kernel(iters, model):
     return kernel
 
 
-def _make_hyper_fused_kernel(iters, model):
+def _make_hyper_fused_kernel(iters, model, emit_z=False):
     """Like _make_hyper_kernel but additionally computes Dx in-kernel from
     gathered vertex planes and emits the global-step RHS contribution planes,
     fusing the whole per-iteration element pipeline (selector apply -> SVD ->
@@ -319,10 +323,13 @@ def _make_hyper_fused_kernel(iters, model):
       cp[4b+k, e]   = coeff[e,b,k] = B[e,k,b] (selector coefficients)
       dx[3a+b, e]   = F_{a,b} = sum_k cp[4b+k] * xg[3k+a]
       contrib[3k+j] = w2 * sum_r cp[4r+k] * (z - u')[3j+r]
+    With emit_z, a second contribution block w2 * D^T z is emitted for the
+    dual residual (s_i = dt^2 (T z_i - T z_{i-1})).
     """
 
     def kernel(xg_ref, u_ref, warm_ref, cp_ref, mu_ref, lam_ref, k_ref,
-               w2_ref, z_ref, unew_ref, warm_out_ref, contrib_ref):
+               w2_ref, z_ref, unew_ref, warm_out_ref, contrib_ref,
+               *maybe_cz):
         xg = [xg_ref[p, :] for p in range(12)]
         cp = [cp_ref[p, :] for p in range(12)]
         dx = []
@@ -339,8 +346,9 @@ def _make_hyper_fused_kernel(iters, model):
 
         w1 = warm_ref[0, :]
         w2_ = warm_ref[1, :]
+        neg3 = warm_ref[2, :] < 0.0
         w3 = jnp.abs(warm_ref[2, :])
-        collapsed = (
+        collapsed = (~neg3) & (
             (jnp.abs(w1) < 1e-3) & (jnp.abs(w2_) < 1e-3) & (jnp.abs(w3) < 1e-3)
         )
         w1 = jnp.where(collapsed, 1e-3, w1)
@@ -357,6 +365,7 @@ def _make_hyper_fused_kernel(iters, model):
 
         sig = (x1, x2, x3)
         zu = [None] * 9
+        zs = [None] * 9
         for r in range(3):
             for c in range(3):
                 z = (
@@ -368,6 +377,7 @@ def _make_hyper_fused_kernel(iters, model):
                 z_ref[3 * r + c, :] = z
                 unew_ref[3 * r + c, :] = un
                 zu[3 * r + c] = z - un
+                zs[3 * r + c] = z
 
         w2e = w2_ref[0, :]
         for kk in range(4):
@@ -376,16 +386,24 @@ def _make_hyper_fused_kernel(iters, model):
                 for r in range(1, 3):
                     acc = acc + cp[4 * r + kk] * zu[3 * j + r]
                 contrib_ref[3 * kk + j, :] = w2e * acc
+                if emit_z:
+                    accz = cp[kk] * zs[3 * j]
+                    for r in range(1, 3):
+                        accz = accz + cp[4 * r + kk] * zs[3 * j + r]
+                    maybe_cz[0][3 * kk + j, :] = w2e * accz
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("iters", "interpret", "model"))
+@functools.partial(
+    jax.jit, static_argnames=("iters", "interpret", "model", "emit_z")
+)
 def nh_local_step_fused(xg12, u9, warm, cp12, mu, lam, k, w2, iters=5,
-                        interpret=None, model="nh"):
+                        interpret=None, model="nh", emit_z=False):
     """Fully fused local step + RHS contribution. xg12/cp12/contrib: (12,E);
     u9: (9,E); warm: (3,E); mu/lam/k/w2: (E,). E must be a multiple of BLOCK.
-    Returns (z9, u9_new, warm_new, contrib12)."""
+    Returns (z9, u9_new, warm_new, contrib12) or, with emit_z,
+    (z9, u9_new, warm_new, contrib12, contribz12)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     E = xg12.shape[1]
@@ -394,21 +412,26 @@ def nh_local_step_fused(xg12, u9, warm, cp12, mu, lam, k, w2, iters=5,
     p9 = pl.BlockSpec((9, BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM)
     p3 = pl.BlockSpec((3, BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM)
     p1 = pl.BlockSpec((1, BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM)
-    z9, unew, warm_new, contrib = pl.pallas_call(
-        _make_hyper_fused_kernel(iters, model),
+    out_specs = [p9, p9, p3, p12]
+    out_shape = [
+        jax.ShapeDtypeStruct(u9.shape, u9.dtype),
+        jax.ShapeDtypeStruct(u9.shape, u9.dtype),
+        jax.ShapeDtypeStruct(warm.shape, warm.dtype),
+        jax.ShapeDtypeStruct(xg12.shape, xg12.dtype),
+    ]
+    if emit_z:
+        out_specs.append(p12)
+        out_shape.append(jax.ShapeDtypeStruct(xg12.shape, xg12.dtype))
+    out = pl.pallas_call(
+        _make_hyper_fused_kernel(iters, model, emit_z),
         grid=grid,
         in_specs=[p12, p9, p3, p12, p1, p1, p1, p1],
-        out_specs=[p9, p9, p3, p12],
-        out_shape=[
-            jax.ShapeDtypeStruct(u9.shape, u9.dtype),
-            jax.ShapeDtypeStruct(u9.shape, u9.dtype),
-            jax.ShapeDtypeStruct(warm.shape, warm.dtype),
-            jax.ShapeDtypeStruct(xg12.shape, xg12.dtype),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(xg12, u9, warm, cp12, mu.reshape(1, E), lam.reshape(1, E),
       k.reshape(1, E), w2.reshape(1, E))
-    return z9, unew, warm_new, contrib
+    return tuple(out)
 
 
 @functools.partial(jax.jit, static_argnames=("iters", "interpret", "model"))

@@ -192,46 +192,60 @@ def _arap_kernel(dx_ref, u_ref, w2_ref, k_ref, z_ref, unew_ref):
         unew_ref[p, :] = uu[p] + dx[p] - z
 
 
-def _arap_fused_kernel(xg_ref, u_ref, cp_ref, w2_ref, k_ref,
-                       z_ref, unew_ref, contrib_ref):
+def _make_arap_fused_kernel(emit_z):
     """ARAP local step with in-kernel selector apply and RHS contribution
-    (same plane conventions as nh_local._make_hyper_fused_kernel)."""
-    xg = [xg_ref[p, :] for p in range(12)]
-    cp = [cp_ref[p, :] for p in range(12)]
-    dx = []
-    for a in range(3):
-        for b in range(3):
-            acc = cp[4 * b] * xg[a]
-            for kk in range(1, 4):
-                acc = acc + cp[4 * b + kk] * xg[3 * kk + a]
-            dx.append(acc)
-    uu = [u_ref[p, :] for p in range(9)]
-    f = [dx[p] + uu[p] for p in range(9)]
-    eps = jnp.asarray(jnp.finfo(dx[0].dtype).eps, dx[0].dtype)
-    R = _polar_rotation(f, eps)
-    w2 = w2_ref[0, :]
-    k = k_ref[0, :]
-    denom = 1.0 / (w2 + k)
-    zu = [None] * 9
-    for p in range(9):
-        z = (k * R[p] + w2 * f[p]) * denom
-        un = uu[p] + dx[p] - z
-        z_ref[p, :] = z
-        unew_ref[p, :] = un
-        zu[p] = z - un
-    for kk in range(4):
-        for j in range(3):
-            acc = cp[kk] * zu[3 * j]
-            for r in range(1, 3):
-                acc = acc + cp[4 * r + kk] * zu[3 * j + r]
-            contrib_ref[3 * kk + j, :] = w2 * acc
+    (same plane conventions as nh_local._make_hyper_fused_kernel). When
+    emit_z, a second contribution block w2 * D^T z is emitted (the
+    dual-residual piece: s_i = dt^2 (T z_i - T z_{i-1}))."""
+
+    def kernel(xg_ref, u_ref, cp_ref, w2_ref, k_ref,
+               z_ref, unew_ref, contrib_ref, *maybe_cz):
+        xg = [xg_ref[p, :] for p in range(12)]
+        cp = [cp_ref[p, :] for p in range(12)]
+        dx = []
+        for a in range(3):
+            for b in range(3):
+                acc = cp[4 * b] * xg[a]
+                for kk in range(1, 4):
+                    acc = acc + cp[4 * b + kk] * xg[3 * kk + a]
+                dx.append(acc)
+        uu = [u_ref[p, :] for p in range(9)]
+        f = [dx[p] + uu[p] for p in range(9)]
+        eps = jnp.asarray(jnp.finfo(dx[0].dtype).eps, dx[0].dtype)
+        R = _polar_rotation(f, eps)
+        w2 = w2_ref[0, :]
+        k = k_ref[0, :]
+        denom = 1.0 / (w2 + k)
+        zu = [None] * 9
+        zz = [None] * 9
+        for p in range(9):
+            z = (k * R[p] + w2 * f[p]) * denom
+            un = uu[p] + dx[p] - z
+            z_ref[p, :] = z
+            unew_ref[p, :] = un
+            zu[p] = z - un
+            zz[p] = z
+        for kk in range(4):
+            for j in range(3):
+                acc = cp[kk] * zu[3 * j]
+                for r in range(1, 3):
+                    acc = acc + cp[4 * r + kk] * zu[3 * j + r]
+                contrib_ref[3 * kk + j, :] = w2 * acc
+                if emit_z:
+                    accz = cp[kk] * zz[3 * j]
+                    for r in range(1, 3):
+                        accz = accz + cp[4 * r + kk] * zz[3 * j + r]
+                    maybe_cz[0][3 * kk + j, :] = w2 * accz
+
+    return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def arap_local_step_fused(xg12, u9, cp12, w2, k, interpret=None):
+@functools.partial(jax.jit, static_argnames=("interpret", "emit_z"))
+def arap_local_step_fused(xg12, u9, cp12, w2, k, interpret=None, emit_z=False):
     """Fully fused ARAP local step + RHS contribution. xg12/cp12: (12,E)
     gathered-position and selector-coefficient planes; u9: (9,E); w2/k: (E,).
-    Returns (z9, u9_new, contrib12)."""
+    Returns (z9, u9_new, contrib12) or, with emit_z, (z9, u9_new, contrib12,
+    contribz12)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     E = xg12.shape[1]
@@ -239,19 +253,24 @@ def arap_local_step_fused(xg12, u9, cp12, w2, k, interpret=None):
     p12 = pl.BlockSpec((12, BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM)
     p9 = pl.BlockSpec((9, BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM)
     p1 = pl.BlockSpec((1, BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM)
-    z9, unew, contrib = pl.pallas_call(
-        _arap_fused_kernel,
+    out_specs = [p9, p9, p12]
+    out_shape = [
+        jax.ShapeDtypeStruct(u9.shape, u9.dtype),
+        jax.ShapeDtypeStruct(u9.shape, u9.dtype),
+        jax.ShapeDtypeStruct(xg12.shape, xg12.dtype),
+    ]
+    if emit_z:
+        out_specs.append(p12)
+        out_shape.append(jax.ShapeDtypeStruct(xg12.shape, xg12.dtype))
+    out = pl.pallas_call(
+        _make_arap_fused_kernel(emit_z),
         grid=grid,
         in_specs=[p12, p9, p12, p1, p1],
-        out_specs=[p9, p9, p12],
-        out_shape=[
-            jax.ShapeDtypeStruct(u9.shape, u9.dtype),
-            jax.ShapeDtypeStruct(u9.shape, u9.dtype),
-            jax.ShapeDtypeStruct(xg12.shape, xg12.dtype),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(xg12, u9, cp12, w2.reshape(1, E), k.reshape(1, E))
-    return z9, unew, contrib
+    return tuple(out)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

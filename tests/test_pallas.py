@@ -162,3 +162,34 @@ def test_pallas_backend_end_to_end_matches_xla():
         assert np.abs(a - b).max() < 5e-4, (
             f"fused local+RHS kernel diverged for {cls.__name__}"
         )
+
+
+def test_nh_kernel_lam_ne_mu():
+    """Regression for the missing +lam*inv^2 Hessian diagonal term: with
+    lam != mu (ordinary Poisson ratios, e.g. lam = 4 mu) the kernel's
+    Newton must converge to the same sigma* as the validated closed-form
+    model path (models/tet.py:nh_grad_hess)."""
+    from admm_elastic_tpu.models.tet import HyperElasticTet
+    from admm_elastic_tpu.ops.pallas.nh_local import nh_local_step
+
+    rng = np.random.default_rng(7)
+    E = BLOCK
+    F = rng.normal(size=(E, 3, 3)).astype(np.float32)
+    F[: E // 4] = F[: E // 4] @ np.diag([1, 1, -1]).astype(np.float32)
+
+    mu_v, lam_v = 1e4, 4e4
+    dx9 = jnp.asarray(F.reshape(E, 9).T)
+    warm = jnp.ones((3, E), jnp.float32)
+    mu = jnp.full(E, mu_v, jnp.float32)
+    lam = jnp.full(E, lam_v, jnp.float32)
+    k = jnp.full(E, mu_v, jnp.float32)  # k = min(mu, lam)
+    z9, _, w9 = nh_local_step(dx9, jnp.zeros_like(dx9), warm, mu, lam, k,
+                              iters=5, interpret=True)
+
+    het = HyperElasticTet(np.zeros((E, 4), np.int32), mu_v, lam_v, 5, "nh")
+    params = {"mu": mu, "lam": lam, "k": k, "weight": jnp.ones(E)}
+    Dx = jnp.asarray(np.swapaxes(F, 1, 2))
+    _, st = het.project(Dx, jnp.zeros_like(Dx), params,
+                        {"sigma": jnp.ones((E, 3), jnp.float32)})
+    err = np.abs(np.asarray(w9).T - np.asarray(st["sigma"])).max()
+    assert err < 1e-2, f"sigma* mismatch {err} with lam=4mu"

@@ -537,3 +537,59 @@ def test_dia_assembly_matches_matrix():
     got = np.asarray(dia_apply(jnp.asarray(x), offs, jnp.asarray(dia)))
     np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-10)
     np.testing.assert_allclose(diag, np.diag(A), rtol=1e-12)
+
+
+def test_recompute_weights_dense_with_refine():
+    """Regression: recompute_weights() in dense mode must repopulate the
+    iterative-refinement ELL operands (dense_refine_steps>0) or the next
+    step() retraces and dies with KeyError 'ell_idx'."""
+    sys = System(Settings(timestep_s=0.04, admm_iters=5, verbose=0,
+                          global_solver="dense", dense_refine_steps=1))
+    x = np.array([[0, 1, 0], [0, 0, 0], [0, 0, 1], [1, 0, 0]], dtype=float)
+    sys.add_nodes(x, np.ones(4))
+    sys.add_force(StaticAnchor([0, 1, 2]))
+    sys.add_force(LinearTetStrain(np.array([[0, 1, 2, 3]]), stiffness=100.0))
+    anchor = sys.add_force(MovingAnchor([3], weight=1000.0))
+    assert sys.initialize()
+    sys.step()
+    sys.set_force_param(anchor, "weight", np.array([0.0]))
+    sys.set_force_state(anchor, "active", np.array([False]))
+    sys.recompute_weights()
+    sys.step()  # must not raise
+    assert np.all(np.isfinite(sys.x))
+
+
+@pytest.mark.parametrize("mode", ["ell", "dia"])
+def test_release_weight_zero_precomputed_modes(mode):
+    """poordillo release (weight -> 0 + recompute_weights,
+    System.cpp:159-179) in the precomputed-matrix modes on a mesh larger
+    than the dense-auto threshold: the sparsity pattern is topological, so
+    the release must neither assert ('sparsity pattern changed') nor
+    retrace with new shapes."""
+    from admm_elastic_tpu.geometry import make_beam_tets
+
+    beam = make_beam_tets(16, 16, 16)  # 4913 nodes > dense_max_nodes
+    assert beam.n_vertices > 4096
+    sys = System(Settings(timestep_s=0.04, admm_iters=3, verbose=0,
+                          global_solver=mode, cg_fixed_iters=8))
+    n = beam.n_vertices
+    sys.add_nodes(beam.vertices, np.full(n, 1.0 / n))
+    sys.add_force(StaticAnchor(np.flatnonzero(beam.vertices[:, 0] < 1e-9)))
+    sys.add_force(LinearTetStrain(beam.tets, stiffness=1e4))
+    tip = int(np.argmax(beam.vertices[:, 0]))
+    anchor = sys.add_force(MovingAnchor([tip], weight=1000.0))
+    sys.add_explicit_force(ExplicitForce(direction=(0, -9.8, 0)))
+    assert sys.initialize()
+    shapes_before = {
+        k: np.asarray(v).shape for k, v in sys.params["_solver"].items()
+    }
+    sys.step()
+    sys.set_force_param(anchor, "weight", np.array([0.0]))
+    sys.set_force_state(anchor, "active", np.array([False]))
+    sys.recompute_weights()  # must not assert
+    shapes_after = {
+        k: np.asarray(v).shape for k, v in sys.params["_solver"].items()
+    }
+    assert shapes_before == shapes_after, "pattern reshape would retrace"
+    sys.step()
+    assert np.all(np.isfinite(sys.x))
