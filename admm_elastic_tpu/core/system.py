@@ -295,7 +295,11 @@ class System:
         cg_fused = self.settings.cg_backend == "fused"
         cg_kernel = self.settings.cg_backend == "kernel"
         dia_offsets = getattr(self, "_dia_offsets", None)
-        collect = self.settings.collect_residuals or early_tol is not None
+        #: dual residual (needs the z-contribution columns) only when
+        #: explicitly requested; the primal residual (cheap, via the
+        #: dual-update identity Dx - z = u' - u) also drives residual_tol
+        collect_dual = self.settings.collect_residuals
+        collect = collect_dual or early_tol is not None
         n = self.n_nodes
         cnames = [f.name for f in forces]
 
@@ -319,31 +323,39 @@ class System:
             elif mode in ("ell", "dia"):
                 diag = params["_solver"]["diag"]
 
-            if collect:
-                # z init (System.cpp:43) — only consumed by the dual-residual
-                # formula; skipped entirely when residuals are off
-                z_prev = Dx_all(params, x0)
+            # residual carry: ell/dia track T z = sum_f D^T W^2 z as an (n,3)
+            # vertex vector (s_i = dt^2 ||T z_i - T z_{i-1}||, recovered from
+            # the SAME incidence gather as the RHS via 6-wide contribution
+            # rows — residual collection no longer disables kernel fusion);
+            # dense/cg carry the per-force z dicts and use the scatter path.
+            if collect_dual and mode in ("ell", "dia"):
+                z0 = Dx_all(params, x0)  # z init (System.cpp:43)
+                rc0 = jnp.zeros((n, 3), b_dtype)
+                for f in forces:
+                    rc0 = rc0 + f.scatter_rhs(
+                        params[f.name], z0[f.name],
+                        jnp.zeros_like(z0[f.name]), n,
+                    )
+            elif collect_dual:
+                rc0 = Dx_all(params, x0)
             else:
-                z_prev = jax.tree_util.tree_map(jnp.zeros_like, u)
+                rc0 = jnp.zeros((1, 3), b_dtype)  # unused dummy carry
 
             res_shape = (iters,) if collect else (0,)
             res_primal = jnp.zeros(res_shape, x0.dtype)
             res_dual = jnp.zeros(res_shape, x0.dtype)
 
             # forces whose whole per-iteration element pipeline (Dx, prox,
-            # dual, RHS contribution) runs inside one fused kernel; residual
-            # collection needs Dx/z in canonical form, so it uses the
-            # unfused path
+            # dual, RHS contribution) runs inside one fused kernel
             fused_names = {
                 f.name
                 for f in forces
                 if mode in ("ell", "dia")
-                and not collect
                 and getattr(f, "supports_fused_local_rhs", False)
             }
 
             def iteration(i, carry):
-                curr_x, u, fstate, z_prev, rp, rd = carry
+                curr_x, u, fstate, rc, rp, rd = carry
                 Dx = {
                     f.name: f.compute_Dx(params[f.name], curr_x)
                     for f in forces
@@ -356,7 +368,8 @@ class System:
                 for f in forces:
                     if f.name in fused_names:
                         zf, uf, sf, cf = f.fused_local_rhs(
-                            params[f.name], curr_x, u[f.name], fstate[f.name]
+                            params[f.name], curr_x, u[f.name], fstate[f.name],
+                            with_z=collect_dual,
                         )
                         fused_contrib[f.name] = cf
                     else:
@@ -367,30 +380,38 @@ class System:
                     z[f.name] = zf
                     new_u[f.name] = uf
                     new_fstate[f.name] = sf
-                u = new_u
 
+                Tz = None
                 if mode in ("ell", "dia"):
                     # scatter-free RHS: per-element contributions gathered
                     # through the precomputed vertex incidence (TPU scatters
                     # serialize; this is a gather + sum)
-                    contribs = [
-                        fused_contrib[f.name]
-                        if f.name in fused_names
-                        else f.rhs_contribution(
-                            params[f.name], z[f.name], u[f.name]
-                        )
-                        for f in forces
-                    ]
-                    contribs.append(jnp.zeros((1, 3), b_dtype))  # sentinel row
+                    width = 6 if collect_dual else 3
+                    contribs = []
+                    for f in forces:
+                        if f.name in fused_names:
+                            contribs.append(fused_contrib[f.name])
+                        elif collect_dual:
+                            contribs.append(f.rhs_contribution6(
+                                params[f.name], z[f.name], new_u[f.name]
+                            ))
+                        else:
+                            contribs.append(f.rhs_contribution(
+                                params[f.name], z[f.name], new_u[f.name]
+                            ))
+                    contribs.append(jnp.zeros((1, width), b_dtype))  # sentinel
                     flat = jnp.concatenate(contribs, axis=0)
-                    b = Mxbar + dt2 * transpose_gather_apply(
+                    out = transpose_gather_apply(
                         flat, params["_solver"]["inc_idx"]
                     )
+                    b = Mxbar + dt2 * out[:, :3]
+                    if collect_dual:
+                        Tz = out[:, 3:]
                 else:
                     b = Mxbar
                     for f in forces:
                         b = b + dt2 * f.scatter_rhs(
-                            params[f.name], z[f.name], u[f.name], n
+                            params[f.name], z[f.name], new_u[f.name], n
                         )
 
                 if mode == "dense":
@@ -435,47 +456,54 @@ class System:
                             A_op, b, curr_x, diag, cg_tol, cg_iters
                         )
 
+                new_rc = rc
                 if collect:
-                    # r = ||W(Dx - z)||, s = ||dt^2 D^T W^2 (z - z_prev)||
-                    # (System.cpp:64-65)
+                    # r = ||W(Dx - z)|| = ||W(u' - u)|| (System.cpp:64;
+                    # the dual-update identity keeps this fusion-friendly)
                     r2 = 0.0
-                    sresid = jnp.zeros((n, 3), b.dtype)
                     for f in forces:
-                        fr2, fs = f.residual_pieces(
-                            params[f.name], Dx[f.name], z[f.name],
-                            z_prev[f.name], n, dt2,
+                        r2 = r2 + f.primal_piece(
+                            params[f.name], new_u[f.name], u[f.name]
                         )
-                        r2 = r2 + fr2
-                        sresid = sresid + fs
                     rp = rp.at[i].set(jnp.sqrt(r2))
-                    rd = rd.at[i].set(jnp.linalg.norm(sresid))
+                if collect_dual:
+                    # s = ||dt^2 D^T W^2 (z - z_prev)|| (System.cpp:65)
+                    if mode in ("ell", "dia"):
+                        rd = rd.at[i].set(dt2 * jnp.linalg.norm(Tz - rc))
+                        new_rc = Tz
+                    else:
+                        sresid = jnp.zeros((n, 3), b.dtype)
+                        for f in forces:
+                            sresid = sresid + dt2 * f.scatter_rhs(
+                                params[f.name], z[f.name], rc[f.name], n
+                            )
+                        rd = rd.at[i].set(jnp.linalg.norm(sresid))
+                        new_rc = z
 
-                return (new_x, u, new_fstate, z, rp, rd)
+                return (new_x, new_u, new_fstate, new_rc, rp, rd)
 
-            carry = (xbar, u, fstate, z_prev, res_primal, res_dual)
+            carry = (xbar, u, fstate, rc0, res_primal, res_dual)
             if early_tol is None:
                 curr_x, u, fstate, _, rp, rd = jax.lax.fori_loop(
                     0, iters, iteration, carry
                 )
             else:
-                # while_loop: stop once the primal residual beats the
-                # tolerance (first iteration always runs)
-                def cond(ic):
-                    i, c = ic
-                    rp = c[4]
-                    return jnp.logical_and(
-                        i < iters,
-                        jnp.logical_or(
-                            i == 0, rp[jnp.maximum(i - 1, 0)] > early_tol
-                        ),
+                # masked early exit with STATIC control flow: the fori_loop
+                # always runs `iters` times, but once the primal residual
+                # beats the tolerance every later iteration is frozen to a
+                # no-op (data-dependent while_loop faults the TPU at ~100k
+                # elements; this formulation is scale-safe)
+                def masked(i, cd):
+                    c, done = cd
+                    new_c = iteration(i, c)
+                    frozen = jax.tree_util.tree_map(
+                        lambda old, new: jnp.where(done, old, new), c, new_c
                     )
+                    done = jnp.logical_or(done, frozen[4][i] <= early_tol)
+                    return (frozen, done)
 
-                def body(ic):
-                    i, c = ic
-                    return (i + 1, iteration(i, c))
-
-                _, (curr_x, u, fstate, _, rp, rd) = jax.lax.while_loop(
-                    cond, body, (jnp.int32(0), carry)
+                (curr_x, u, fstate, _, rp, rd), _ = jax.lax.fori_loop(
+                    0, iters, masked, (carry, jnp.asarray(False))
                 )
 
             new_state = {

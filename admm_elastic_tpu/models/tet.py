@@ -84,10 +84,16 @@ class _PlaneLayoutMixin:
     Plane convention: planes[3a+b, e] = canonical[e, b, a] (i.e. F_{a,b} of
     the deformation gradient; see _to_planes)."""
 
-    def _padded_E(self):
+    def _padded_E(self, E=None):
+        """Kernel-block padding for E elements. E defaults to this force's
+        global element count; the per-shard SPMD path (parallel/spmd.py)
+        passes LOCAL params whose shapes drive all sizes, so every method
+        below derives E from the arrays rather than from self."""
         from ..ops.pallas.tet_local import BLOCK
 
-        return -(-self.n_elements // BLOCK) * BLOCK
+        if E is None:
+            E = self.n_elements
+        return -(-E // BLOCK) * BLOCK
 
     def _to_planes(self, rows, pad, fill=1.0):
         """(E,R,3) canonical rows -> (9, E+pad) F-layout planes."""
@@ -103,36 +109,36 @@ class _PlaneLayoutMixin:
     def _coeff_planes(self, params):
         """cp[4b+k, e] = coeff[e,b,k] = B[e,k,b], padded (12, Ep) — the
         selector layout the fused local+RHS kernels consume."""
-        Ep = self._padded_E()
         cp = np.transpose(params["coeff"], (1, 2, 0)).reshape(12, -1)
+        Ep = self._padded_E(cp.shape[1])
         return np.pad(cp, ((0, 0), (0, Ep - cp.shape[1])))
 
     def _gathered_planes(self, params, x):
         """xg[3k+a, e] = x[tet[e,k], a], padded (12, Ep)."""
-        E = self.n_elements
-        pad = self._padded_E() - E
+        E = params["indices"].shape[0]
+        pad = self._padded_E(E) - E
         xg = x[params["indices"]].reshape(E, 12).T
         if pad:
             xg = jnp.pad(xg, ((0, 0), (0, pad)))
         return xg
 
-    def _contrib_flat(self, contrib):
+    def _contrib_flat(self, contrib, E):
         """(12, Ep) contribution planes -> (E*4, 3) flat rows matching the
         unfused rhs_contribution layout."""
-        E = self.n_elements
         return contrib[:, :E].T.reshape(E * 4, 3)
 
-    def _contrib_flat6(self, contrib, contribz):
+    def _contrib_flat6(self, contrib, contribz, E):
         """Two (12, Ep) contribution plane blocks -> (E*4, 6) flat rows
         (cols 0:3 RHS, 3:6 dual-residual z rows)."""
         return jnp.concatenate(
-            [self._contrib_flat(contrib), self._contrib_flat(contribz)], axis=1
+            [self._contrib_flat(contrib, E), self._contrib_flat(contribz, E)],
+            axis=1,
         )
 
     def primal_piece(self, params, u_new, u_old):
         if self.backend != "pallas":
             return super().primal_piece(params, u_new, u_old)
-        E = self.n_elements
+        E = params["weight"].shape[0]
         du = (u_new - u_old)[:, :E]
         w2 = params["weight"] ** 2
         return jnp.sum(w2 * jnp.sum(du * du, axis=0))
@@ -140,7 +146,7 @@ class _PlaneLayoutMixin:
     def rhs_contribution6(self, params, z, u):
         if self.backend != "pallas":
             return super().rhs_contribution6(params, z, u)
-        E = self.n_elements
+        E = params["weight"].shape[0]
         w2 = params["weight"] ** 2
         zu3 = (z - u).reshape(3, 3, -1)[:, :, :E]
         z3 = z.reshape(3, 3, -1)[:, :, :E]
@@ -159,8 +165,8 @@ class _PlaneLayoutMixin:
     def compute_Dx(self, params, x):
         if self.backend != "pallas":
             return super().compute_Dx(params, x)
-        E = self.n_elements
-        pad = self._padded_E() - E
+        E = params["indices"].shape[0]
+        pad = self._padded_E(E) - E
         verts = x[params["indices"]]  # (E,K,3)
         planes = jnp.einsum("ebk,eka->abe", params["coeff"], verts).reshape(9, E)
         if pad:
@@ -170,7 +176,7 @@ class _PlaneLayoutMixin:
     def rhs_contribution(self, params, z, u):
         if self.backend != "pallas":
             return super().rhs_contribution(params, z, u)
-        E = self.n_elements
+        E = params["weight"].shape[0]
         y3 = (z - u).reshape(3, 3, -1)[:, :, :E]  # [a,b,e] = ycan[e,b,a]
         w2 = params["weight"] ** 2
         c = jnp.einsum("erk,e,jre->ekj", params["coeff"], w2, y3)
@@ -184,11 +190,13 @@ class _PlaneLayoutMixin:
         w2 = params["weight"] ** 2
         return coeff_apply_T(
             params["coeff"], params["indices"], w2,
-            self._planes_to_canonical(z - u), n_vertices,
+            self._planes_to_canonical(z - u, params["weight"].shape[0]),
+            n_vertices,
         )
 
-    def _planes_to_canonical(self, planes):
-        E = self.n_elements
+    def _planes_to_canonical(self, planes, E=None):
+        if E is None:
+            E = self.n_elements
         return jnp.transpose(planes.reshape(3, 3, -1)[:, :, :E], (2, 1, 0))
 
     def residual_pieces(self, params, Dx, z, z_prev, n_vertices, dt2):
@@ -253,7 +261,8 @@ class LinearTetStrain(_PlaneLayoutMixin, ForceBatch):
         returns the dual-residual z-contribution columns ((E*4, 6) flat)."""
         from ..ops.pallas.tet_local import arap_local_step_fused
 
-        pad = self._padded_E() - self.n_elements
+        E = params["indices"].shape[0]
+        pad = self._padded_E(E) - E
         xg = self._gathered_planes(params, x)
         w2 = jnp.pad(params["weight"] ** 2, (0, pad), constant_values=1.0)
         k = jnp.pad(params["k"], (0, pad), constant_values=1.0)
@@ -262,9 +271,9 @@ class LinearTetStrain(_PlaneLayoutMixin, ForceBatch):
         )
         if with_z:
             z9, unew9, contrib, contribz = out
-            return z9, unew9, state, self._contrib_flat6(contrib, contribz)
+            return z9, unew9, state, self._contrib_flat6(contrib, contribz, E)
         z9, unew9, contrib = out
-        return z9, unew9, state, self._contrib_flat(contrib)
+        return z9, unew9, state, self._contrib_flat(contrib, E)
 
     def _project_xla(self, Dx, u, params, state):
         F = _F_of(Dx + u)
@@ -280,7 +289,7 @@ class LinearTetStrain(_PlaneLayoutMixin, ForceBatch):
         project_with_dual natively instead."""
         if self.backend == "pallas":
             E = Dx.shape[0]
-            pad = self._padded_E() - E
+            pad = self._padded_E(E) - E
             z9, _, st = self.project_with_dual(
                 self._to_planes(Dx, pad), self._to_planes(u, pad, fill=0.0),
                 params, state,
@@ -296,7 +305,8 @@ class LinearTetStrain(_PlaneLayoutMixin, ForceBatch):
             return z, u + Dx - z, st
         from ..ops.pallas.tet_local import arap_local_step
 
-        pad = self._padded_E() - self.n_elements
+        E = params["weight"].shape[0]
+        pad = self._padded_E(E) - E
         w2 = jnp.pad((params["weight"] ** 2), (0, pad), constant_values=1.0)
         k = jnp.pad(params["k"], (0, pad), constant_values=1.0)
         z9, unew9 = arap_local_step(Dx, u, w2, k)
@@ -464,29 +474,36 @@ class HyperElasticTet(_PlaneLayoutMixin, ForceBatch):
     def supports_fused_local_rhs(self) -> bool:
         return self.backend == "pallas"
 
-    def fused_local_rhs(self, params, x, u, state):
+    def fused_local_rhs(self, params, x, u, state, with_z=False):
         """One-kernel per-iteration element pipeline for the ell/dia global
         modes: gathered positions in, (z, u', warm, D^T W^2 (z-u') flat
         contribution rows) out — everything between the vertex gather and the
         incidence gather runs inside ops/pallas/nh_local.nh_local_step_fused."""
         from ..ops.pallas.nh_local import nh_local_step_fused
 
-        pad = self._padded_E() - self.n_elements
+        E = params["indices"].shape[0]
+        pad = self._padded_E(E) - E
         xg = self._gathered_planes(params, x)
         mu = jnp.pad(params["mu"], (0, pad), constant_values=1.0)
         lam = jnp.pad(params["lam"], (0, pad), constant_values=1.0)
         k = jnp.pad(params["k"], (0, pad), constant_values=1.0)
         w2 = jnp.pad(params["weight"] ** 2, (0, pad))
-        z9, unew9, warm_new, contrib = nh_local_step_fused(
+        out = nh_local_step_fused(
             xg, u, state["sigma"], params["coeff_p"], mu, lam, k, w2,
-            iters=self.max_iters, model=self.model,
+            iters=self.max_iters, model=self.model, emit_z=with_z,
         )
-        return z9, unew9, {**state, "sigma": warm_new}, self._contrib_flat(contrib)
+        if with_z:
+            z9, unew9, warm_new, contrib, contribz = out
+            flat = self._contrib_flat6(contrib, contribz, E)
+        else:
+            z9, unew9, warm_new, contrib = out
+            flat = self._contrib_flat(contrib, E)
+        return z9, unew9, {**state, "sigma": warm_new}, flat
 
     def project(self, Dx, u, params, state):
         if self.backend == "pallas":
             E = Dx.shape[0]
-            pad = self._padded_E() - E
+            pad = self._padded_E(E) - E
             z9, _, st = self.project_with_dual(
                 self._to_planes(Dx, pad), self._to_planes(u, pad, fill=0.0),
                 params, state,
@@ -540,7 +557,8 @@ class HyperElasticTet(_PlaneLayoutMixin, ForceBatch):
             return z, u + Dx - z, st
         from ..ops.pallas.nh_local import nh_local_step
 
-        pad = self._padded_E() - self.n_elements
+        E = params["weight"].shape[0]
+        pad = self._padded_E(E) - E
         mu = jnp.pad(params["mu"], (0, pad), constant_values=1.0)
         lam = jnp.pad(params["lam"], (0, pad), constant_values=1.0)
         k = jnp.pad(params["k"], (0, pad), constant_values=1.0)

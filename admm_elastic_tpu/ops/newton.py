@@ -25,7 +25,16 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-_ALPHAS = (1.0, 0.5, 0.25, 0.0625)
+#: Newton-direction backtracking schedule. The deep tail matters: with an
+#: ill-conditioned Hessian (tiny eigenvalue, large gradient) the Newton step
+#: can be ~100x too long, and a schedule stopping at 1/16 leaves every
+#: candidate worse than x — the iterate then never moves at all (caught by
+#: the L-BFGS oracle in tests/test_hyper_oracle.py).
+_ALPHAS = (1.0, 0.5, 0.25, 0.0625, 1.0 / 64.0, 1.0 / 256.0)
+#: scaled gradient-step candidates always evaluated alongside the Newton
+#: candidates — guarantees progress even when the Newton direction is
+#: useless at every scale
+_GRAD_ALPHAS = (1.0, 0.0625)
 
 
 def _solve_spd(H, g, damp):
@@ -63,6 +72,7 @@ def newton_minimize(value_fn, x0, iters: int, floor: float = 1e-10,
     dtype = x0.dtype
     floor = jnp.asarray(floor, dtype)
     alphas = jnp.asarray(_ALPHAS, dtype)
+    galphas = jnp.asarray(_GRAD_ALPHAS, dtype)
 
     def body(_, x):
         g = grad_fn(x)
@@ -77,8 +87,9 @@ def newton_minimize(value_fn, x0, iters: int, floor: float = 1e-10,
         gscale = 1.0 / (hnorm + 1.0)
         d = jnp.where(descent, d, -g * gscale)
 
-        cand = x[None, :] + alphas[:, None] * d[None, :]
-        cand = jnp.maximum(cand, floor)
+        cand_n = x[None, :] + alphas[:, None] * d[None, :]
+        cand_g = x[None, :] - galphas[:, None] * (g * gscale)[None, :]
+        cand = jnp.maximum(jnp.concatenate([cand_n, cand_g], axis=0), floor)
         vals = jax.vmap(value_fn)(cand)
         vals = jnp.where(jnp.isfinite(vals), vals, jnp.inf)
         best = jnp.argmin(vals)

@@ -29,7 +29,11 @@ from .tet_local import BLOCK, _jacobi_cs
 
 _SWEEPS = 6
 SIGMA_FLOOR = 1e-8
-_ALPHAS = (1.0, 0.5, 0.25, 0.0625)
+# Newton backtracking with a DEEP tail + always-on scaled gradient-step
+# candidates (see ops/newton.py _ALPHAS: a schedule stopping at 1/16 can
+# leave the iterate permanently stuck when the Hessian is ill-conditioned)
+_ALPHAS = (1.0, 0.5, 0.25, 0.0625, 1.0 / 64.0, 1.0 / 256.0)
+_GRAD_ALPHAS = (1.0, 0.0625)
 
 
 def _svd_columns(f, eps):
@@ -254,16 +258,29 @@ def _newton_hyper(s0, warm, mu, lam, k, iters, model):
 
         f_best = value_fn(x1, x2, x3, mu, lam, k, c1, c2, c3)
         b1, b2, b3 = x1, x2, x3
-        for a in _ALPHAS:
-            t1 = jnp.maximum(x1 + a * d1, floor)
-            t2 = jnp.maximum(x2 + a * d2, floor)
-            t3 = jnp.maximum(x3 + a * d3, floor)
+
+        def try_step(s1, s2, s3, f_best, b1, b2, b3):
+            t1 = jnp.maximum(s1, floor)
+            t2 = jnp.maximum(s2, floor)
+            t3 = jnp.maximum(s3, floor)
             fv = value_fn(t1, t2, t3, mu, lam, k, c1, c2, c3)
             better = fv < f_best
-            f_best = jnp.where(better, fv, f_best)
-            b1 = jnp.where(better, t1, b1)
-            b2 = jnp.where(better, t2, b2)
-            b3 = jnp.where(better, t3, b3)
+            return (
+                jnp.where(better, fv, f_best),
+                jnp.where(better, t1, b1),
+                jnp.where(better, t2, b2),
+                jnp.where(better, t3, b3),
+            )
+
+        for a in _ALPHAS:
+            f_best, b1, b2, b3 = try_step(
+                x1 + a * d1, x2 + a * d2, x3 + a * d3, f_best, b1, b2, b3
+            )
+        for a in _GRAD_ALPHAS:
+            f_best, b1, b2, b3 = try_step(
+                x1 - a * g1 * gscale, x2 - a * g2 * gscale,
+                x3 - a * g3 * gscale, f_best, b1, b2, b3,
+            )
         x1, x2, x3 = b1, b2, b3
     return x1, x2, x3
 

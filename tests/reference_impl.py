@@ -328,10 +328,8 @@ class RefSystem:
         self.v = np.zeros_like(self.x)
         self.m = np.repeat(np.asarray(masses, dtype=float), 3)
 
-    def initialize(self):
+    def _assemble(self):
         n_dof = len(self.x)
-        for f in self.forces:
-            f.initialize(self.x)
         blocks, weights = [], []
         r = 0
         for f in self.forces:
@@ -347,10 +345,20 @@ class RefSystem:
         DtW2 = self.D.T * (self.W**2)[None, :]
         self.A = M + dt2 * (DtW2 @ self.D)
         self.dt2_DtW2 = dt2 * DtW2
+
+    def initialize(self):
+        for f in self.forces:
+            f.initialize(self.x)
+        self._assemble()
         self.u = np.zeros(len(self.W))
         self.z = np.zeros(len(self.W))
 
-    def step(self):
+    def recompute_weights(self):
+        """Runtime weight-edit path (System.cpp:159-179): rebuild W and the
+        global matrix; duals/state persist."""
+        self._assemble()
+
+    def step(self, collect_residuals=False):
         dt = self.dt
         if self.gravity is not None:
             self.v += dt * np.tile(self.gravity, len(self.x) // 3)
@@ -360,11 +368,164 @@ class RefSystem:
         xbar = self.x + dt * self.v
         Mxbar = self.m * xbar
         curr_x = xbar.copy()
+        rp, rd = [], []
+        dt2 = self.dt * self.dt
         for _ in range(self.iters):
+            z_prev = self.z.copy()
             Dx = self.D @ curr_x
             for f in self.forces:
                 f.project(Dx, self.u, self.z)
             b = Mxbar + self.dt2_DtW2 @ (self.z - self.u)
             curr_x = np.linalg.solve(self.A, b)
+            if collect_residuals:
+                # r = ||W(Dx - z)||, s = dt^2 ||D^T W^2 (z - z_prev)||
+                # (System.cpp:64-65)
+                rp.append(np.linalg.norm(self.W * (Dx - self.z)))
+                rd.append(
+                    np.linalg.norm(
+                        dt2 * (self.D.T * (self.W**2)[None, :])
+                        @ (self.z - z_prev)
+                    )
+                )
         self.v = (curr_x - self.x) / dt
         self.x = curr_x
+        if collect_residuals:
+            return np.asarray(rp), np.asarray(rd)
+
+
+class RefMovingAnchor(RefForce):
+    """MovingAnchor bound to a control point (AnchorForce.cpp:61-89):
+    active -> z = pos; inactive -> z = Dx + u (no-op) and the point follows
+    the node. Release = active False + weight 0 + recompute_weights."""
+
+    def __init__(self, idx, weight=1000.0):
+        self.idx, self.w = idx, weight
+        self.active = True
+        self.pos = None
+
+    def initialize(self, x):
+        if self.pos is None:
+            self.pos = x[self.idx * 3 : self.idx * 3 + 3].copy()
+
+    def rows(self):
+        return 3
+
+    def selector(self, n_dof):
+        D = np.zeros((3, n_dof))
+        for c in range(3):
+            D[c, self.idx * 3 + c] = 1.0
+        return D, np.full(3, self.w)
+
+    def project(self, Dx, u, z):
+        g = self.global_idx
+        dix = Dx[g : g + 3]
+        ui = u[g : g + 3]
+        if self.active:
+            zi = self.pos.copy()
+        else:
+            zi = dix + ui
+            self.pos = dix.copy()
+        u[g : g + 3] = ui + dix - zi
+        z[g : g + 3] = zi
+
+
+class RefHyperElastic(RefForce):
+    """HyperElasticTet oracle (TetForce.cpp:303-364): oriented SVD with the
+    reference's U/V determinant flips, warm-started scipy L-BFGS-B over the
+    three singular values with the exact NHProx/StVKProx objective+gradient
+    (TetForce.cpp:216-297, incl. the FLT_MAX positivity barrier), z = U
+    diag(sigma*) V^T. k = min(mu, lambda); w = sqrt(k * volume)."""
+
+    _FLT_MAX = float(np.finfo(np.float32).max)
+
+    def __init__(self, idx, mu, lam, max_iters=5, model="nh"):
+        self.idx, self.mu, self.lam = list(idx), mu, lam
+        self.max_iters, self.model = max_iters, model
+        self.last_prox_result = np.ones(3)
+
+    def initialize(self, x):
+        self.B, self.vol = _tet_B(x, self.idx)
+        self.k = min(self.mu, self.lam)
+        self.w = np.sqrt(self.k) * np.sqrt(self.vol)
+
+    def rows(self):
+        return 9
+
+    def selector(self, n_dof):
+        D = np.zeros((9, n_dof))
+        Bt = self.B.T  # (3,4)
+        for r in range(3):
+            for c in range(4):
+                for j in range(3):
+                    D[r * 3 + j, self.idx[c] * 3 + j] = Bt[r, c]
+        return D, np.full(9, self.w)
+
+    def _oriented_svd(self, F):
+        """TetForce.cpp:80-102: plain SVD then determinant flips of U and Vt
+        (each flip negates S[2])."""
+        U, S, Vt = np.linalg.svd(F)
+        S = S.copy()
+        J = np.diag([1.0, 1.0, -1.0])
+        if np.linalg.det(U) < 0.0:
+            U = U @ J
+            S[2] *= -1.0
+        if np.linalg.det(Vt) < 0.0:
+            Vt = J @ Vt
+            S[2] *= -1.0
+        return U, S, Vt
+
+    def _value(self, s, s0):
+        if s[0] < 0.0 or s[1] < 0.0 or s[2] < 0.0:
+            return self._FLT_MAX
+        if self.model == "nh":
+            det = s[0] * s[1] * s[2]
+            I1 = np.dot(s, s)
+            log_I3 = np.log(det * det)
+            psi = 0.5 * self.mu * (I1 - log_I3 - 3.0) + 0.125 * self.lam * log_I3**2
+        else:
+            st = 0.5 * (s * s - 1.0)
+            psi = self.mu * np.dot(st, st) + 0.5 * self.lam * np.sum(st) ** 2
+        return psi + 0.5 * self.k * np.sum((s - s0) ** 2)
+
+    def _grad(self, s, s0):
+        if self.model == "nh":
+            det = s[0] * s[1] * s[2]
+            if det <= 0.0:
+                return np.full(3, self._FLT_MAX)
+            inv = 1.0 / s
+            return (
+                self.mu * (s - inv)
+                + self.lam * np.log(det) * inv
+                + self.k * (s - s0)
+            )
+        t1 = self.mu * s * (s * s - 1.0)
+        t2 = 0.5 * self.lam * (np.dot(s, s) - 3.0) * s
+        return t1 + t2 + self.k * (s - s0)
+
+    def project(self, Dx, u, z):
+        from scipy.optimize import minimize
+
+        g = self.global_idx
+        dix = Dx[g : g + 9]
+        ui = u[g : g + 9]
+        dxu = dix + ui
+        F = dxu.reshape(3, 3, order="F")
+        U, S0, Vt = self._oriented_svd(F)
+
+        x2 = self.last_prox_result.copy()
+        # warm-start guards (TetForce.cpp:341-347)
+        if x2[2] < 0.0:
+            x2[2] *= -1.0
+        elif abs(x2[0]) < 1e-3 and abs(x2[1]) < 1e-3 and abs(x2[2]) < 1e-3:
+            x2[:] = 1e-3
+
+        res = minimize(
+            self._value, x2, args=(S0,), jac=self._grad, method="L-BFGS-B",
+            options={"maxiter": self.max_iters, "gtol": 1e-8},
+        )
+        x2 = res.x
+        self.last_prox_result = x2.copy()
+        proj = U @ np.diag(x2) @ Vt
+        zi = proj.reshape(9, order="F")
+        u[g : g + 9] = ui + dix - zi
+        z[g : g + 9] = zi

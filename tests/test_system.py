@@ -593,3 +593,75 @@ def test_release_weight_zero_precomputed_modes(mode):
     assert shapes_before == shapes_after, "pattern reshape would retrace"
     sys.step()
     assert np.all(np.isfinite(sys.x))
+
+
+def test_residuals_with_fused_kernels_match_unfused():
+    """collect_residuals no longer disables kernel fusion: the ell+pallas
+    (fused local+RHS, 6-wide contribution gather) primal/dual residual
+    trajectories must match the dense+xla unfused path."""
+    from admm_elastic_tpu.geometry import make_beam_tets
+    from admm_elastic_tpu.models import HyperElasticTet
+
+    beam = make_beam_tets(4, 3, 3)
+
+    def run(mode, backend):
+        sys = System(Settings(timestep_s=0.04, admm_iters=8, verbose=0,
+                              global_solver=mode, cg_fixed_iters=40,
+                              dtype=jnp.float64, collect_residuals=True))
+        n = beam.n_vertices
+        sys.add_nodes(beam.vertices, np.full(n, 1.0 / n))
+        sys.add_force(StaticAnchor(np.flatnonzero(beam.vertices[:, 0] < 1e-9)))
+        sys.add_force(HyperElasticTet(beam.tets, mu=1e4, lam=4e4, max_iters=5,
+                                      model="nh", backend=backend))
+        sys.add_explicit_force(ExplicitForce(direction=(0, -9.8, 0)))
+        assert sys.initialize()
+        rps, rds = [], []
+        for _ in range(3):
+            sys.step()
+            rps.append(np.asarray(sys.last_aux["primal_residual"]))
+            rds.append(np.asarray(sys.last_aux["dual_residual"]))
+        return np.stack(rps), np.stack(rds), sys.x
+
+    rp_f, rd_f, x_f = run("ell", "pallas")
+    rp_u, rd_u, x_u = run("ell", "xla")
+    assert rp_f.shape == (3, 8) and np.all(rp_f > 0)
+    # same global solve, f64: differences are only the local-step kernels'
+    # SVD algorithm (Jacobi sweeps vs one-sided) round-off
+    np.testing.assert_allclose(rp_f, rp_u, rtol=1e-3, atol=1e-6 * rp_u.max())
+    np.testing.assert_allclose(rd_f, rd_u, rtol=1e-2, atol=1e-4 * rd_u.max())
+    np.testing.assert_allclose(x_f, x_u, atol=1e-6)
+
+
+def test_residual_early_exit_masked_ell_pallas():
+    """The masked (static-control-flow) early exit works in the fused
+    ell+pallas configuration: iterations freeze once converged and the
+    trajectory matches the full run."""
+    from admm_elastic_tpu.geometry import make_beam_tets
+    from admm_elastic_tpu.models import HyperElasticTet
+
+    beam = make_beam_tets(3, 2, 2)
+
+    def build(tol):
+        sys = System(Settings(timestep_s=0.04, admm_iters=40, verbose=0,
+                              global_solver="ell", cg_fixed_iters=30,
+                              dtype=jnp.float64, residual_tol=tol))
+        n = beam.n_vertices
+        sys.add_nodes(beam.vertices, np.full(n, 1.0 / n))
+        sys.add_force(StaticAnchor(np.flatnonzero(beam.vertices[:, 0] < 1e-9)))
+        sys.add_force(HyperElasticTet(beam.tets, mu=1e4, lam=1e4, max_iters=5,
+                                      model="nh", backend="pallas"))
+        sys.add_explicit_force(ExplicitForce(direction=(0, -9.8, 0)))
+        assert sys.initialize()
+        return sys
+
+    full = build(0.0)
+    full.step()
+    early = build(1e-3)
+    early.step()
+    rp = np.asarray(early.last_aux["primal_residual"])
+    n_used = int(np.count_nonzero(rp))
+    assert 0 < n_used < 40
+    assert rp[n_used - 1] <= 1e-3
+    # stopping at tol=1e-3 legitimately leaves ~tol-scale difference vs the
+    # 40-iteration run
+    np.testing.assert_allclose(early.x, full.x, atol=1e-4)
