@@ -212,6 +212,47 @@ def bench_sweep(dtype, n_scenarios=64, steps=10, global_solver="ell",
     return float(np.median(times)), n_scenarios, E
 
 
+def bench_sharded(dtype, n_dev=8, steps=3):
+    """Scaling-efficiency harness on the virtual device mesh: runs the SPMD
+    fast path (fused pallas local + row-sharded ELL CG under shard_map),
+    checks trajectory parity against the single-device path, and reports
+    the analytic cross-device traffic per step (the wall-clock column needs
+    real multi-chip hardware; comm volume + parity are measurable now)."""
+    import jax
+    import jax.numpy as jnp
+
+    from admm_elastic_tpu import Settings, System
+    from admm_elastic_tpu.geometry import make_beam_tets
+    from admm_elastic_tpu.models import ExplicitForce, HyperElasticTet, StaticAnchor
+    from admm_elastic_tpu.parallel.sharding import make_sim_mesh
+    from admm_elastic_tpu.parallel.spmd import SpmdSystem
+
+    beam = make_beam_tets(6, 4, 4)
+
+    def build():
+        s = System(Settings(timestep_s=0.04, admm_iters=10, verbose=0,
+                            dtype=dtype, global_solver="ell",
+                            cg_fixed_iters=25))
+        n = beam.n_vertices
+        s.add_nodes(beam.vertices, np.full(n, 50.0 / n))
+        s.add_force(StaticAnchor(np.flatnonzero(beam.vertices[:, 0] < 1e-9)))
+        s.add_force(HyperElasticTet(beam.tets, mu=1e5, lam=1e5, max_iters=5,
+                                    model="nh", backend="pallas"))
+        s.add_explicit_force(ExplicitForce(direction=(0, -9.8, 0)))
+        assert s.initialize()
+        return s
+
+    ref = build()
+    spmd = SpmdSystem(build(), make_sim_mesh(elem=n_dev))
+    for _ in range(steps):
+        ref.step()
+        spmd.step()
+    err = float(np.abs(spmd.x - ref.x).max())
+    scale = float(np.abs(ref.x).max())
+    assert err < 1e-3 * scale, f"sharded parity failed: {err}"
+    return spmd.comm_stats(), err, beam.n_tets
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default="tet100k")
@@ -226,6 +267,20 @@ def main():
                     help="tet100k: single-kernel whole-timestep lattice path "
                          "(default; --no-lattice uses the general System)")
     args = ap.parse_args()
+
+    if args.preset == "sharded" and "force_host_platform" not in os.environ.get(
+        "XLA_FLAGS", ""
+    ):
+        # the sharded harness needs a multi-device mesh; re-exec onto an
+        # 8-virtual-device CPU backend (the real environment has 1 chip)
+        env = dict(os.environ)
+        env.update({
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+            "JAX_PLATFORMS": "cpu",
+            "PYTHONPATH": HERE,
+            "_AET_CLEAN_ENV": "1",
+        })
+        os.execve(sys.executable, [sys.executable] + sys.argv, env)
 
     import jax
     import jax.numpy as jnp
@@ -298,6 +353,24 @@ def main():
                     "value": round(ms * 1e3, 3),
                     "unit": "ms",
                     "vs_baseline": 1.0,
+                }
+            )
+        )
+    elif args.preset == "sharded":
+        stats, err, n_tets = bench_sharded(dtype)
+        print(
+            f"# sharded: {n_tets} tets on {stats['n_devices']} devices, "
+            f"parity err {err:.2e}, "
+            f"{stats['bytes_per_admm_iter']} comm bytes/ADMM iter",
+            file=sys.stderr,
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "sharded_comm_bytes_per_step",
+                    "value": stats["bytes_per_step"],
+                    "unit": "bytes",
+                    "vs_baseline": 1.0,  # parity-checked vs single device
                 }
             )
         )

@@ -247,3 +247,84 @@ def test_ell_sharding_rejected():
     mesh = make_sim_mesh(data=1)
     with pytest.raises(ValueError, match="element sharding"):
         shard_params_and_state(sys, mesh)
+
+
+# ---------------------------------------------------------------- SPMD fast path
+
+
+def _spmd_pair(beam, admm_iters=4, cg=20, forces="nh", n_dev=8):
+    """Build (single-device System, SpmdSystem) with identical config."""
+    import jax
+
+    from admm_elastic_tpu.parallel.sharding import make_sim_mesh
+    from admm_elastic_tpu.parallel.spmd import SpmdSystem
+    from admm_elastic_tpu.models import (
+        Collision,
+        ExplicitForce,
+        Floor,
+        HyperElasticTet,
+        LinearTetStrain,
+        MovingAnchor,
+        StaticAnchor,
+    )
+
+    def build():
+        s = System(Settings(timestep_s=0.04, admm_iters=admm_iters, verbose=0,
+                            dtype=jnp.float64, global_solver="ell",
+                            cg_fixed_iters=cg))
+        n = beam.n_vertices
+        s.add_nodes(beam.vertices, np.full(n, 50.0 / n))
+        s.add_force(StaticAnchor(np.flatnonzero(beam.vertices[:, 0] < 1e-9)))
+        if forces == "nh":
+            s.add_force(HyperElasticTet(beam.tets, mu=1e5, lam=1e5,
+                                        max_iters=5, model="nh",
+                                        backend="pallas"))
+        else:  # mixed: ARAP pallas + moving anchor + floor collision
+            s.add_force(LinearTetStrain(beam.tets, stiffness=1e5,
+                                        backend="pallas"))
+            tip = int(np.argmax(beam.vertices[:, 0]))
+            s.add_force(MovingAnchor([tip], weight=500.0))
+            s.add_force(Collision([Floor(center=(0, -0.5, 0))],
+                                  n_nodes=n))
+        s.add_explicit_force(ExplicitForce(direction=(0, -9.8, 0)))
+        assert s.initialize()
+        return s
+
+    ref = build()
+    spmd = SpmdSystem(build(), make_sim_mesh(elem=n_dev))
+    return ref, spmd
+
+
+def test_spmd_fast_path_mixed_forces():
+    """SPMD (fused pallas ARAP + canonical anchors/collision, row-sharded
+    ELL CG) matches the single-device trajectory; run() rollout works."""
+    from admm_elastic_tpu.geometry import make_beam_tets
+
+    beam = make_beam_tets(4, 3, 3)
+    ref, spmd = _spmd_pair(beam, forces="mixed")
+    for _ in range(2):
+        ref.step()
+        spmd.step()
+    np.testing.assert_allclose(spmd.x, ref.x, atol=1e-10)
+    # on-device rollout continues the trajectory
+    ref.run(2)
+    spmd.run(2)
+    np.testing.assert_allclose(spmd.x, ref.x, atol=1e-9)
+    stats = spmd.comm_stats()
+    assert stats["bytes_per_step"] > 0 and stats["n_devices"] == 8
+
+
+def test_spmd_fast_path_50k_tets():
+    """VERDICT round-1 item 1 done-criterion: the pallas+ell fast path,
+    element-sharded on the 8-device virtual mesh, matches the single-device
+    trajectory on a >=50k-tet mesh."""
+    from admm_elastic_tpu.geometry import make_beam_tets
+
+    beam = make_beam_tets(28, 20, 18)  # 50,400 tets / 11,571 nodes
+    assert beam.n_tets >= 50_000
+    ref, spmd = _spmd_pair(beam, admm_iters=3, cg=15, forces="nh")
+    for _ in range(2):
+        ref.step()
+        spmd.step()
+    assert np.isfinite(spmd.x).all()
+    np.testing.assert_allclose(spmd.x, ref.x, atol=1e-6)
