@@ -86,6 +86,18 @@ class Settings:
     #: ||W(Dx-z)|| drops below this absolute tolerance (max admm_iters still
     #: bounds the loop). The reference never implemented its noted early exit.
     residual_tol: float | None = None
+    #: opt-in: route the whole timestep through the single-kernel lattice
+    #: fast path (core/lattice.LatticeStepper) when the mesh is a uniform
+    #: beam lattice (any vertex numbering) and the force set qualifies
+    #: (one nh/stvk/arap tet force, StaticAnchors, optional floor
+    #: Collision, gravity kicks). Falls back to the general path silently
+    #: when the scene does not qualify.
+    lattice_fast_path: bool = False
+    #: 'auto': when the dia solver rejects the vertex NUMBERING but the
+    #: vertex POSITIONS form a regular grid, renumber internally (canonical
+    #: grid order) so the single-kernel dia CG re-qualifies; the public
+    #: x/v API stays in the caller's numbering. 'none' disables.
+    reorder: str = "auto"
 
     def parse_args(self, argv):
         """CLI parity with the reference: -dt, -v, -it, -help
@@ -194,6 +206,10 @@ class System:
             self._explicit_list.append(e)
 
         n = self.n_nodes
+        #: internal vertex order (may be a grid renumbering; see reorder)
+        self._xi, self._mi = self._x, self._m
+        self._o2i = None
+        self._i2o = None
         mode = s.global_solver
         if mode == "auto":
             # dense-inverse MXU matmul for small meshes; for large meshes the
@@ -206,16 +222,44 @@ class System:
 
         if mode == "dense":
             cparams = {k: params[k] for k in self._constraint_names}
-            A = assemble_A_hat(n, self._m, dt, cparams)
+            A = assemble_A_hat(n, self._mi, dt, cparams)
             params["_solver"] = {"A_inv": np.linalg.inv(A)}
             if s.dense_refine_steps > 0:
-                ell_idx, ell_vals, _ = assemble_A_hat_ell(n, self._m, dt, cparams)
+                ell_idx, ell_vals, _ = assemble_A_hat_ell(n, self._mi, dt, cparams)
                 params["_solver"]["ell_idx"] = ell_idx
                 params["_solver"]["ell_vals"] = ell_vals
         elif mode in ("ell", "dia"):
             cparams = {k: params[k] for k in self._constraint_names}
             if mode == "dia":
-                dia = assemble_A_hat_dia(n, self._m, dt, cparams)
+                dia = assemble_A_hat_dia(n, self._mi, dt, cparams)
+                if dia is None and s.reorder == "auto":
+                    from .lattice import detect_grid_numbering
+
+                    cid = detect_grid_numbering(self._x)
+                    if cid is not None:
+                        # renumber internally: index arrays through o2i,
+                        # vertex arrays gathered by i2o
+                        self._o2i = cid
+                        i2o = np.empty_like(cid)
+                        i2o[cid] = np.arange(n)
+                        self._i2o = i2o
+                        for nm, p in params.items():
+                            for key in ("indices", "tris"):
+                                if isinstance(p, dict) and key in p:
+                                    p[key] = cid[
+                                        np.asarray(p[key], np.int64)
+                                    ].astype(np.int32)
+                        self._xi = self._x[i2o]
+                        self._mi = self._m[i2o]
+                        cparams = {
+                            k: params[k] for k in self._constraint_names
+                        }
+                        dia = assemble_A_hat_dia(n, self._mi, dt, cparams)
+                        if s.verbose and dia is not None:
+                            print(
+                                "Solver: grid renumbering engaged — dia "
+                                "restored for scrambled input"
+                            )
                 if dia is not None:
                     # the single-kernel CG keeps (D + ~13) vertex planes
                     # VMEM-resident; fall back to ell+fused CG when the
@@ -244,7 +288,7 @@ class System:
                         "inc_idx": inc_idx,
                     }
             if mode == "ell":
-                ell_idx, ell_vals, diag = assemble_A_hat_ell(n, self._m, dt, cparams)
+                ell_idx, ell_vals, diag = assemble_A_hat_ell(n, self._mi, dt, cparams)
                 inc_idx, _ = assemble_transpose_incidence(
                     n, cparams, self._constraint_names
                 )
@@ -259,14 +303,28 @@ class System:
 
         self.params = _cast_tree(params, dtype)
         self.state = {
-            "x": jnp.asarray(self._x, dtype),
+            "x": jnp.asarray(self._xi, dtype),
             "v": jnp.zeros((n, 3), dtype),
             "t": jnp.asarray(0.0, dtype),
             "u": _cast_tree(u0, dtype),
             "forces": _cast_tree(state_forces, dtype),
         }
-        self._masses_dev = jnp.asarray(self._m, dtype)
+        self._masses_dev = jnp.asarray(self._mi, dtype)
         self._step_fn = jax.jit(self._make_step(), donate_argnums=(0,))
+
+        self._lattice = None
+        if s.lattice_fast_path:
+            from .lattice import lattice_from_system
+
+            out = lattice_from_system(self)
+            if out is not None:
+                self._lattice, self._to_canon = out
+                if s.verbose >= 1:
+                    print("Solver: lattice fast path engaged "
+                          f"(model={self._lattice.model})")
+            elif s.verbose >= 1:
+                print("Solver: scene does not qualify for the lattice fast "
+                      "path; using the general solver")
 
         if s.verbose >= 1:
             print(
@@ -526,6 +584,10 @@ class System:
             raise RuntimeError("call initialize() first")
         for cb in self.pre_step_callbacks:
             cb(self)
+        if self._lattice is not None:
+            self._lattice.step()
+            self.elapsed_s += self.settings.timestep_s
+            return True
         self.state, self.last_aux = self._step_fn(self.state, self.params)
         self.elapsed_s += self.settings.timestep_s
         return True
@@ -548,6 +610,10 @@ class System:
 
     def run(self, n_steps: int):
         """Advance n_steps entirely on device (no per-step callbacks)."""
+        if self._lattice is not None:
+            self._lattice.run(n_steps)
+            self.elapsed_s += n_steps * self.settings.timestep_s
+            return True
         key = ("_rollout", n_steps)
         if not hasattr(self, "_rollouts"):
             self._rollouts = {}
@@ -568,14 +634,14 @@ class System:
                 k: jax.tree_util.tree_map(np.asarray, self.params[k])
                 for k in self._constraint_names
             }
-            A = assemble_A_hat(self.n_nodes, self._m, self.settings.timestep_s, cparams)
+            A = assemble_A_hat(self.n_nodes, self._mi, self.settings.timestep_s, cparams)
             self.params["_solver"] = {
                 "A_inv": jnp.asarray(np.linalg.inv(A), self.settings.dtype)
             }
             if self.settings.dense_refine_steps > 0:
                 # keep the iterative-refinement operands initialize() installed
                 ell_idx, ell_vals, _ = assemble_A_hat_ell(
-                    self.n_nodes, self._m, self.settings.timestep_s, cparams
+                    self.n_nodes, self._mi, self.settings.timestep_s, cparams
                 )
                 self.params["_solver"]["ell_idx"] = jnp.asarray(ell_idx)
                 self.params["_solver"]["ell_vals"] = jnp.asarray(
@@ -590,7 +656,7 @@ class System:
             inc = self.params["_solver"]["inc_idx"]
             if self._solver_mode == "dia":
                 offs, dia_vals, diag = assemble_A_hat_dia(
-                    self.n_nodes, self._m, self.settings.timestep_s, cparams
+                    self.n_nodes, self._mi, self.settings.timestep_s, cparams
                 )
                 assert offs == self._dia_offsets, "sparsity pattern changed"
                 self.params["_solver"] = {
@@ -600,7 +666,7 @@ class System:
                 }
             else:
                 ell_idx, ell_vals, diag = assemble_A_hat_ell(
-                    self.n_nodes, self._m, self.settings.timestep_s, cparams
+                    self.n_nodes, self._mi, self.settings.timestep_s, cparams
                 )
                 self.params["_solver"] = {
                     "ell_idx": jnp.asarray(ell_idx),
@@ -613,26 +679,45 @@ class System:
 
     @property
     def x(self) -> np.ndarray:
+        if getattr(self, "_lattice", None) is not None:
+            # canonical lattice numbering -> the caller's numbering
+            return np.asarray(self._lattice.x)[self._to_canon]
+        if self.initialized and self._o2i is not None:
+            return np.asarray(self.state["x"])[self._o2i]
         return np.asarray(self.state["x"] if self.initialized else self._x)
 
     @x.setter
     def x(self, value):
         value = np.asarray(value, dtype=np.float64).reshape(-1, 3)
-        if self.initialized:
-            self.state["x"] = jnp.asarray(value, self.settings.dtype)
+        if getattr(self, "_lattice", None) is not None:
+            lat = self._lattice
+            xc = np.empty_like(value)
+            xc[np.asarray(self._to_canon)] = value
+            pad = lat.N - lat.n_nodes
+            lat.state["x"] = jnp.asarray(
+                np.pad(xc.T, ((0, 0), (0, pad))), lat.dtype
+            )
+        elif self.initialized:
+            vi = value if self._i2o is None else value[self._i2o]
+            self.state["x"] = jnp.asarray(vi, self.settings.dtype)
         self._x = value
 
     @property
     def v(self) -> np.ndarray:
+        if getattr(self, "_lattice", None) is not None:
+            return np.asarray(self._lattice.v)[self._to_canon]
+        if self.initialized and self._o2i is not None:
+            return np.asarray(self.state["v"])[self._o2i]
         return np.asarray(self.state["v"]) if self.initialized else np.zeros_like(self._x)
 
     @v.setter
     def v(self, value):
         if not self.initialized:
             raise RuntimeError("set velocities after initialize()")
-        self.state["v"] = jnp.asarray(
-            np.asarray(value, dtype=np.float64).reshape(-1, 3), self.settings.dtype
-        )
+        vv = np.asarray(value, dtype=np.float64).reshape(-1, 3)
+        if self._i2o is not None:
+            vv = vv[self._i2o]
+        self.state["v"] = jnp.asarray(vv, self.settings.dtype)
 
     @property
     def masses(self) -> np.ndarray:

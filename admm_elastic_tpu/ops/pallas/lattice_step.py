@@ -82,18 +82,38 @@ def group_tables(size: float):
 
 
 def _make_lattice_kernel(N, offs, groups, dia_offs, mu, lam, kprox,
-                         newton_iters, cg_iters, dt, dt2, gvec, n_iters):
+                         newton_iters, cg_iters, dt, dt2, gvec, n_iters,
+                         model="nh", floor_y=None, floor_w2=0.0):
     """groups: list of (corners, parity, cp (3,4) ndarray, w2 float).
     Grid is (n_steps, n_iters, 3*n_groups+1): a whole ROLLOUT per call,
-    amortizing the ~3 ms pallas_call launch cost over the window."""
+    amortizing the ~3 ms pallas_call launch cost over the window.
+
+    model: 'nh' | 'stvk' (warm-started Newton prox) | 'arap' (singular
+    values clamped to 1, z = (k P + w2 F)/(w2+k), TetForce.cpp:137-148).
+    floor_y: when set, an in-kernel CollisionForce floor (identity selector
+    over all dofs, weight^2 = floor_w2, CollisionForce.cpp:27-70) runs in
+    the solve phase with its own dual state."""
     n_groups = len(groups)
     CG_PHASE = 3 * n_groups
 
-    def kernel(masks_ref, ancz_ref, dia_ref, invd_ref, mass_ref,
-               x3_ref, v3_ref, u_hbm, warm_hbm, ancu_ref,
-               x_out, v_out, u_hbm_out, warm_hbm_out, ancu_out,
-               x_s, ancu_s, Mxb_s, v_sc, xst_s, u_blk, warm_blk, f9, z9,
-               b_s, r_s, p_s, Ap_s, sem):
+    has_floor = floor_y is not None
+
+    def kernel(*refs):
+        # colu in/out + scratch exist only when the floor is enabled (they
+        # cost ~0.8 MB VMEM at 100k scale — enough to blow the 16 MB cap)
+        if has_floor:
+            (masks_ref, ancz_ref, dia_ref, invd_ref, mass_ref,
+             x3_ref, v3_ref, u_hbm, warm_hbm, ancu_ref, colu_ref,
+             x_out, v_out, u_hbm_out, warm_hbm_out, ancu_out, colu_out,
+             x_s, ancu_s, colu_s, Mxb_s, v_sc, xst_s, u_blk, warm_blk,
+             f9, z9, b_s, r_s, p_s, Ap_s, sem) = refs
+        else:
+            (masks_ref, ancz_ref, dia_ref, invd_ref, mass_ref,
+             x3_ref, v3_ref, u_hbm, warm_hbm, ancu_ref,
+             x_out, v_out, u_hbm_out, warm_hbm_out, ancu_out,
+             x_s, ancu_s, Mxb_s, v_sc, xst_s, u_blk, warm_blk,
+             f9, z9, b_s, r_s, p_s, Ap_s, sem) = refs
+            colu_ref = colu_out = colu_s = None
         st = pl.program_id(0)
         i = pl.program_id(1)
         p1 = pl.program_id(2)
@@ -107,6 +127,8 @@ def _make_lattice_kernel(N, offs, groups, dia_offs, mu, lam, kprox,
                 x_s[a, :] = x3_ref[a, :]
                 v_sc[a, :] = v3_ref[a, :]
                 ancu_s[a, :] = ancu_ref[a, :]
+                if has_floor:
+                    colu_s[a, :] = colu_ref[a, :]
 
         # ---- per-timestep prologue: gravity kick, xbar = x + dt v',
         # M xbar; remember the pre-step x for the velocity update
@@ -189,26 +211,43 @@ def _make_lattice_kernel(N, offs, groups, dia_offs, mu, lam, kprox,
             w2_ = jnp.where(collapsed, 1e-3, w2_)
             w3 = jnp.where(collapsed, 1e-3, w3)
 
-            mu_l = jnp.full_like(f[0], mu)
-            lam_l = jnp.full_like(f[0], lam)
-            k_l = jnp.full_like(f[0], kprox)
-            x1, x2, x3 = _newton_hyper(
-                s, (w1, w2_, w3), mu_l, lam_l, k_l, newton_iters, "nh"
-            )
-            warm_blk[0, :] = x1
-            warm_blk[1, :] = x2
-            warm_blk[2, :] = x3
-            sig = (x1, x2, x3)
-            for r in range(3):
-                for c in range(3):
-                    z = (
-                        U[0][r] * sig[0] * V[0][c]
-                        + U[1][r] * sig[1] * V[1][c]
-                        + U[2][r] * sig[2] * V[2][c]
-                    )
-                    z9[3 * r + c, :] = z
-                    # u' = u + Dx - z = F - z
-                    u_blk[3 * r + c, :] = f9[3 * r + c, :] - z
+            if model in ("nh", "stvk"):
+                mu_l = jnp.full_like(f[0], mu)
+                lam_l = jnp.full_like(f[0], lam)
+                k_l = jnp.full_like(f[0], kprox)
+                x1, x2, x3 = _newton_hyper(
+                    s, (w1, w2_, w3), mu_l, lam_l, k_l, newton_iters, model
+                )
+                warm_blk[0, :] = x1
+                warm_blk[1, :] = x2
+                warm_blk[2, :] = x3
+                sig = (x1, x2, x3)
+                for r in range(3):
+                    for c in range(3):
+                        z = (
+                            U[0][r] * sig[0] * V[0][c]
+                            + U[1][r] * sig[1] * V[1][c]
+                            + U[2][r] * sig[2] * V[2][c]
+                        )
+                        z9[3 * r + c, :] = z
+                        # u' = u + Dx - z = F - z
+                        u_blk[3 * r + c, :] = f9[3 * r + c, :] - z
+            else:  # arap: clamp singular values to 1 (TetForce.cpp:137-148)
+                one = jnp.ones_like(s[0])
+                s3 = jnp.where(s[2] < 0, -one, one)
+                sig = (one, one, s3)
+                # z = (k P + w2 F)/(w2 + k); per group w2 == k = kprox*vol,
+                # but the mix is written generally via the lane constants
+                for r in range(3):
+                    for c in range(3):
+                        proj = (
+                            U[0][r] * sig[0] * V[0][c]
+                            + U[1][r] * sig[1] * V[1][c]
+                            + U[2][r] * sig[2] * V[2][c]
+                        )
+                        z = 0.5 * (proj + f9[3 * r + c, :])
+                        z9[3 * r + c, :] = z
+                        u_blk[3 * r + c, :] = f9[3 * r + c, :] - z
 
         # ---- phase 3g+2: b += w2 mask D^T (z - u'); stream duals out
         for g, (corners, parity, cp, w2) in enumerate(groups):
@@ -247,6 +286,21 @@ def _make_lattice_kernel(N, offs, groups, dia_offs, mu, lam, kprox,
                 ancu_s[a, :] = ua
                 ancu_out[a, :] = ua
                 b_s[a, :] += aw2 * (ancz_ref[a, :] - ua)
+
+            if has_floor:
+                # CollisionForce floor: identity selector over all dofs,
+                # z = projectOut(Dx + u) (y clamped to the floor), dual
+                # update, b += w2 (z - u') (CollisionForce.cpp:36-70)
+                vmask = masks_ref[3, :]  # valid (non-pad) vertices
+                zc = [None] * 3
+                for a in range(3):
+                    zc[a] = x_s[a, :] + colu_s[a, :]
+                zc[1] = jnp.maximum(zc[1], floor_y)
+                for a in range(3):
+                    un = colu_s[a, :] + x_s[a, :] - zc[a]
+                    colu_s[a, :] = un
+                    colu_out[a, :] = un
+                    b_s[a, :] += floor_w2 * vmask * (zc[a] - un)
 
             def matvec_into(src_ref, out_ref):
                 for d, off in enumerate(dia_offs):
@@ -313,13 +367,14 @@ def _make_lattice_kernel(N, offs, groups, dia_offs, mu, lam, kprox,
     static_argnames=(
         "offs", "groups_key", "dia_offs", "mu", "lam", "kprox",
         "newton_iters", "cg_iters", "dt", "dt2", "gvec", "n_iters",
-        "n_steps", "interpret",
+        "n_steps", "interpret", "model", "floor_y", "floor_w2",
     ),
     donate_argnums=(7, 8),
 )
-def _lattice_call(masks, ancz, dia, invd, mass, x3, v3, u, warm, ancu,
+def _lattice_call(masks, ancz, dia, invd, mass, x3, v3, u, warm, ancu, colu,
                   offs, groups_key, dia_offs, mu, lam, kprox, newton_iters,
-                  cg_iters, dt, dt2, gvec, n_iters, n_steps, interpret):
+                  cg_iters, dt, dt2, gvec, n_iters, n_steps, interpret,
+                  model, floor_y, floor_w2):
     import numpy as np
 
     groups = [
@@ -331,50 +386,70 @@ def _lattice_call(masks, ancz, dia, invd, mass, x3, v3, u, warm, ancu,
     n_phases = 3 * n_groups + 1
     kern = _make_lattice_kernel(
         N, offs, groups, dia_offs, mu, lam, kprox, newton_iters, cg_iters,
-        dt, dt2, gvec, n_iters,
+        dt, dt2, gvec, n_iters, model=model, floor_y=floor_y,
+        floor_w2=floor_w2,
     )
+    has_floor = floor_y is not None
     full = lambda *_: (0, 0)
     f3 = pl.BlockSpec((3, N), full, memory_space=pltpu.VMEM)
+    f4 = pl.BlockSpec((4, N), full, memory_space=pltpu.VMEM)
     f1 = pl.BlockSpec((1, N), full, memory_space=pltpu.VMEM)
     fd = pl.BlockSpec(dia.shape, full, memory_space=pltpu.VMEM)
     hbm = pl.BlockSpec(memory_space=pl.ANY)
+    in_specs = [f4, f3, fd, f1, f1, f3, f3, hbm, hbm, f3]
+    out_specs = [f3, f3, hbm, hbm, f3]
+    out_shape = [
+        jax.ShapeDtypeStruct(x3.shape, x3.dtype),
+        jax.ShapeDtypeStruct(v3.shape, v3.dtype),
+        jax.ShapeDtypeStruct(u.shape, u.dtype),
+        jax.ShapeDtypeStruct(warm.shape, warm.dtype),
+        jax.ShapeDtypeStruct(ancu.shape, ancu.dtype),
+    ]
+    operands = [masks, ancz, dia, invd, mass, x3, v3, u, warm, ancu]
+    scratch = [
+        pltpu.VMEM((3, N), x3.dtype),   # live x
+        pltpu.VMEM((3, N), x3.dtype),   # live anchor duals
+    ]
+    if has_floor:
+        in_specs.append(f3)
+        out_specs.append(f3)
+        out_shape.append(jax.ShapeDtypeStruct(colu.shape, colu.dtype))
+        operands.append(colu)
+        scratch.append(pltpu.VMEM((3, N), x3.dtype))  # live collision duals
+    scratch += [
+        pltpu.VMEM((3, N), x3.dtype),   # M xbar
+        pltpu.VMEM((3, N), x3.dtype),   # live v
+        pltpu.VMEM((3, N), x3.dtype),   # pre-step x
+        pltpu.VMEM((16, N), x3.dtype),  # streamed u block (8-row tiled)
+        pltpu.VMEM((8, N), x3.dtype),   # streamed warm block
+        pltpu.VMEM((9, N), x3.dtype),   # F planes
+        pltpu.VMEM((9, N), x3.dtype),   # z planes
+        pltpu.VMEM((3, N), x3.dtype),   # b accumulator
+        pltpu.VMEM((3, N), x3.dtype),   # CG r
+        pltpu.VMEM((3, N), x3.dtype),   # CG p
+        pltpu.VMEM((3, N), x3.dtype),   # CG Ap
+        pltpu.SemaphoreType.DMA,
+    ]
     out = pl.pallas_call(
         kern,
         grid=(n_steps, n_iters, n_phases),
-        in_specs=[f3, f3, fd, f1, f1, f3, f3, hbm, hbm, f3],
-        out_specs=[f3, f3, hbm, hbm, f3],
-        out_shape=[
-            jax.ShapeDtypeStruct(x3.shape, x3.dtype),
-            jax.ShapeDtypeStruct(v3.shape, v3.dtype),
-            jax.ShapeDtypeStruct(u.shape, u.dtype),
-            jax.ShapeDtypeStruct(warm.shape, warm.dtype),
-            jax.ShapeDtypeStruct(ancu.shape, ancu.dtype),
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         input_output_aliases={7: 2, 8: 3},
-        scratch_shapes=[
-            pltpu.VMEM((3, N), x3.dtype),   # live x
-            pltpu.VMEM((3, N), x3.dtype),   # live anchor duals
-            pltpu.VMEM((3, N), x3.dtype),   # M xbar
-            pltpu.VMEM((3, N), x3.dtype),   # live v
-            pltpu.VMEM((3, N), x3.dtype),   # pre-step x
-            pltpu.VMEM((16, N), x3.dtype),  # streamed u block (8-row tiled)
-            pltpu.VMEM((8, N), x3.dtype),   # streamed warm block
-            pltpu.VMEM((9, N), x3.dtype),   # F planes
-            pltpu.VMEM((9, N), x3.dtype),   # z planes
-            pltpu.VMEM((3, N), x3.dtype),   # b accumulator
-            pltpu.VMEM((3, N), x3.dtype),   # CG r
-            pltpu.VMEM((3, N), x3.dtype),   # CG p
-            pltpu.VMEM((3, N), x3.dtype),   # CG Ap
-            pltpu.SemaphoreType.DMA,
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
-    )(masks, ancz, dia, invd, mass, x3, v3, u, warm, ancu)
+    )(*operands)
+    if not has_floor:
+        out = tuple(out) + (colu,)
     return out
 
 
-def lattice_timestep(masks, ancz, dia, invd, mass, x3, v3, u, warm, ancu, *,
+def lattice_timestep(masks, ancz, dia, invd, mass, x3, v3, u, warm, ancu,
+                     colu, *,
                      offs, groups, dia_offs, mu, lam, kprox, newton_iters,
-                     cg_iters, dt, gravity, n_iters, interpret=None):
+                     cg_iters, dt, gravity, n_iters, interpret=None,
+                     model="nh", floor_y=None, floor_w2=0.0):
     """One whole ADMM timestep in one kernel — including the explicit
     velocity kick prologue and v=(x'-x)/dt epilogue, so state stays in
     plane layout across whole rollouts with zero XLA glue per step.
@@ -386,23 +461,26 @@ def lattice_timestep(masks, ancz, dia, invd, mass, x3, v3, u, warm, ancu, *,
     (x3, v3, u, warm, ancu). `groups` is the hashable tuple built by
     core/lattice.LatticeStepper."""
     return lattice_rollout(
-        masks, ancz, dia, invd, mass, x3, v3, u, warm, ancu,
+        masks, ancz, dia, invd, mass, x3, v3, u, warm, ancu, colu,
         offs=offs, groups=groups, dia_offs=dia_offs, mu=mu, lam=lam,
         kprox=kprox, newton_iters=newton_iters, cg_iters=cg_iters, dt=dt,
         gravity=gravity, n_iters=n_iters, n_steps=1, interpret=interpret,
+        model=model, floor_y=floor_y, floor_w2=floor_w2,
     )
 
 
-def lattice_rollout(masks, ancz, dia, invd, mass, x3, v3, u, warm, ancu, *,
+def lattice_rollout(masks, ancz, dia, invd, mass, x3, v3, u, warm, ancu,
+                    colu, *,
                     offs, groups, dia_offs, mu, lam, kprox, newton_iters,
                     cg_iters, dt, gravity, n_iters, n_steps,
-                    interpret=None):
+                    interpret=None, model="nh", floor_y=None,
+                    floor_w2=0.0):
     """n_steps whole timesteps in ONE kernel call (grid leading axis =
     timestep), amortizing the per-call launch cost over the window."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     return _lattice_call(
-        masks, ancz, dia, invd, mass, x3, v3, u, warm, ancu,
+        masks, ancz, dia, invd, mass, x3, v3, u, warm, ancu, colu,
         offs=tuple(offs), groups_key=groups, dia_offs=tuple(dia_offs),
         mu=float(mu), lam=float(lam), kprox=float(kprox),
         newton_iters=int(newton_iters), cg_iters=int(cg_iters),
@@ -410,4 +488,7 @@ def lattice_rollout(masks, ancz, dia, invd, mass, x3, v3, u, warm, ancu, *,
         gvec=tuple(float(q) for q in gravity),
         n_iters=int(n_iters), n_steps=int(n_steps),
         interpret=bool(interpret),
+        model=str(model),
+        floor_y=None if floor_y is None else float(floor_y),
+        floor_w2=float(floor_w2),
     )

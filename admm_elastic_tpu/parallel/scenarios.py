@@ -90,57 +90,89 @@ def batch_params(params, sweep: dict, n_scenarios: int, system=None):
 
 def _rebatch_solver(batched, sweep, n_scenarios, system):
     """Re-assemble the precomputed ell/dia global matrix per scenario with
-    the swept weights applied (host-side; same sparsity pattern, values
-    stacked along the scenario axis)."""
-    from ..core.solver import assemble_A_hat_dia, assemble_A_hat_ell
+    the swept weights applied — VECTORIZED over scenarios.
+
+    The sparsity pattern is topological (structural zeros retained), so
+    only the VALUES change: A_s = diag(m) + dt^2 sum_e w2[s,e] * Me with
+    Me = C_e^T C_e constant. One pass precomputes every COO entry's slot
+    in the shared CSR pattern; the batched fill is then a single bincount
+    over (scenario, slot) — 1024-scenario setup in well under a second
+    where the old per-scenario scipy loop took minutes.
+    """
+    import scipy.sparse as sp
+
+    from ..core.solver import _assemble_A_hat_csr
 
     mode = system._solver_mode
     n = system.n_nodes
     dt = system.settings.timestep_s
+    dt2 = dt * dt
+    S = n_scenarios
+    masses = np.asarray(getattr(system, "_mi", system._m), np.float64)
+    names = list(system._constraint_names)
     dtype = batched["_solver"]["diag"].dtype
-    dia_list, diag_list, ell_list = [], [], []
-    for i in range(n_scenarios):
-        cparams = {}
-        for name in system._constraint_names:
-            cparams[name] = {
-                k: np.asarray(batched[name][k][i]) for k in batched[name]
-            }
-        if mode == "dia":
-            out = assemble_A_hat_dia(n, system._m, dt, cparams)
-            if out is None:
-                raise ValueError(f"scenario {i}: mesh no longer dia-structured")
-            offs, dia_vals, diag = out
-            if offs != system._dia_offsets:
-                raise ValueError(
-                    f"scenario {i}: sweep changed the diagonal sparsity "
-                    "pattern (e.g. a weight crossed zero); use "
-                    "global_solver='cg'"
-                )
-            dia_list.append(dia_vals)
-            diag_list.append(diag)
-        else:  # ell
-            ell_idx, ell_vals, diag = assemble_A_hat_ell(
-                n, system._m, dt, cparams
-            )
-            base_idx = np.asarray(batched["_solver"]["ell_idx"][i])
-            if ell_idx.shape != base_idx.shape or not np.array_equal(
-                ell_idx, base_idx
-            ):
-                raise ValueError(
-                    f"scenario {i}: sweep changed the ELL sparsity pattern; "
-                    "use global_solver='cg'"
-                )
-            ell_list.append(ell_vals)
-            diag_list.append(diag)
+
+    base_params = {
+        name: {k: np.asarray(v) for k, v in system.params[name].items()}
+        for name in names
+    }
+    A = _assemble_A_hat_csr(n, masses, dt, base_params)
+    indptr, indices, nnz = A.indptr, A.indices, A.nnz
+    slot_lut = sp.csr_matrix(
+        (np.arange(1, nnz + 1, dtype=np.int64), indices, indptr), shape=(n, n)
+    )
+
+    slot_all, base_all, wcol_all = [], [], []
+    col_off = 0
+    for name in names:
+        p = base_params[name]
+        C = p["coeff"].astype(np.float64)
+        idx = p["indices"].astype(np.int64)
+        E, K = idx.shape
+        Me = np.einsum("erk,erl->ekl", C, C) * dt2
+        rows = np.repeat(idx[:, :, None], K, axis=2).ravel()
+        cols = np.repeat(idx[:, None, :], K, axis=1).ravel()
+        slots = np.asarray(slot_lut[rows, cols]).ravel() - 1
+        assert (slots >= 0).all(), "entry outside the shared pattern"
+        slot_all.append(slots)
+        base_all.append(Me.ravel())
+        wcol_all.append(col_off + np.repeat(np.arange(E), K * K))
+        col_off += E
+
+    slots = np.concatenate(slot_all)
+    base = np.concatenate(base_all)
+    wcol = np.concatenate(wcol_all)
+    w2_b = np.concatenate(
+        [np.asarray(batched[name]["weight"], np.float64) ** 2
+         for name in names],
+        axis=1,
+    )  # (S, total elements)
+    contrib = base[None, :] * w2_b[:, wcol]  # (S, total entries)
+    comb = (np.arange(S, dtype=np.int64)[:, None] * nnz + slots[None, :])
+    vals = np.bincount(
+        comb.ravel(), weights=contrib.ravel(), minlength=S * nnz
+    ).reshape(S, nnz)
+    dslots = np.asarray(slot_lut[np.arange(n), np.arange(n)]).ravel() - 1
+    vals[:, dslots] += masses[None, :]
+    diag_b = vals[:, dslots]
+
+    coo = A.tocoo()
     if mode == "dia":
-        batched["_solver"]["dia_vals"] = jnp.asarray(
-            np.stack(dia_list), dtype
-        )
-    else:
-        batched["_solver"]["ell_vals"] = jnp.asarray(
-            np.stack(ell_list), dtype
-        )
-    batched["_solver"]["diag"] = jnp.asarray(np.stack(diag_list), dtype)
+        offs = np.asarray(system._dia_offsets)
+        d_idx = np.searchsorted(offs, coo.col - coo.row)
+        dia_b = np.zeros((S, len(offs), n))
+        dia_b[:, d_idx, coo.row] = vals
+        batched["_solver"]["dia_vals"] = jnp.asarray(dia_b, dtype)
+    else:  # ell
+        base_idx = np.asarray(batched["_solver"]["ell_idx"][0])
+        Kell = base_idx.shape[1]
+        deg = np.diff(indptr)
+        row_of = np.repeat(np.arange(n), deg)
+        pos = np.arange(nnz) - np.repeat(indptr[:-1], deg)
+        ell_b = np.zeros((S, n, Kell))
+        ell_b[:, row_of, pos] = vals
+        batched["_solver"]["ell_vals"] = jnp.asarray(ell_b, dtype)
+    batched["_solver"]["diag"] = jnp.asarray(diag_b, dtype)
 
 
 def vmap_step(system):

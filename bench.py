@@ -37,7 +37,7 @@ def _load_baseline():
 
 
 def build_tet100k(dtype, admm_iters=10, local_backend="xla", global_solver="dia",
-                  cg_backend="xla"):
+                  cg_backend="xla", lattice=False, scramble=False):
     import jax.numpy as jnp
 
     from admm_elastic_tpu import Settings, System
@@ -46,6 +46,16 @@ def build_tet100k(dtype, admm_iters=10, local_backend="xla", global_solver="dia"
 
     # 40 x 25 x 20 cells x 5 tets = 100,000 tets; 22,386 nodes
     beam = make_beam_tets(40, 25, 20, size=0.05)
+    verts, tets = beam.vertices, beam.tets
+    if scramble:
+        # adversarial vertex numbering: exercises detect_lattice (lattice
+        # path) / detect_grid_numbering (dia renumbering) instead of the
+        # canonical ordering
+        rng = np.random.default_rng(0)
+        perm = rng.permutation(beam.n_vertices)
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(len(perm))
+        verts, tets = verts[perm], inv[tets]
     settings = Settings(
         timestep_s=0.04,
         admm_iters=admm_iters,
@@ -56,6 +66,8 @@ def build_tet100k(dtype, admm_iters=10, local_backend="xla", global_solver="dia"
         # of an exact solve across steps (tools/residual_match.py); 15 drifts
         cg_fixed_iters=25,
         cg_backend=cg_backend,
+        # whole-timestep single-kernel path via the plain System API
+        lattice_fast_path=lattice,
     )
     if global_solver == "dense":
         # n=22,386: A_hat^{-1} is 2 GB f32 in HBM; each global step is one
@@ -63,34 +75,18 @@ def build_tet100k(dtype, admm_iters=10, local_backend="xla", global_solver="dia"
         settings.dense_max_nodes = 1 << 30
     sys = System(settings)
     n = beam.n_vertices
-    sys.add_nodes(beam.vertices, np.full(n, 50.0 / n))
-    anchored = np.flatnonzero(beam.vertices[:, 0] < 1e-9)
+    sys.add_nodes(verts, np.full(n, 50.0 / n))
+    anchored = np.flatnonzero(verts[:, 0] < 1e-9)
     sys.add_force(StaticAnchor(anchored))
     sys.add_force(
-        HyperElasticTet(beam.tets, mu=1e5, lam=1e5, max_iters=5, model="nh",
+        HyperElasticTet(tets, mu=1e5, lam=1e5, max_iters=5, model="nh",
                         backend=local_backend)
     )
     sys.add_explicit_force(ExplicitForce(direction=(0, -9.8, 0)))
     assert sys.initialize()
+    if lattice:
+        assert sys._lattice is not None, "lattice fast path did not engage"
     return sys, beam.n_tets
-
-
-def build_tet100k_lattice(dtype, admm_iters=10):
-    """Same 100k-tet workload through the lattice fast path: the whole
-    ADMM timestep (local steps, duals, RHS, CG) as ONE Pallas kernel
-    (core/lattice.LatticeStepper)."""
-    from admm_elastic_tpu.core.lattice import LatticeStepper
-    from admm_elastic_tpu.geometry import make_beam_tets
-
-    beam = make_beam_tets(40, 25, 20, size=0.05)
-    n = beam.n_vertices
-    anchored = np.flatnonzero(beam.vertices[:, 0] < 1e-9)
-    lat = LatticeStepper(
-        40, 25, 20, 0.05, np.full(n, 50.0 / n), 1e5, 1e5, anchored,
-        dt=0.04, admm_iters=admm_iters, newton_iters=5, cg_iters=25,
-        dtype=dtype,
-    )
-    return lat, beam.n_tets
 
 
 def bench_system(sys, steps, warmup=3, rollout=True):
@@ -99,14 +95,20 @@ def bench_system(sys, steps, warmup=3, rollout=True):
     rollout=False times individual step() dispatches."""
     import jax
 
+    def live_x():
+        # when the lattice fast path is engaged, the live device buffer is
+        # the stepper's plane-layout state, not System.state
+        lat = getattr(sys, "_lattice", None)
+        return lat.state["x"] if lat is not None else sys.state["x"]
+
     if rollout:
         sys.run(2)  # compile + warm caches
-        jax.block_until_ready(sys.state["x"])
+        jax.block_until_ready(live_x())
         reps = []
         for _ in range(3):
             t0 = time.perf_counter()
             sys.run(steps)
-            jax.block_until_ready(sys.state["x"])
+            jax.block_until_ready(live_x())
             reps.append((time.perf_counter() - t0) / steps)
         assert np.isfinite(sys.x).all(), "benchmark simulation diverged"
         return float(np.median(reps))
@@ -115,7 +117,7 @@ def bench_system(sys, steps, warmup=3, rollout=True):
     for i in range(steps + warmup):
         t0 = time.perf_counter()
         sys.step()
-        jax.block_until_ready(sys.state["x"])
+        jax.block_until_ready(live_x())
         dt = time.perf_counter() - t0
         if i >= warmup:
             times.append(dt)
@@ -265,7 +267,12 @@ def main():
     ap.add_argument("--lattice", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="tet100k: single-kernel whole-timestep lattice path "
-                         "(default; --no-lattice uses the general System)")
+                         "via Settings.lattice_fast_path (default; "
+                         "--no-lattice measures the general solver)")
+    ap.add_argument("--scramble", action="store_true",
+                    help="tet100k: randomly renumber the mesh vertices "
+                         "(adversarial input; exercises lattice detection / "
+                         "grid renumbering)")
     args = ap.parse_args()
 
     if args.preset == "sharded" and "force_host_platform" not in os.environ.get(
@@ -290,15 +297,12 @@ def main():
     print(f"# backend: {dev.platform} ({dev.device_kind})", file=sys.stderr)
 
     if args.preset == "tet100k":
-        if args.lattice:
-            sys_, n_tets = build_tet100k_lattice(dtype)
-            admm_iters = sys_.admm_iters
-        else:
-            sys_, n_tets = build_tet100k(
-                dtype, local_backend=args.local_backend,
-                global_solver=args.global_solver, cg_backend=args.cg_backend,
-            )
-            admm_iters = sys_.settings.admm_iters
+        sys_, n_tets = build_tet100k(
+            dtype, local_backend=args.local_backend,
+            global_solver=args.global_solver, cg_backend=args.cg_backend,
+            lattice=args.lattice, scramble=args.scramble,
+        )
+        admm_iters = sys_.settings.admm_iters
         ms = bench_system(sys_, args.steps) * 1e3
         iters_per_s = admm_iters / (ms / 1e3)
         baseline = _load_baseline()

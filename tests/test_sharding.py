@@ -328,3 +328,60 @@ def test_spmd_fast_path_50k_tets():
         spmd.step()
     assert np.isfinite(spmd.x).all()
     np.testing.assert_allclose(spmd.x, ref.x, atol=1e-6)
+
+
+def test_sweep_reassembly_1024_scenarios_fast():
+    """The vectorized per-scenario matrix fill sets up a 1024-scenario
+    sweep in seconds (was a host-side scipy loop), and matches a direct
+    per-scenario assembly."""
+    import time
+
+    from admm_elastic_tpu.core.solver import assemble_A_hat_ell
+    from admm_elastic_tpu.geometry import make_beam_tets
+    from admm_elastic_tpu.models import (
+        ExplicitForce,
+        HyperElasticTet,
+        StaticAnchor,
+    )
+    from admm_elastic_tpu.parallel.scenarios import batch_params
+
+    beam = make_beam_tets(6, 4, 4)
+    sys = System(Settings(timestep_s=0.04, admm_iters=4, verbose=0,
+                          global_solver="ell", cg_fixed_iters=10))
+    n = beam.n_vertices
+    sys.add_nodes(beam.vertices, np.full(n, 1.0 / n))
+    sys.add_force(StaticAnchor(np.flatnonzero(beam.vertices[:, 0] < 1e-9)))
+    het = sys.add_force(HyperElasticTet(beam.tets, mu=1e5, lam=1e5,
+                                        max_iters=3))
+    sys.add_explicit_force(ExplicitForce(direction=(0, -9.8, 0)))
+    assert sys.initialize()
+
+    S = 1024
+    E = het.n_elements
+    mus = np.geomspace(3e4, 3e5, S)
+    vols = (np.asarray(sys.params[het.name]["weight"]) ** 2) / 1e5
+    sweep = {
+        (het.name, "weight"): np.sqrt(mus[:, None] * vols[None, :]),
+    }
+    t0 = time.perf_counter()
+    bp = batch_params(sys.params, sweep, S, system=sys)
+    dt_setup = time.perf_counter() - t0
+    assert dt_setup < 20.0, f"1024-scenario setup took {dt_setup:.1f}s"
+
+    # spot-check two scenarios against direct assembly
+    for i in (0, S - 1):
+        cp = {
+            name: {k: np.asarray(v) for k, v in sys.params[name].items()}
+            for name in sys._constraint_names
+        }
+        # compare against the post-cast (dtype-rounded) batched weights
+        cp[het.name]["weight"] = np.asarray(bp[het.name]["weight"][i])
+        _, ell_vals, diag = assemble_A_hat_ell(n, sys._m, 0.04, cp)
+        # batched matrices are stored at the settings dtype (f32 here)
+        np.testing.assert_allclose(
+            np.asarray(bp["_solver"]["ell_vals"][i]), ell_vals,
+            rtol=1e-5, atol=1e-7 * np.abs(diag).max(),
+        )
+        np.testing.assert_allclose(
+            np.asarray(bp["_solver"]["diag"][i]), diag, rtol=1e-5
+        )

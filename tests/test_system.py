@@ -466,7 +466,9 @@ def test_dia_solver_matches_ell():
 
 
 def test_dia_falls_back_for_unstructured():
-    """Randomly permuted numbering -> too many diagonals -> ell fallback."""
+    """Randomly permuted numbering with reorder='none' -> too many
+    diagonals -> ell fallback (reorder='auto' would instead renumber and
+    restore dia; see test_grid_renumbering_restores_dia)."""
     from admm_elastic_tpu.geometry import make_beam_tets
 
     beam = make_beam_tets(5, 4, 3)
@@ -478,7 +480,7 @@ def test_dia_falls_back_for_unstructured():
 
     sys = System(Settings(timestep_s=0.04, admm_iters=4, verbose=0,
                           dtype=jnp.float32, global_solver="dia",
-                          cg_fixed_iters=20))
+                          cg_fixed_iters=20, reorder="none"))
     n = len(verts)
     sys.add_nodes(verts, np.full(n, 1.0 / n))
     sys.add_force(LinearTetStrain(tets, stiffness=1e4))
@@ -665,3 +667,48 @@ def test_residual_early_exit_masked_ell_pallas():
     # stopping at tol=1e-3 legitimately leaves ~tol-scale difference vs the
     # 40-iteration run
     np.testing.assert_allclose(early.x, full.x, atol=1e-4)
+
+
+def test_grid_renumbering_restores_dia():
+    """A scrambled-numbering grid mesh re-qualifies for the dia solver via
+    the internal position-based renumbering; the public x/v API stays in
+    the caller's numbering and matches the ordered-mesh trajectory."""
+    from admm_elastic_tpu.geometry import make_beam_tets
+    from admm_elastic_tpu.models import HyperElasticTet
+
+    beam = make_beam_tets(4, 3, 3)
+    rng = np.random.default_rng(5)
+    perm = rng.permutation(beam.n_vertices)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(len(perm))
+    sverts, stets = beam.vertices[perm], inv[beam.tets]
+
+    def build(verts, tets, anchors):
+        sys = System(Settings(timestep_s=0.04, admm_iters=4, verbose=0,
+                              dtype=jnp.float64, global_solver="dia",
+                              cg_fixed_iters=25))
+        n = len(verts)
+        sys.add_nodes(verts, np.full(n, 1.0 / n))
+        sys.add_force(StaticAnchor(anchors))
+        sys.add_force(HyperElasticTet(tets, mu=1e4, lam=1e4, max_iters=5,
+                                      model="nh"))
+        sys.add_explicit_force(ExplicitForce(direction=(0, -9.8, 0)))
+        assert sys.initialize()
+        return sys
+
+    anchors_o = np.flatnonzero(beam.vertices[:, 0] < 1e-9)
+    anchors_s = np.flatnonzero(sverts[:, 0] < 1e-9)
+    ordered = build(beam.vertices, beam.tets, anchors_o)
+    scrambled = build(sverts, stets, anchors_s)
+    assert ordered._solver_mode == "dia" and ordered._o2i is None
+    assert scrambled._solver_mode == "dia", "renumbering did not restore dia"
+    assert scrambled._o2i is not None
+    for _ in range(3):
+        ordered.step()
+        scrambled.step()
+    # caller's-numbering positions match the ordered run's (row-permuted)
+    np.testing.assert_allclose(scrambled.x, ordered.x[perm], atol=1e-9)
+    # v accessor round-trips through the renumbering
+    scrambled.v = scrambled.v
+    scrambled.step()
+    assert np.isfinite(scrambled.x).all()
