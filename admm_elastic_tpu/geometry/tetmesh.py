@@ -134,3 +134,96 @@ def tet_volumes(vertices: np.ndarray, tets: np.ndarray) -> np.ndarray:
     t = np.asarray(tets, dtype=np.int64)
     v0, v1, v2, v3 = (v[t[:, i]] for i in range(4))
     return np.abs(np.einsum("ij,ij->i", v0 - v3, np.cross(v1 - v3, v2 - v3))) / 6.0
+
+
+def tetrahedralize_surface(vertices, faces, quality=None):
+    """Tetrahedralize a closed triangle surface: the tetgen-fallback path
+    of the reference's TetMesh loader (deps/mclscene/src/TetMesh.cpp:376-435
+    calls tetgen when a .node/.ele pair is absent).
+
+    tetgen itself is ~35k LoC of vendored C++ the reference only exercises
+    for PLY inputs; here the same capability is built from parts we already
+    have: scipy Delaunay over the surface vertices, then discard tets whose
+    centroid lies OUTSIDE the closed surface (ray-parity test against the
+    BVH) — for a closed watertight input this reproduces tetgen's
+    constrained behavior up to boundary-face recovery (Delaunay may shave
+    slivers at concave creases; tetgen refines instead). No Steiner-point
+    refinement (`quality` accepted for API parity, ignored).
+
+    Returns a TetMesh (vertices, tets, boundary surface).
+    """
+    from scipy.spatial import Delaunay
+
+    from .bvh import BVH
+
+    v = np.asarray(vertices, np.float64)
+    f = np.asarray(faces, np.int64)
+    # weld duplicate vertices (procedural surfaces often store per-face
+    # sheets); Delaunay rejects/degenerates on coincident points
+    vq = np.round(v / (1e-9 * max(1.0, np.abs(v).max())))
+    _, first, invmap = np.unique(vq, axis=0, return_index=True,
+                                 return_inverse=True)
+    v = v[first]
+    f = invmap[f]
+    f = f[(f[:, 0] != f[:, 1]) & (f[:, 1] != f[:, 2]) & (f[:, 0] != f[:, 2])]
+    tri = Delaunay(v)
+    tets = tri.simplices.astype(np.int64)
+
+    # keep tets whose centroid is inside the closed surface (odd number of
+    # crossings along a fixed ray; BVH closest-hit marched segment by
+    # segment)
+    bvh = BVH(v, f)
+    cents = v[tets].mean(axis=1)
+    rng = np.random.default_rng(0)
+    direction = rng.normal(size=3)
+    direction /= np.linalg.norm(direction)
+
+    def inside(p):
+        crossings = 0
+        o = p.copy()
+        guard = 0
+        while True:
+            t, fidx, _ = bvh.closest_hit(o, direction)
+            if fidx < 0:
+                break
+            crossings += 1
+            o = o + (t + 1e-9 * max(1.0, abs(t))) * direction
+            guard += 1
+            if guard > 1000:
+                break
+        return crossings % 2 == 1
+
+    keep = np.fromiter((inside(c) for c in cents), bool, len(cents))
+    tets = tets[keep]
+    if len(tets) == 0:
+        raise ValueError("tetrahedralization produced no interior tets "
+                         "(surface not closed?)")
+    # fix orientation: positive signed volume (TetMesh load convention)
+    p0, p1, p2, p3 = (v[tets[:, i]] for i in range(4))
+    vol6 = np.einsum("ij,ij->i", p1 - p0, np.cross(p2 - p0, p3 - p0))
+    flip = vol6 < 0
+    tets[flip, 2], tets[flip, 3] = tets[flip, 3], tets[flip, 2].copy()
+    surface = surface_faces(tets.astype(np.int32))
+    return TetMesh(vertices=v, tets=tets.astype(np.int32), faces=surface)
+
+
+def load_mesh_as_tets(path: str):
+    """Reference TetMesh::load semantics: prefer a .node/.ele pair; fall
+    back to tetrahedralizing a surface mesh (TetMesh.cpp:47-64,376-435)."""
+    base = path
+    for ext in (".node", ".ele"):
+        if base.endswith(ext):
+            base = base[: -len(ext)]
+    import os
+
+    if os.path.exists(base + ".node") and os.path.exists(base + ".ele"):
+        return load_node_ele(base)
+    from .trimesh import load_obj, load_ply
+
+    if path.endswith(".ply"):
+        m = load_ply(path)
+    elif path.endswith(".obj"):
+        m = load_obj(path)
+    else:
+        raise ValueError(f"no .node/.ele pair and unknown extension: {path}")
+    return tetrahedralize_surface(m.vertices, m.faces)

@@ -39,8 +39,17 @@ def render_frame(
     size=(800, 600),
     light_dir=(0.3, 0.8, 0.5),
     colors=None,
+    lights=None,
+    materials=None,
 ):
-    """Render [(vertices, faces), ...] (or SceneObjects) to a PNG."""
+    """Render [(vertices, faces), ...] (or SceneObjects) to a PNG.
+
+    lights: optional list of point lights [{'position': (3,), 'intensity':
+    (3,), 'falloff': (3,)}] — when given, faces are shaded Blinn-Phong
+    (RenderGL.cpp / blinnphong.frag semantics: ambient + per-light
+    attenuated diffuse + specular) instead of the single-directional
+    default. materials: optional per-object dicts {'ambient','diffuse',
+    'specular','shininess'} (Material.hpp BlinnPhong)."""
     import matplotlib
 
     matplotlib.use("Agg")
@@ -81,18 +90,61 @@ def render_frame(
     for mi, (v, f) in enumerate(meshes):
         if len(f) == 0:
             continue
-        base = (colors[mi] if colors else default_colors[mi % len(default_colors)])
+        mat = materials[mi] if materials else None
+        base = np.asarray(
+            (mat or {}).get("diffuse")
+            if mat and mat.get("diffuse") is not None
+            else (colors[mi] if colors
+                  else default_colors[mi % len(default_colors)]),
+            float,
+        )
         p2, z = _project(v, eye, center, up, fov_deg, aspect)
         tri2 = p2[f]
         triz = z[f].mean(axis=1)
         n = np.cross(v[f[:, 1]] - v[f[:, 0]], v[f[:, 2]] - v[f[:, 0]])
         nl = np.linalg.norm(n, axis=1, keepdims=True)
         n = n / np.where(nl > 0, nl, 1.0)
-        shade = 0.25 + 0.75 * np.abs(n @ ldir)
-        for i in range(len(f)):
-            polys.append(tri2[i])
-            depths.append(triz[i])
-            face_cols.append(tuple(np.clip(np.asarray(base) * shade[i], 0, 1)))
+        if lights:
+            # Blinn-Phong per face (flat): amb + sum_l atten*(kd |n.l| I_l
+            # + ks |n.h|^shin I_l) — two-sided like the flat default
+            amb = np.asarray((mat or {}).get("ambient", base * 0.25), float)
+            ks = np.asarray((mat or {}).get("specular", (0, 0, 0)), float)
+            shin = float((mat or {}).get("shininess", 32.0))
+            cents = v[f].mean(axis=1)
+            view = eye[None, :] - cents
+            view = view / np.linalg.norm(view, axis=1, keepdims=True)
+            col = np.broadcast_to(amb, (len(f), 3)).copy()
+            for lt in lights:
+                lp = np.asarray(lt["position"], float)
+                inten = np.asarray(lt.get("intensity", (1, 1, 1)), float)
+                fo = np.asarray(lt.get("falloff", (1, 0, 0)), float)
+                L = lp[None, :] - cents
+                d = np.linalg.norm(L, axis=1, keepdims=True)
+                Ln = L / np.where(d > 0, d, 1.0)
+                atten = 1.0 / (fo[0] + fo[1] * d + fo[2] * d * d)
+                ndl = np.abs(np.sum(n * Ln, axis=1, keepdims=True))
+                h = Ln + view
+                h = h / np.maximum(
+                    np.linalg.norm(h, axis=1, keepdims=True), 1e-12
+                )
+                ndh = np.abs(np.sum(n * h, axis=1, keepdims=True))
+                col = col + atten * (
+                    base[None, :] * ndl * inten[None, :]
+                    + ks[None, :] * (ndh ** shin) * inten[None, :]
+                )
+            col = np.clip(col, 0, 1)
+            for i in range(len(f)):
+                polys.append(tri2[i])
+                depths.append(triz[i])
+                face_cols.append(tuple(col[i]))
+        else:
+            shade = 0.25 + 0.75 * np.abs(n @ ldir)
+            for i in range(len(f)):
+                polys.append(tri2[i])
+                depths.append(triz[i])
+                face_cols.append(
+                    tuple(np.clip(np.asarray(base) * shade[i], 0, 1))
+                )
 
     order = np.argsort(-np.asarray(depths))  # far first
     pc = PolyCollection(
@@ -105,6 +157,71 @@ def render_frame(
     fig.savefig(path)
     plt.close(fig)
     return path
+
+
+def render_scene(ctx, path: str, **kwargs):
+    """Render a SimContext using its PARSED scene assets: per-object
+    BlinnPhong materials (scene.materials, Material.hpp), point lights
+    (scene.lights, Light.hpp:48-74), and the first camera's eye/lookat if
+    present — the offline analog of RenderGL::draw_objects consuming the
+    same XML-declared assets."""
+    cfg = ctx.scene
+
+    def vec(comp, tag, default=None):
+        try:
+            p = comp.get(tag)
+        except Exception:
+            p = None
+        if p is None:
+            return default
+        return np.asarray(p.as_vec3(), float)
+
+    materials = []
+    for o in ctx.objects:
+        mat = None
+        try:
+            mname = o.component.get("material").value
+        except Exception:
+            mname = None
+        if cfg is not None and mname and mname in cfg.materials:
+            mc = cfg.materials[mname]
+            mat = {
+                "ambient": vec(mc, "ambient"),
+                "diffuse": vec(mc, "diffuse", np.asarray((0.6, 0.6, 0.6))),
+                "specular": vec(mc, "specular", np.asarray((0.0, 0.0, 0.0))),
+            }
+            try:
+                mat["shininess"] = mc.get("shininess").as_double()
+            except Exception:
+                pass
+            if mat["ambient"] is None:
+                mat["ambient"] = mat["diffuse"] * 0.25
+        materials.append(mat or {})
+
+    lights = []
+    if cfg is not None:
+        for lc in cfg.lights:
+            pos = vec(lc, "position")
+            if pos is None:
+                continue
+            lights.append({
+                "position": pos,
+                "intensity": vec(lc, "intensity", np.asarray((0.7,) * 3)),
+                "falloff": vec(lc, "falloff", np.asarray((1.0, 0.0, 0.0))),
+            })
+
+    if cfg is not None and cfg.cameras:
+        cc = cfg.cameras[0]
+        eye = vec(cc, "eye")
+        lookat = vec(cc, "lookat")
+        if eye is not None:
+            kwargs.setdefault("eye", eye)
+        if lookat is not None:
+            kwargs.setdefault("center", lookat)
+
+    kwargs.setdefault("lights", lights or None)
+    kwargs.setdefault("materials", materials)
+    return render_frame(ctx.objects, path, **kwargs)
 
 
 def render_rollout(ctx, directory: str, n_frames: int, steps_per_frame: int = 1,

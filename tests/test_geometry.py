@@ -156,3 +156,43 @@ def test_primitive_meshes_watertight_normals():
         )
         _, counts = np.unique(e, axis=0, return_counts=True)
         assert np.all(counts == 2)
+
+
+def test_tetrahedralize_surface_fallback():
+    """tetgen-fallback parity (TetMesh.cpp:376-435): a closed surface with
+    no .node/.ele pair is tetrahedralized (Delaunay + inside-test); the
+    result simulates."""
+    import os
+    import tempfile
+
+    from admm_elastic_tpu.geometry.tetmesh import (
+        load_mesh_as_tets,
+        tetrahedralize_surface,
+    )
+
+    # closed box surface (12 triangles, 8 verts) -> 6ish tets inside
+    from admm_elastic_tpu.geometry.primitives import make_box
+
+    box = make_box(tess=1)
+    tm = tetrahedralize_surface(box.vertices, box.faces)
+    assert tm.n_tets >= 5
+    # total volume equals the box volume
+    v = tm.vertices[tm.tets]
+    vol = np.abs(np.einsum(
+        "ij,ij->i", v[:, 1] - v[:, 0],
+        np.cross(v[:, 2] - v[:, 0], v[:, 3] - v[:, 0]))).sum() / 6.0
+    assert abs(vol - 8.0) < 1e-6  # box is [-1,1]^3
+    # positive orientation everywhere (load convention)
+    svol = np.einsum("ij,ij->i", v[:, 1] - v[:, 0],
+                     np.cross(v[:, 2] - v[:, 0], v[:, 3] - v[:, 0]))
+    assert (svol > 0).all()
+    assert tm.faces is not None and len(tm.faces) >= 12
+
+    # load_mesh_as_tets routes .obj surfaces through the fallback
+    with tempfile.TemporaryDirectory() as d:
+        from admm_elastic_tpu.geometry.trimesh import TriMesh
+
+        p = os.path.join(d, "box.obj")
+        TriMesh(vertices=box.vertices, faces=box.faces).save_obj(p)
+        tm2 = load_mesh_as_tets(p)
+        assert tm2.n_tets == tm.n_tets
