@@ -106,13 +106,13 @@ def _make_lattice_kernel(N, offs, groups, dia_offs, mu, lam, kprox,
              x3_ref, v3_ref, u_hbm, warm_hbm, ancu_ref, colu_ref,
              x_out, v_out, u_hbm_out, warm_hbm_out, ancu_out, colu_out,
              x_s, ancu_s, colu_s, Mxb_s, v_sc, xst_s, u_blk, warm_blk,
-             f9, z9, b_s, r_s, p_s, Ap_s, sem) = refs
+             f9, b_s, r_s, p_s, Ap_s, sem) = refs
         else:
             (masks_ref, ancz_ref, dia_ref, invd_ref, mass_ref,
              x3_ref, v3_ref, u_hbm, warm_hbm, ancu_ref,
              x_out, v_out, u_hbm_out, warm_hbm_out, ancu_out,
              x_s, ancu_s, Mxb_s, v_sc, xst_s, u_blk, warm_blk,
-             f9, z9, b_s, r_s, p_s, Ap_s, sem) = refs
+             f9, b_s, r_s, p_s, Ap_s, sem) = refs
             colu_ref = colu_out = colu_s = None
         st = pl.program_id(0)
         i = pl.program_id(1)
@@ -222,6 +222,8 @@ def _make_lattice_kernel(N, offs, groups, dia_offs, mu, lam, kprox,
                 warm_blk[1, :] = x2
                 warm_blk[2, :] = x3
                 sig = (x1, x2, x3)
+                # only u' = u + Dx - z = F - z is stored; the scatter phase
+                # recovers z - u' as F - 2u' (saves a 9-plane VMEM buffer)
                 for r in range(3):
                     for c in range(3):
                         z = (
@@ -229,8 +231,6 @@ def _make_lattice_kernel(N, offs, groups, dia_offs, mu, lam, kprox,
                             + U[1][r] * sig[1] * V[1][c]
                             + U[2][r] * sig[2] * V[2][c]
                         )
-                        z9[3 * r + c, :] = z
-                        # u' = u + Dx - z = F - z
                         u_blk[3 * r + c, :] = f9[3 * r + c, :] - z
             else:  # arap: clamp singular values to 1 (TetForce.cpp:137-148)
                 one = jnp.ones_like(s[0])
@@ -246,16 +246,16 @@ def _make_lattice_kernel(N, offs, groups, dia_offs, mu, lam, kprox,
                             + U[2][r] * sig[2] * V[2][c]
                         )
                         z = 0.5 * (proj + f9[3 * r + c, :])
-                        z9[3 * r + c, :] = z
                         u_blk[3 * r + c, :] = f9[3 * r + c, :] - z
 
         # ---- phase 3g+2: b += w2 mask D^T (z - u'); stream duals out
         for g, (corners, parity, cp, w2) in enumerate(groups):
             @pl.when(p1 == 3 * g + 2)
             def _scatter(g=g, corners=corners, cp=cp, w2=w2, parity=parity):
-                # zu = z - u' = 2z - F, masked to valid cells of this parity
+                # zu = z - u' = 2z - F = F - 2u', masked to valid cells
+                # of this parity
                 m = w2 * masks_ref[1 + parity, :]
-                zu = [m * (2.0 * z9[p, :] - f9[p, :]) for p in range(9)]
+                zu = [m * (f9[p, :] - 2.0 * u_blk[p, :]) for p in range(9)]
                 for kk, c in enumerate(corners):
                     o = offs[c]
                     for j in range(3):
@@ -423,7 +423,6 @@ def _lattice_call(masks, ancz, dia, invd, mass, x3, v3, u, warm, ancu, colu,
         pltpu.VMEM((16, N), x3.dtype),  # streamed u block (8-row tiled)
         pltpu.VMEM((8, N), x3.dtype),   # streamed warm block
         pltpu.VMEM((9, N), x3.dtype),   # F planes
-        pltpu.VMEM((9, N), x3.dtype),   # z planes
         pltpu.VMEM((3, N), x3.dtype),   # b accumulator
         pltpu.VMEM((3, N), x3.dtype),   # CG r
         pltpu.VMEM((3, N), x3.dtype),   # CG p

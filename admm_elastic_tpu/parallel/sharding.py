@@ -82,15 +82,14 @@ def shard_params_and_state(system, mesh: Mesh, elem_axis: str = "elem"):
     first. Returns (params, state) (also assigned back to the system)."""
     if getattr(system, "_solver_mode", None) in ("ell", "dia"):
         raise ValueError(
-            "element sharding requires global_solver='cg' or 'dense': the "
-            "'ell' mode's transpose-incidence indexes the unpadded element "
-            "layout (and its matvec is vertex-major, not element-sharded)"
+            "this GSPMD helper requires global_solver='cg' or 'dense'; for "
+            "the ell/dia fast path use parallel.spmd.SpmdSystem (per-shard "
+            "fused kernels + row-sharded CG under shard_map)"
         )
     if any(getattr(f, "backend", "xla") == "pallas" for f in system._force_list):
         raise ValueError(
-            "element sharding currently requires backend='xla' constraint "
-            "batches: pallas batches keep duals in a kernel-native plane "
-            "layout that the element padding/sharding rules do not cover"
+            "this GSPMD helper requires backend='xla' constraint batches; "
+            "pallas-backed batches shard through parallel.spmd.SpmdSystem"
         )
     n_shards = mesh.shape[elem_axis]
     pad_batches(system, n_shards)

@@ -68,10 +68,10 @@ class SpmdSystem:
     def __init__(self, system, mesh: Mesh, elem_axis: str = "elem"):
         if not system.initialized:
             raise RuntimeError("initialize() the system first")
-        if system._solver_mode != "ell":
+        if system._solver_mode not in ("ell", "dia"):
             raise ValueError(
-                "SpmdSystem requires global_solver='ell' (the row-sharded "
-                f"CG path); got {system._solver_mode!r}"
+                "SpmdSystem requires global_solver='ell' or 'dia'; got "
+                f"{system._solver_mode!r}"
             )
         if system.settings.collect_residuals or (
             system.settings.residual_tol is not None
@@ -186,10 +186,25 @@ class SpmdSystem:
         self._local_total = total
         shd_solver = {"inc": np.stack(incs, axis=0)}
 
-        # row-sharded ELL operator (pad rows to S*nb with identity rows)
-        ell_idx = np.asarray(sysm.params["_solver"]["ell_idx"])
-        ell_vals = np.asarray(sysm.params["_solver"]["ell_vals"])
-        diag = np.asarray(sysm.params["_solver"]["diag"])
+        # row-sharded ELL operator (pad rows to S*nb with identity rows).
+        # dia-mode systems (single-kernel CG on one chip) re-assemble the
+        # same matrix in ELL form here: the row-sharded matvec is the
+        # distributed formulation of the same solve.
+        if sysm._solver_mode == "dia":
+            from ..core.solver import assemble_A_hat_ell
+
+            cparams = {
+                k: jax.tree_util.tree_map(np.asarray, sysm.params[k])
+                for k in sysm._constraint_names
+            }
+            masses_np = np.asarray(getattr(sysm, "_mi", sysm._m))
+            ell_idx, ell_vals, diag = assemble_A_hat_ell(
+                n, masses_np, sysm.settings.timestep_s, cparams
+            )
+        else:
+            ell_idx = np.asarray(sysm.params["_solver"]["ell_idx"])
+            ell_vals = np.asarray(sysm.params["_solver"]["ell_vals"])
+            diag = np.asarray(sysm.params["_solver"]["diag"])
         nb = _round_up(_round_up(n, S) // S, 8)
         n_pad = S * nb
         K = ell_idx.shape[1]

@@ -259,7 +259,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default="tet100k")
     ap.add_argument("--steps", type=int, default=20)
-    ap.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
+    # bf16 was measured and rejected (round 2): Mosaic's layout inference
+    # crashes on the bf16 Pallas kernels, XLA:CPU emulates it ~1000x slower,
+    # and an implicit solver's POSITION state needs more than bf16's ~3
+    # decimal digits (CG/dual updates lose convergence) — and the pipeline
+    # is launch/gather-bound, not bandwidth-bound, so there is no upside.
+    ap.add_argument("--dtype", default="f32", choices=["f32"])
     ap.add_argument("--local-backend", default="pallas", choices=["xla", "pallas"])
     ap.add_argument("--global-solver", default="dia",
                     choices=["ell", "cg", "dense", "dia"])
@@ -292,7 +297,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    dtype = jnp.float32 if args.dtype == "f32" else jnp.bfloat16
+    dtype = jnp.float32
     dev = jax.devices()[0]
     print(f"# backend: {dev.platform} ({dev.device_kind})", file=sys.stderr)
 

@@ -385,3 +385,39 @@ def test_sweep_reassembly_1024_scenarios_fast():
         np.testing.assert_allclose(
             np.asarray(bp["_solver"]["diag"][i]), diag, rtol=1e-5
         )
+
+
+def test_spmd_accepts_dia_mode():
+    """A dia-mode (single-kernel CG) system shards through SpmdSystem by
+    row-sharded ELL re-assembly of the same matrix — trajectories match."""
+    from admm_elastic_tpu.geometry import make_beam_tets
+    from admm_elastic_tpu.models import (
+        ExplicitForce,
+        HyperElasticTet,
+        StaticAnchor,
+    )
+    from admm_elastic_tpu.parallel.sharding import make_sim_mesh
+    from admm_elastic_tpu.parallel.spmd import SpmdSystem
+
+    beam = make_beam_tets(4, 3, 3)
+
+    def build(mode):
+        s = System(Settings(timestep_s=0.04, admm_iters=4, verbose=0,
+                            dtype=jnp.float64, global_solver=mode,
+                            cg_fixed_iters=25))
+        n = beam.n_vertices
+        s.add_nodes(beam.vertices, np.full(n, 1.0 / n))
+        s.add_force(StaticAnchor(np.flatnonzero(beam.vertices[:, 0] < 1e-9)))
+        s.add_force(HyperElasticTet(beam.tets, mu=1e4, lam=1e4, max_iters=5,
+                                    model="nh", backend="pallas"))
+        s.add_explicit_force(ExplicitForce(direction=(0, -9.8, 0)))
+        assert s.initialize()
+        return s
+
+    ref = build("dia")
+    assert ref._solver_mode == "dia"
+    spmd = SpmdSystem(build("dia"), make_sim_mesh(elem=8))
+    for _ in range(3):
+        ref.step()
+        spmd.step()
+    np.testing.assert_allclose(spmd.x, ref.x, atol=1e-9)

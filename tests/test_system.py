@@ -712,3 +712,4 @@ def test_grid_renumbering_restores_dia():
     scrambled.v = scrambled.v
     scrambled.step()
     assert np.isfinite(scrambled.x).all()
+
