@@ -133,7 +133,8 @@ def _make_constraints(obj_mesh, faces, force: Component, offset: int,
             lim = (float(v[0]), float(v[1]))
         out.append(
             LimitedTriangleStrain(
-                faces + offset, stiffness, limit_min=lim[0], limit_max=lim[1]
+                faces + offset, stiffness, limit_min=lim[0], limit_max=lim[1],
+                backend=backend,
             )
         )
     elif ftype == "bend":

@@ -89,6 +89,41 @@ def build_tet100k(dtype, admm_iters=10, local_backend="xla", global_solver="dia"
     return sys, beam.n_tets
 
 
+def build_cloth100k(dtype, admm_iters=10):
+    """Large-cloth workload: ~100k triangle-strain elements + bend hinges
+    (windyflag physics at production scale), fused triangle kernels +
+    ELL fused CG."""
+    import jax.numpy as jnp
+
+    from admm_elastic_tpu import Settings, System
+    from admm_elastic_tpu.geometry import extract_hinges, make_sym_plane
+    from admm_elastic_tpu.models import (
+        Bend,
+        ExplicitForce,
+        LimitedTriangleStrain,
+        StaticAnchor,
+        WindForce,
+    )
+
+    mesh = make_sym_plane(230, 110)  # 101,200 tris / 50,941 verts
+    n = mesh.n_vertices
+    sys = System(Settings(
+        timestep_s=0.04, admm_iters=admm_iters, verbose=0, dtype=dtype,
+        global_solver="ell", cg_fixed_iters=25, cg_backend="fused",
+    ))
+    sys.add_nodes(mesh.vertices, np.full(n, 0.5 / n))
+    sys.add_force(LimitedTriangleStrain(mesh.faces, 100.0, 0.95, 1.05,
+                                        backend="pallas"))
+    sys.add_force(Bend(extract_hinges(mesh.faces), 20.0))
+    top = np.flatnonzero(np.abs(mesh.vertices[:, 1]
+                                - mesh.vertices[:, 1].max()) < 1e-9)
+    sys.add_force(StaticAnchor(top[:: max(1, len(top) // 24)]))
+    sys.add_explicit_force(ExplicitForce(direction=(0, -9.8, 0)))
+    sys.add_explicit_force(WindForce(mesh.faces, direction=(4.0, 0.0, 1.0)))
+    assert sys.initialize()
+    return sys, len(mesh.faces)
+
+
 def bench_system(sys, steps, warmup=3, rollout=True):
     """Median ms/step. rollout=True times an on-device lax.scan of `steps`
     timesteps (production shape: one dispatch for the whole window);
@@ -331,6 +366,25 @@ def main():
                     "value": round(ms, 3),
                     "unit": "ms",
                     "vs_baseline": round(vs, 2),
+                }
+            )
+        )
+    elif args.preset == "cloth100k":
+        sys_, n_tris = build_cloth100k(dtype)
+        ms = bench_system(sys_, args.steps) * 1e3
+        iters_per_s = sys_.settings.admm_iters / (ms / 1e3)
+        print(
+            f"# cloth100k: {n_tris} tris, {ms:.2f} ms/step, "
+            f"{iters_per_s:.1f} ADMM iters/s",
+            file=sys.stderr,
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "ms_per_timestep_100k_tri_cloth",
+                    "value": round(ms, 3),
+                    "unit": "ms",
+                    "vs_baseline": 1.0,
                 }
             )
         )

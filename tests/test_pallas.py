@@ -193,3 +193,74 @@ def test_nh_kernel_lam_ne_mu():
                         {"sigma": jnp.ones((E, 3), jnp.float32)})
     err = np.abs(np.asarray(w9).T - np.asarray(st["sigma"])).max()
     assert err < 1e-2, f"sigma* mismatch {err} with lam=4mu"
+
+
+def test_tri_kernel_matches_model():
+    """Fused triangle-strain kernel vs the vmapped XLA path: z agrees on
+    elements with separated singular values; strain limiting included."""
+    from admm_elastic_tpu.models.triangle import LimitedTriangleStrain
+
+    rng = np.random.default_rng(3)
+    E = BLOCK
+    faces = np.zeros((E, 3), np.int32)
+    F = rng.normal(size=(E, 3, 2)).astype(np.float32)
+    F[: E // 8] *= 1e-5  # collapsed
+    Dx = jnp.asarray(np.swapaxes(F, 1, 2))  # canonical (E,2,3)
+
+    def run(backend):
+        f = LimitedTriangleStrain(faces, 100.0, 0.95, 1.05, backend=backend)
+        params = {
+            "weight": jnp.full(E, 2.0, jnp.float32),
+            "k": jnp.full(E, 3.0, jnp.float32),
+            "limit_min": jnp.full(E, 0.95, jnp.float32),
+            "limit_max": jnp.full(E, 1.05, jnp.float32),
+            "indices": jnp.asarray(faces),
+            "coeff": jnp.zeros((E, 2, 3), jnp.float32),
+        }
+        z, _ = f.project(Dx, jnp.zeros_like(Dx), params, {})
+        return np.asarray(z)
+
+    z_k = run("pallas")
+    z_x = run("xla")
+    svs = np.linalg.svd(F.astype(np.float64), compute_uv=False)
+    sep = (svs[:, 0] - svs[:, 1]) > 1e-2
+    assert np.abs(z_k[sep] - z_x[sep]).max() < 5e-3
+    assert np.isfinite(z_k).all()
+
+
+def test_tri_fused_contrib_matches_unfused():
+    """The in-kernel selector apply + RHS contribution of the fused cloth
+    kernel reproduces compute_Dx + rhs_contribution on a real mesh."""
+    import jax
+
+    from admm_elastic_tpu.geometry import make_sym_plane
+    from admm_elastic_tpu.models.triangle import (
+        LimitedTriangleStrain,
+        build_tri_basis,
+    )
+
+    mesh = make_sym_plane(8, 6)
+    E = len(mesh.faces)
+    f = LimitedTriangleStrain(mesh.faces, 100.0, 0.95, 1.05,
+                              backend="pallas")
+    params, state = f.build(mesh.vertices, np.full(mesh.n_vertices, 1.0), 0.04)
+    params = {k: jnp.asarray(np.asarray(v), jnp.float64)
+              if np.asarray(v).dtype.kind == "f" else jnp.asarray(v)
+              for k, v in params.items()}
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(mesh.vertices + 0.1 * rng.normal(size=(mesh.n_vertices, 3)))
+    u = jnp.asarray(rng.normal(size=(6, f._padded_E())) * 0.05)
+
+    z6, u6, _, flat = f.fused_local_rhs(params, x, u, state, with_z=True)
+    assert flat.shape == (E * 3, 6)
+
+    # unfused reference: Dx planes + kernel-free projection + contributions
+    Dx = f.compute_Dx(params, x)
+    z_ref, u_ref, _ = f.project_with_dual(Dx, u, params, state)
+    np.testing.assert_allclose(np.asarray(z6), np.asarray(z_ref), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(u6), np.asarray(u_ref), atol=1e-8)
+    czu = f.rhs_contribution(params, z_ref, u_ref)
+    np.testing.assert_allclose(np.asarray(flat[:, :3]), np.asarray(czu),
+                               atol=1e-8)
+    cz6 = f.rhs_contribution6(params, z_ref, u_ref)
+    np.testing.assert_allclose(np.asarray(flat), np.asarray(cz6), atol=1e-8)

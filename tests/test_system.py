@@ -713,3 +713,36 @@ def test_grid_renumbering_restores_dia():
     scrambled.step()
     assert np.isfinite(scrambled.x).all()
 
+
+
+def test_cloth_pallas_backend_matches_xla():
+    """windyflag-shaped scene with the fused triangle-strain kernel
+    (ell + pallas) vs the xla path: same trajectory and residuals."""
+    from admm_elastic_tpu.geometry import extract_hinges, make_sym_plane
+    from admm_elastic_tpu.models import Bend, LimitedTriangleStrain, WindForce
+
+    mesh = make_sym_plane(8, 6)
+    n = mesh.n_vertices
+
+    def run(backend, mode):
+        sys = System(Settings(timestep_s=0.04, admm_iters=10, verbose=0,
+                              dtype=jnp.float64, global_solver=mode,
+                              cg_fixed_iters=40, collect_residuals=True))
+        sys.add_nodes(mesh.vertices, np.full(n, 0.5 / n))
+        sys.add_force(LimitedTriangleStrain(mesh.faces, 100.0, 0.95, 1.05,
+                                            backend=backend))
+        sys.add_force(Bend(extract_hinges(mesh.faces), 20.0))
+        sys.add_force(StaticAnchor([0, 8]))
+        sys.add_explicit_force(ExplicitForce(direction=(0, -9.8, 0)))
+        sys.add_explicit_force(WindForce(mesh.faces, direction=(1.5, 0, 0.4)))
+        assert sys.initialize()
+        rps = []
+        for _ in range(5):
+            sys.step()
+            rps.append(np.asarray(sys.last_aux["primal_residual"]))
+        return sys.x, np.stack(rps)
+
+    x_p, rp_p = run("pallas", "ell")
+    x_x, rp_x = run("xla", "ell")
+    np.testing.assert_allclose(x_p, x_x, atol=1e-7)
+    np.testing.assert_allclose(rp_p, rp_x, rtol=1e-4, atol=1e-10)
