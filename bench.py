@@ -37,7 +37,8 @@ def _load_baseline():
 
 
 def build_tet100k(dtype, admm_iters=10, local_backend="xla", global_solver="dia",
-                  cg_backend="xla", lattice=False, scramble=False):
+                  cg_backend="xla", lattice=False, scramble=False,
+                  residuals=False):
     import jax.numpy as jnp
 
     from admm_elastic_tpu import Settings, System
@@ -68,6 +69,9 @@ def build_tet100k(dtype, admm_iters=10, local_backend="xla", global_solver="dia"
         cg_backend=cg_backend,
         # whole-timestep single-kernel path via the plain System API
         lattice_fast_path=lattice,
+        # per-iteration primal/dual residual collection (fused kernels
+        # emit 6-wide contribution rows; shares the RHS incidence gather)
+        collect_residuals=residuals,
     )
     if global_solver == "dense":
         # n=22,386: A_hat^{-1} is 2 GB f32 in HBM; each global step is one
@@ -309,6 +313,10 @@ def main():
                     help="tet100k: single-kernel whole-timestep lattice path "
                          "via Settings.lattice_fast_path (default; "
                          "--no-lattice measures the general solver)")
+    ap.add_argument("--residuals", action="store_true",
+                    help="tet100k: collect per-iteration primal/dual ADMM "
+                         "residuals (general path; measures instrumentation "
+                         "overhead at production speed)")
     ap.add_argument("--scramble", action="store_true",
                     help="tet100k: randomly renumber the mesh vertices "
                          "(adversarial input; exercises lattice detection / "
@@ -340,7 +348,8 @@ def main():
         sys_, n_tets = build_tet100k(
             dtype, local_backend=args.local_backend,
             global_solver=args.global_solver, cg_backend=args.cg_backend,
-            lattice=args.lattice, scramble=args.scramble,
+            lattice=args.lattice and not args.residuals,
+            scramble=args.scramble, residuals=args.residuals,
         )
         admm_iters = sys_.settings.admm_iters
         ms = bench_system(sys_, args.steps) * 1e3

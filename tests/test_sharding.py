@@ -243,9 +243,10 @@ def test_scenario_sweep_pallas_backend():
 
 
 def test_ell_sharding_rejected():
+    """The GSPMD helper rejects ell mode and points at SpmdSystem."""
     sys = _build(mode="ell")
     mesh = make_sim_mesh(data=1)
-    with pytest.raises(ValueError, match="element sharding"):
+    with pytest.raises(ValueError, match="SpmdSystem"):
         shard_params_and_state(sys, mesh)
 
 
