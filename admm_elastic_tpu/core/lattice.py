@@ -413,12 +413,17 @@ def detect_grid_numbering(vertices, rel_tol=1e-6):
                 keep.append(q)
         axes.append(np.asarray(keep))
     g = [len(a) for a in axes]
-    if g[0] * g[1] * g[2] != n or min(g) < 2:
+    # flat (2D) grids qualify too: a regular cloth plane renumbered this
+    # way also collapses A_hat onto constant diagonals
+    if g[0] * g[1] * g[2] != n or sorted(g)[1] < 2:
         return None
     sizes = []
     for a in range(3):
         d = np.diff(axes[a])
-        if d.size == 0 or np.abs(d - d[0]).max() > tol * 8:
+        if d.size == 0:
+            sizes.append(1.0)  # degenerate axis: spacing irrelevant
+            continue
+        if np.abs(d - d[0]).max() > tol * 8:
             return None
         sizes.append(d[0])
     ijk = np.round((v - mins) / np.asarray(sizes)).astype(np.int64)

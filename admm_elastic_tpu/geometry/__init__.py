@@ -7,7 +7,7 @@ All functions here are pure numpy (host-side preprocessing). Device code lives i
 from .tetmesh import (TetMesh, load_mesh_as_tets, load_node_ele,
                       surface_faces, tet_volumes, tetrahedralize_surface)
 from .trimesh import TriMesh, triangle_areas, vertex_normals
-from .primitives import make_sym_plane, make_cylinder, make_sphere, make_box, make_torus, make_beam_tets
+from .primitives import make_plane_grid, make_sym_plane, make_cylinder, make_sphere, make_box, make_torus, make_beam_tets
 from .connectivity import unique_edges, across_edge, extract_hinges
 from .masses import lump_masses_uniform, lump_masses_tets, lump_masses_tris
 
@@ -15,7 +15,7 @@ __all__ = [
     "TetMesh", "load_mesh_as_tets", "load_node_ele", "surface_faces",
     "tet_volumes", "tetrahedralize_surface",
     "TriMesh", "triangle_areas", "vertex_normals",
-    "make_sym_plane", "make_cylinder", "make_sphere", "make_box", "make_torus",
+    "make_plane_grid", "make_sym_plane", "make_cylinder", "make_sphere", "make_box", "make_torus",
     "make_beam_tets",
     "unique_edges", "across_edge", "extract_hinges",
     "lump_masses_uniform", "lump_masses_tets", "lump_masses_tris",

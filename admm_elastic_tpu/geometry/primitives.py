@@ -212,3 +212,31 @@ def make_beam_tets(nx: int, ny: int, nz: int, size: float = 1.0) -> TetMesh:
                 for t in pattern:
                     tets.append((c[t[0]], c[t[1]], c[t[2]], c[t[3]]))
     return TetMesh(verts.astype(np.float64), np.asarray(tets, dtype=np.int32))
+
+
+def make_plane_grid(nx: int, ny: int, size: float = 1.0) -> TriMesh:
+    """Regular (nx,ny)-quad cloth plane WITHOUT center vertices: grid
+    vertices only, each quad split into two triangles along a consistent
+    diagonal. Unlike make_sym_plane (the reference's X-crossed layout,
+    DefaultBuilders/make_sym_plane), the vertex set is a regular grid, so
+    A_hat collapses onto constant diagonals and the single-kernel dia CG
+    applies (after canonical renumbering if needed)."""
+    gx, gy = nx + 1, ny + 1
+    xs = np.linspace(0.0, size * nx, gx)
+    ys = np.linspace(0.0, size * ny, gy)
+    X, Y = np.meshgrid(xs, ys, indexing="ij")
+    verts = np.stack([X.ravel(), Y.ravel(), np.zeros(gx * gy)], axis=1)
+
+    def vid(i, j):
+        return i * gy + j
+
+    faces = []
+    for i in range(nx):
+        for j in range(ny):
+            a, b = vid(i, j), vid(i + 1, j)
+            c, d = vid(i + 1, j + 1), vid(i, j + 1)
+            faces.append((a, b, c))
+            faces.append((a, c, d))
+    return TriMesh(
+        vertices=verts, faces=np.asarray(faces, dtype=np.int32)
+    )

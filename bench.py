@@ -100,7 +100,7 @@ def build_cloth100k(dtype, admm_iters=10):
     import jax.numpy as jnp
 
     from admm_elastic_tpu import Settings, System
-    from admm_elastic_tpu.geometry import extract_hinges, make_sym_plane
+    from admm_elastic_tpu.geometry import extract_hinges
     from admm_elastic_tpu.models import (
         Bend,
         ExplicitForce,
@@ -109,11 +109,17 @@ def build_cloth100k(dtype, admm_iters=10):
         WindForce,
     )
 
-    mesh = make_sym_plane(230, 110)  # 101,200 tris / 50,941 verts
+    from admm_elastic_tpu.geometry import make_plane_grid
+
+    # regular-grid cloth (no center vertices): A_hat collapses onto ~9
+    # constant diagonals, so the whole CG solve runs in the single
+    # VMEM-resident dia kernel (the sym_plane layout forces ELL gather
+    # matvecs, ~10x slower at this scale)
+    mesh = make_plane_grid(225, 225)  # 101,250 tris / 51,076 verts
     n = mesh.n_vertices
     sys = System(Settings(
         timestep_s=0.04, admm_iters=admm_iters, verbose=0, dtype=dtype,
-        global_solver="ell", cg_fixed_iters=25, cg_backend="fused",
+        global_solver="dia", cg_fixed_iters=25, cg_backend="fused",
     ))
     sys.add_nodes(mesh.vertices, np.full(n, 0.5 / n))
     sys.add_force(LimitedTriangleStrain(mesh.faces, 100.0, 0.95, 1.05,

@@ -746,3 +746,33 @@ def test_cloth_pallas_backend_matches_xla():
     x_x, rp_x = run("xla", "ell")
     np.testing.assert_allclose(x_p, x_x, atol=1e-7)
     np.testing.assert_allclose(rp_p, rp_x, rtol=1e-4, atol=1e-10)
+
+
+def test_grid_cloth_dia_matches_ell():
+    """Regular-grid cloth (make_plane_grid) qualifies for the dia solver
+    (~7 constant diagonals incl. bend coupling) and matches the ell path."""
+    from admm_elastic_tpu.geometry import extract_hinges, make_plane_grid
+    from admm_elastic_tpu.models import Bend, LimitedTriangleStrain
+
+    mesh = make_plane_grid(10, 8)
+    n = mesh.n_vertices
+
+    def run(mode):
+        sys = System(Settings(timestep_s=0.04, admm_iters=6, verbose=0,
+                              dtype=jnp.float64, global_solver=mode,
+                              cg_fixed_iters=30))
+        sys.add_nodes(mesh.vertices, np.full(n, 0.5 / n))
+        sys.add_force(LimitedTriangleStrain(mesh.faces, 100.0, 0.95, 1.05,
+                                            backend="pallas"))
+        sys.add_force(Bend(extract_hinges(mesh.faces), 20.0))
+        sys.add_force(StaticAnchor([0, 8]))
+        sys.add_explicit_force(ExplicitForce(direction=(0, -9.8, 0)))
+        assert sys.initialize()
+        for _ in range(4):
+            sys.step()
+        return sys
+
+    d = run("dia")
+    assert d._solver_mode == "dia"
+    e = run("ell")
+    np.testing.assert_allclose(d.x, e.x, atol=1e-8)
