@@ -97,7 +97,6 @@ class SpmdSystem:
         shd_params = {}
         shd_u = {}
         shd_state = {}
-        local_counts = {}  # name -> per-shard padded element count
         self._force_list = forces
 
         for f in forces:
@@ -106,7 +105,6 @@ class SpmdSystem:
             is_pallas = getattr(f, "backend", "xla") == "pallas"
             unit = BLOCK if is_pallas else 8
             El = _round_up(_round_up(E, S) // S, unit)
-            local_counts[f.name] = El
             target = S * El
 
             # element-leading params: pad by replicating the last element,
@@ -274,7 +272,6 @@ class SpmdSystem:
         n = sysm.n_nodes
         nb, n_pad = self._nb, self._n_pad
         S, axis = self.S, self.axis
-        sentinel = self._local_total
 
         def shard_step(rep, shd):
             # local views (shard_map leading block dim of 1)
