@@ -220,10 +220,15 @@ def make_plane_grid(nx: int, ny: int, size: float = 1.0) -> TriMesh:
     diagonal. Unlike make_sym_plane (the reference's X-crossed layout,
     DefaultBuilders/make_sym_plane), the vertex set is a regular grid, so
     A_hat collapses onto constant diagonals and the single-kernel dia CG
-    applies (after canonical renumbering if needed)."""
+    applies (after canonical renumbering if needed).
+
+    Spans [-size, size]^2 at z=0 regardless of tessellation, matching
+    make_sym_plane's [-1,1]^2 extent — the physical scale (and hence
+    stable wind/gravity magnitudes per unit mass) is tessellation-
+    independent."""
     gx, gy = nx + 1, ny + 1
-    xs = np.linspace(0.0, size * nx, gx)
-    ys = np.linspace(0.0, size * ny, gy)
+    xs = np.linspace(-size, size, gx)
+    ys = np.linspace(-size, size, gy)
     X, Y = np.meshgrid(xs, ys, indexing="ij")
     verts = np.stack([X.ravel(), Y.ravel(), np.zeros(gx * gy)], axis=1)
 
