@@ -314,17 +314,20 @@ class System:
 
         self._lattice = None
         if s.lattice_fast_path:
+            from .cloth import cloth_from_system
             from .lattice import lattice_from_system
 
             out = lattice_from_system(self)
+            if out is None:
+                out = cloth_from_system(self)
             if out is not None:
                 self._lattice, self._to_canon = out
                 if s.verbose >= 1:
-                    print("Solver: lattice fast path engaged "
+                    print("Solver: whole-timestep fast path engaged "
                           f"(model={self._lattice.model})")
             elif s.verbose >= 1:
-                print("Solver: scene does not qualify for the lattice fast "
-                      "path; using the general solver")
+                print("Solver: scene does not qualify for a whole-timestep "
+                      "fast path; using the general solver")
 
         if s.verbose >= 1:
             print(

@@ -1,0 +1,442 @@
+"""Whole-ADMM-timestep Pallas kernel for regular-grid cloth.
+
+The lattice kernel (lattice_step.py) exploits constant-offset selectors on
+uniform tet lattices. Grid cloth (geometry/make_plane_grid) has the same
+property for ALL of its constraint types: every triangle's vertex indices
+are `base + constant_offset` (2 offset groups: the two diagonal splits of
+each quad), every bend hinge likewise (3 groups: the diagonal, vertical and
+horizontal interior edges), and the wind force acts on the same triangle
+groups. A_hat collapses onto ~7 constant diagonals. So the ENTIRE windyflag
+physics stack — triangle strain with strain limiting
+(TriangleForce.cpp:79-113), hinge bending (BendForce.cpp:134-144), static
+anchors (AnchorForce.cpp:46-55), gravity and Wejchert-Haumann wind
+(ExplicitForce.cpp:42-98) — runs as ONE pallas_call per rollout window:
+
+    grid (n_steps, admm_iters, 3*n_groups+1):
+      (i==0, p1==0):  prologue — gravity kick; per-group wind forces
+                      (cross products on shifted lanes) scattered back by
+                      reverse shifts; xbar; pre-step x parked in x_out
+      phase 3g+0:     DMA dual block g into VMEM; F = u_g + D_g x via
+                      static shifts (triangle 3x2 or bend 3-row form)
+      phase 3g+1:     triangle: closed-form 3x2 SVD + strain-limited mix
+                      (shared _tri_body); bend: alpha-weighted flat
+                      projection; u' = F - z
+      phase 3g+2:     b += w2 mask_g D_g^T (z - u') via reverse shifts
+                      (z - u' recovered as F - 2u'); DMA duals back
+      phase 3G:       anchor dual/contribution + whole Jacobi-PCG solve
+                      with the SYMMETRIC-dia matvec (only offsets >= 0 are
+                      stored; the transpose contribution of each diagonal
+                      is a second static shift), updating live x
+
+Live state: x in VMEM scratch; v, anchor duals and the pre-step x live in
+the OUTPUT refs (reads of out-ref writes are ordered in both interpret and
+compiled modes, and it saves three (3,N) VMEM planes each); per-group duals
+stream through one (16,N) VMEM block via async copies, exactly like the
+lattice kernel's dual streaming.
+
+Algorithmically identical to the general System path ({LimitedTriangleStrain,
+Bend, StaticAnchor, gravity+WindForce, dia solver}); trajectories match to
+f32 round-off (tests/test_cloth_fast.py).
+
+Restrictions: constant-offset groupable faces/hinges (regular-grid cloth in
+any vertex numbering via detect_grid_numbering), uniform per-group
+constraint constants, all-node gravity kicks, at most one WindForce over
+groupable triangles, residual collection off.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .tri_local import _tri_body
+
+# masks row 0 is the anchor w2 plane; group/wind mask rows follow
+ANCHOR_ROW = 0
+
+
+def _make_cloth_kernel(N, groups, wind_groups, dia_offs, cg_iters, dt, dt2,
+                       gvec, wind_dir, n_iters):
+    """groups: tuple of
+         ('tri', offs(3), cp6(6), w2, k, lmin, lmax, mask_row, limiting)
+       | ('bend', offs(4), arow(3), w2, k, mask_row).
+    wind_groups: tuple of (offs(3), mask_row) — empty disables wind.
+    dia_offs: non-negative offsets of the symmetric A_hat diagonals
+    (vals[d, i] = A[i, i+off])."""
+    n_groups = len(groups)
+    CG_PHASE = 3 * n_groups
+
+    def kernel(masks_ref, ancz_ref, dia_ref,
+               x3_hbm, v3_hbm, u_hbm, ancu_hbm,
+               x_out, v_out, u_hbm_out, ancu_out,
+               x_s, b_s, u_blk, f9, sem):
+        # masks_ref rows: 0 = anchor w2 plane, 1 = vertex masses,
+        # 2 = 1/diag (Jacobi preconditioner), 3+ = group validity planes.
+        # The CG work vectors live in f9 (dead during the solve phase):
+        # rows 0-2 = Ap, rows 3-5 = p — two fewer (3,N) VMEM blocks.
+        # The seed arrays (x3/v3/ancu) and per-group duals live in HBM and
+        # are DMA'd — every (3,N) VMEM input block costs a padded (4,N)
+        # tile and the total must stay under the 16 MB scoped-VMEM cap.
+        st = pl.program_id(0)
+        i = pl.program_id(1)
+        p1 = pl.program_id(2)
+
+        # ---- very first grid step: seed live state from the inputs
+        @pl.when(jnp.logical_and(st == 0, jnp.logical_and(i == 0, p1 == 0)))
+        def _seed_state():
+            for src, dst in ((x3_hbm, x_s), (v3_hbm, v_out),
+                             (ancu_hbm, ancu_out)):
+                c = pltpu.make_async_copy(src, dst, sem)
+                c.start()
+                c.wait()
+
+        # ---- per-timestep prologue: park pre-step x in x_out, gravity
+        # kick, wind kick, xbar = x + dt v'
+        @pl.when(jnp.logical_and(i == 0, p1 == 0))
+        def _init():
+            for a in range(3):
+                x_out[a, :] = x_s[a, :]
+                v_out[a, :] = v_out[a, :] + dt * gvec[a]
+            # Wejchert-Haumann wind (ExplicitForce.cpp:42-98): per-group
+            # triangle force from post-gravity velocities, the same vector
+            # added to all 3 corners. All per-corner reads use base-aligned
+            # slices of common length N - max(offs); forces are staged in
+            # f9 (3 planes per group) BEFORE any scatter so reads of v_out
+            # are hazard-free.
+            for w, (offs, mrow) in enumerate(wind_groups):
+                M = max(offs)
+                L = N - M
+
+                def rd(ref, a, o, M=M, L=L):
+                    return ref[a, o : L + o]
+
+                px = [[rd(x_s, a, o) for a in range(3)] for o in offs]
+                vm = [
+                    (rd(v_out, a, offs[0]) + rd(v_out, a, offs[1])
+                     + rd(v_out, a, offs[2])) * (1.0 / 3.0)
+                    for a in range(3)
+                ]
+                e1 = [px[1][a] - px[0][a] for a in range(3)]
+                e2 = [px[2][a] - px[0][a] for a in range(3)]
+                nx = e1[1] * e2[2] - e1[2] * e2[1]
+                ny = e1[2] * e2[0] - e1[0] * e2[2]
+                nz = e1[0] * e2[1] - e1[1] * e2[0]
+                nlen = jnp.sqrt(nx * nx + ny * ny + nz * nz)
+                inv = 1.0 / jnp.where(nlen > 0, nlen, 1.0)
+                nhat = [nx * inv, ny * inv, nz * inv]
+                area = 0.5 * nlen
+                v_n = (
+                    nhat[0] * (vm[0] - wind_dir[0])
+                    + nhat[1] * (vm[1] - wind_dir[1])
+                    + nhat[2] * (vm[2] - wind_dir[2])
+                )
+                m = masks_ref[mrow, :L]
+                scale = -1000.0 * 0.33 * dt * m * area * v_n * jnp.abs(v_n)
+                for a in range(3):
+                    f9[3 * w + a, :] = jnp.zeros_like(f9[3 * w + a, :])
+                    f9[3 * w + a, :L] = scale * nhat[a]
+            for w, (offs, mrow) in enumerate(wind_groups):
+                M = max(offs)
+                L = N - M
+                for o in offs:
+                    for a in range(3):
+                        v_out[a, o : L + o] += f9[3 * w + a, :L]
+            for a in range(3):
+                x_s[a, :] = x_out[a, :] + dt * v_out[a, :]
+
+        @pl.when(p1 == 0)
+        def _reset_b():
+            for a in range(3):
+                b_s[a, :] = jnp.zeros_like(b_s[a, :])
+
+        first = jnp.logical_and(st == 0, i == 0)
+
+        def _dma_duals_in(g):
+            @pl.when(first)
+            def _from_input():
+                cu = pltpu.make_async_copy(u_hbm.at[g], u_blk, sem)
+                cu.start()
+                cu.wait()
+
+            @pl.when(jnp.logical_not(first))
+            def _from_output():
+                cu = pltpu.make_async_copy(u_hbm_out.at[g], u_blk, sem)
+                cu.start()
+                cu.wait()
+
+        def _dma_duals_out(g):
+            cu = pltpu.make_async_copy(u_blk, u_hbm_out.at[g], sem)
+            cu.start()
+            cu.wait()
+
+        for g, spec in enumerate(groups):
+            if spec[0] == "tri":
+                _, offs, cp6, w2, k, lmin, lmax, mrow, limiting = spec
+
+                @pl.when(p1 == 3 * g)
+                def _load_tri(g=g, offs=offs, cp6=cp6):
+                    _dma_duals_in(g)
+                    # F_{a,b} = u + sum_k cp6[3b+k] x[a, base+o_k]
+                    for a in range(3):
+                        for b in range(2):
+                            f9[2 * a + b, :] = u_blk[2 * a + b, :]
+                    for kk, o in enumerate(offs):
+                        for a in range(3):
+                            for b in range(2):
+                                w = float(cp6[3 * b + kk])
+                                if w == 0.0:
+                                    continue
+                                if o == 0:
+                                    f9[2 * a + b, :] += w * x_s[a, :]
+                                else:
+                                    f9[2 * a + b, : N - o] += (
+                                        w * x_s[a, o:]
+                                    )
+
+                @pl.when(p1 == 3 * g + 1)
+                def _compute_tri(w2=w2, k=k, lmin=lmin, lmax=lmax,
+                                 limiting=limiting):
+                    f = [f9[p, :] for p in range(6)]
+                    z = _tri_body(f, w2, k, lmin, lmax, limiting)
+                    for p in range(6):
+                        u_blk[p, :] = f[p] - z[p]
+
+                @pl.when(p1 == 3 * g + 2)
+                def _scatter_tri(g=g, offs=offs, cp6=cp6, w2=w2, mrow=mrow):
+                    m = w2 * masks_ref[mrow, :]
+                    zu = [m * (f9[p, :] - 2.0 * u_blk[p, :])
+                          for p in range(6)]
+                    for kk, o in enumerate(offs):
+                        for j in range(3):
+                            acc = None
+                            for b in range(2):
+                                w = float(cp6[3 * b + kk])
+                                if w == 0.0:
+                                    continue
+                                t = w * zu[2 * j + b]
+                                acc = t if acc is None else acc + t
+                            if acc is None:
+                                continue
+                            if o == 0:
+                                b_s[j, :] += acc
+                            else:
+                                b_s[j, o:] += acc[: N - o]
+                    _dma_duals_out(g)
+
+            else:  # bend
+                _, offs, arow, w2, k, mrow = spec
+                # D rows: (x0 - x2, x3 - x2, x1 - x2) (BendForce.cpp:75-131)
+                rows = ((offs[0], offs[2]), (offs[3], offs[2]),
+                        (offs[1], offs[2]))
+                denom = arow[0] ** 2 + arow[1] ** 2 + arow[2] ** 2
+                inv_denom = (2.0 / denom) if denom > 0 else 0.0
+                mix = 1.0 / (w2 + k)
+
+                @pl.when(p1 == 3 * g)
+                def _load_bend(g=g, rows=rows):
+                    _dma_duals_in(g)
+                    for j in range(3):
+                        for r in range(3):
+                            f9[3 * r + j, :] = u_blk[3 * r + j, :]
+                    for r, (oa, ob) in enumerate(rows):
+                        for j in range(3):
+                            if oa == 0:
+                                f9[3 * r + j, :] += x_s[j, :]
+                            else:
+                                f9[3 * r + j, : N - oa] += x_s[j, oa:]
+                            if ob == 0:
+                                f9[3 * r + j, :] -= x_s[j, :]
+                            else:
+                                f9[3 * r + j, : N - ob] -= x_s[j, ob:]
+
+                @pl.when(p1 == 3 * g + 1)
+                def _compute_bend(arow=arow, inv_denom=inv_denom, w2=w2,
+                                  k=k, mix=mix):
+                    # flat-state projection (BendForce.cpp:134-144):
+                    # lam_j = 2 sum_r arow_r F_rj / |arow|^2;
+                    # p = F - arow/2 * lam; z = (k p + w2 F)/(w2 + k)
+                    for j in range(3):
+                        lam = inv_denom * (
+                            arow[0] * f9[j, :]
+                            + arow[1] * f9[3 + j, :]
+                            + arow[2] * f9[6 + j, :]
+                        )
+                        for r in range(3):
+                            fp = f9[3 * r + j, :]
+                            pr = fp - 0.5 * arow[r] * lam
+                            z = (k * pr + w2 * fp) * mix
+                            u_blk[3 * r + j, :] = fp - z
+
+                @pl.when(p1 == 3 * g + 2)
+                def _scatter_bend(g=g, offs=offs, w2=w2, mrow=mrow):
+                    m = w2 * masks_ref[mrow, :]
+                    zu = [m * (f9[p, :] - 2.0 * u_blk[p, :])
+                          for p in range(9)]
+                    # D^T columns (BendForce coeff): corner0 += row0,
+                    # corner1 += row2, corner2 -= (row0+row1+row2),
+                    # corner3 += row1
+                    per_corner = (
+                        (offs[0], (0,), 1.0),
+                        (offs[1], (2,), 1.0),
+                        (offs[2], (0, 1, 2), -1.0),
+                        (offs[3], (1,), 1.0),
+                    )
+                    for o, rws, sgn in per_corner:
+                        for j in range(3):
+                            acc = None
+                            for r in rws:
+                                t = zu[3 * r + j]
+                                acc = t if acc is None else acc + t
+                            acc = sgn * acc
+                            if o == 0:
+                                b_s[j, :] += acc
+                            else:
+                                b_s[j, o:] += acc[: N - o]
+                    _dma_duals_out(g)
+
+        # ---- CG phase: anchors + whole Jacobi-PCG symmetric-dia solve
+        @pl.when(p1 == CG_PHASE)
+        def _solve():
+            aw2 = masks_ref[ANCHOR_ROW, :]
+            for a in range(3):
+                ua = ancu_out[a, :] + x_s[a, :] - ancz_ref[a, :]
+                ancu_out[a, :] = ua
+                b_s[a, :] += aw2 * (ancz_ref[a, :] - ua)
+
+            def matvec_into(src_ref, sb):
+                """A @ src into f9 rows 0-2; src = src_ref rows sb..sb+2."""
+                for d, off in enumerate(dia_offs):
+                    if d == 0:
+                        for a in range(3):
+                            f9[a, :] = jnp.zeros_like(f9[a, :])
+                    if off == 0:
+                        for a in range(3):
+                            f9[a, :] += dia_ref[d, :] * src_ref[sb + a, :]
+                    else:
+                        # symmetric pair: vals[d,i] = A[i,i+off] = A[i+off,i]
+                        for a in range(3):
+                            w = dia_ref[d, : N - off]
+                            f9[a, : N - off] += w * src_ref[sb + a, off:]
+                            f9[a, off:] += w * src_ref[sb + a, : N - off]
+
+            # r = M xbar + dt^2 b - A x, with M xbar recomputed from the
+            # parked pre-step x (x_out) and the kicked v (v_out) — folding
+            # b into r in place saves two (3,N) VMEM planes
+            matvec_into(x_s, 0)
+            for a in range(3):
+                xbar = x_out[a, :] + dt * v_out[a, :]
+                b_s[a, :] = (
+                    masks_ref[1, :] * xbar + dt2 * b_s[a, :] - f9[a, :]
+                )
+                f9[3 + a, :] = masks_ref[2, :] * b_s[a, :]
+            rz0 = sum(jnp.sum(b_s[a, :] * f9[3 + a, :]) for a in range(3))
+
+            def body(_, rz):
+                matvec_into(f9, 3)
+                pAp = sum(
+                    jnp.sum(f9[3 + a, :] * f9[a, :]) for a in range(3)
+                )
+                alpha = rz / jnp.where(pAp > 0, pAp, 1.0)
+                for a in range(3):
+                    x_s[a, :] += alpha * f9[3 + a, :]
+                    b_s[a, :] -= alpha * f9[a, :]
+                rz_new = sum(
+                    jnp.sum(b_s[a, :] * masks_ref[2, :] * b_s[a, :])
+                    for a in range(3)
+                )
+                beta = rz_new / jnp.where(rz > 0, rz, 1.0)
+                for a in range(3):
+                    f9[3 + a, :] = (masks_ref[2, :] * b_s[a, :]
+                                    + beta * f9[3 + a, :])
+                return rz_new
+
+            jax.lax.fori_loop(0, cg_iters, body, rz0)
+
+            # per-timestep epilogue on the last ADMM iteration:
+            # v = (x' - x_prestep)/dt, emit final x
+            @pl.when(i == n_iters - 1)
+            def _epilogue():
+                for a in range(3):
+                    v_out[a, :] = (x_s[a, :] - x_out[a, :]) * (1.0 / dt)
+                    x_out[a, :] = x_s[a, :]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "groups_key", "wind_groups", "dia_offs", "cg_iters", "dt", "dt2",
+        "gvec", "wind_dir", "n_iters", "n_steps", "interpret",
+    ),
+    donate_argnums=(5,),
+)
+def _cloth_call(masks, ancz, dia, x3, v3, u, ancu,
+                groups_key, wind_groups, dia_offs, cg_iters, dt, dt2,
+                gvec, wind_dir, n_iters, n_steps, interpret):
+    N = x3.shape[1]
+    n_groups = len(groups_key)
+    n_phases = 3 * n_groups + 1
+    kern = _make_cloth_kernel(
+        N, groups_key, wind_groups, dia_offs, cg_iters, dt, dt2, gvec,
+        wind_dir, n_iters,
+    )
+    full = lambda *_: (0, 0)
+    f3 = pl.BlockSpec((3, N), full, memory_space=pltpu.VMEM)
+    fm = pl.BlockSpec(masks.shape, full, memory_space=pltpu.VMEM)
+    fd = pl.BlockSpec(dia.shape, full, memory_space=pltpu.VMEM)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
+    out = pl.pallas_call(
+        kern,
+        grid=(n_steps, n_iters, n_phases),
+        in_specs=[fm, f3, fd, hbm, hbm, hbm, hbm],
+        out_specs=[f3, f3, hbm, f3],
+        out_shape=[
+            jax.ShapeDtypeStruct(x3.shape, x3.dtype),
+            jax.ShapeDtypeStruct(v3.shape, v3.dtype),
+            jax.ShapeDtypeStruct(u.shape, u.dtype),
+            jax.ShapeDtypeStruct(ancu.shape, ancu.dtype),
+        ],
+        input_output_aliases={5: 2},
+        scratch_shapes=[
+            pltpu.VMEM((3, N), x3.dtype),   # live x
+            pltpu.VMEM((3, N), x3.dtype),   # b / CG r (folded)
+            pltpu.VMEM((16, N), x3.dtype),  # streamed dual block
+            pltpu.VMEM((9, N), x3.dtype),   # F planes / wind staging /
+                                            # CG Ap (rows 0-2) + p (3-5)
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(masks, ancz, dia, x3, v3, u, ancu)
+    return out
+
+
+def cloth_rollout(masks, ancz, dia, x3, v3, u, ancu, *,
+                  groups, wind_groups, dia_offs, cg_iters, dt, gravity,
+                  wind_dir, n_iters, n_steps, interpret=None):
+    """n_steps whole cloth timesteps in ONE kernel call.
+
+    x3/v3/ancz/ancu: (3,N); masks: (3+n_mask_rows, N) with rows
+    [anchor w2 plane, vertex masses, 1/diag preconditioner, group
+    validity planes...]; dia: (D,N) symmetric-diagonal values for the
+    non-negative `dia_offs` (vals[d,i] = A[i,i+off]); u: (n_groups,16,N)
+    (triangle groups use planes 0-5, bend groups 0-8; 16 rows for (8,128)
+    HBM tiling). Returns (x3, v3, u, ancu). `groups`/`wind_groups` are
+    the hashable tuples built by core/cloth.ClothStepper."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    return _cloth_call(
+        masks, ancz, dia, x3, v3, u, ancu,
+        groups_key=groups, wind_groups=wind_groups,
+        dia_offs=tuple(int(o) for o in dia_offs),
+        cg_iters=int(cg_iters), dt=float(dt),
+        dt2=float(dt) * float(dt),
+        gvec=tuple(float(q) for q in gravity),
+        wind_dir=tuple(float(q) for q in wind_dir),
+        n_iters=int(n_iters), n_steps=int(n_steps),
+        interpret=bool(interpret),
+    )

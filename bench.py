@@ -93,10 +93,12 @@ def build_tet100k(dtype, admm_iters=10, local_backend="xla", global_solver="dia"
     return sys, beam.n_tets
 
 
-def build_cloth100k(dtype, admm_iters=10):
+def build_cloth100k(dtype, admm_iters=10, fast_path=True):
     """Large-cloth workload: ~100k triangle-strain elements + bend hinges
-    (windyflag physics at production scale), fused triangle kernels +
-    ELL fused CG."""
+    (windyflag physics at production scale). Default config: the cloth
+    whole-timestep kernel (core/cloth.py) — one pallas_call per rollout
+    window. --no-lattice measures the general path (fused triangle
+    kernels + single-kernel dia CG)."""
     import jax.numpy as jnp
 
     from admm_elastic_tpu import Settings, System
@@ -120,6 +122,7 @@ def build_cloth100k(dtype, admm_iters=10):
     sys = System(Settings(
         timestep_s=0.04, admm_iters=admm_iters, verbose=0, dtype=dtype,
         global_solver="dia", cg_fixed_iters=25, cg_backend="fused",
+        lattice_fast_path=fast_path,
     ))
     sys.add_nodes(mesh.vertices, np.full(n, 0.5 / n))
     sys.add_force(LimitedTriangleStrain(mesh.faces, 100.0, 0.95, 1.05,
@@ -131,6 +134,8 @@ def build_cloth100k(dtype, admm_iters=10):
     sys.add_explicit_force(ExplicitForce(direction=(0, -9.8, 0)))
     sys.add_explicit_force(WindForce(mesh.faces, direction=(4.0, 0.0, 1.0)))
     assert sys.initialize()
+    if fast_path:
+        assert sys._lattice is not None, "cloth fast path did not engage"
     return sys, len(mesh.faces)
 
 
@@ -316,9 +321,10 @@ def main():
     ap.add_argument("--cg-backend", default="fused", choices=["xla", "fused", "kernel"])
     ap.add_argument("--lattice", action=argparse.BooleanOptionalAction,
                     default=True,
-                    help="tet100k: single-kernel whole-timestep lattice path "
-                         "via Settings.lattice_fast_path (default; "
-                         "--no-lattice measures the general solver)")
+                    help="tet100k/cloth100k: single-kernel whole-timestep "
+                         "fast path via Settings.lattice_fast_path "
+                         "(default; --no-lattice measures the general "
+                         "solver)")
     ap.add_argument("--residuals", action="store_true",
                     help="tet100k: collect per-iteration primal/dual ADMM "
                          "residuals (general path; measures instrumentation "
@@ -385,7 +391,7 @@ def main():
             )
         )
     elif args.preset == "cloth100k":
-        sys_, n_tris = build_cloth100k(dtype)
+        sys_, n_tris = build_cloth100k(dtype, fast_path=args.lattice)
         ms = bench_system(sys_, args.steps) * 1e3
         iters_per_s = sys_.settings.admm_iters / (ms / 1e3)
         print(

@@ -1,0 +1,158 @@
+"""Cloth whole-timestep kernel vs the general System path.
+
+Mirrors tests/test_lattice.py for the cloth fast path (core/cloth.py +
+ops/pallas/cloth_step.py): the single-kernel stepper must reproduce the
+general {LimitedTriangleStrain, Bend, StaticAnchor, gravity+wind, dia}
+System trajectory to round-off, in any vertex numbering.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from admm_elastic_tpu import Settings, System
+from admm_elastic_tpu.geometry import extract_hinges, make_plane_grid
+from admm_elastic_tpu.models import (
+    Bend,
+    ExplicitForce,
+    LimitedTriangleStrain,
+    StaticAnchor,
+    WindForce,
+)
+
+
+def _cloth_system(fast, *, nx=8, ny=6, wind=True, bend=True, anchors=True,
+                  scramble=None, backend="pallas", dtype=jnp.float64,
+                  iters=10, cg=30):
+    mesh = make_plane_grid(nx, ny)
+    n = mesh.n_vertices
+    verts = mesh.vertices
+    faces = mesh.faces
+    if scramble is not None:
+        perm = np.random.RandomState(scramble).permutation(n)
+        verts = verts[perm]
+        inv = np.empty(n, np.int64)
+        inv[perm] = np.arange(n)
+        faces = inv[faces]
+    sys_ = System(Settings(
+        timestep_s=0.04, admm_iters=iters, verbose=0, dtype=dtype,
+        global_solver="dia", cg_fixed_iters=cg, lattice_fast_path=fast,
+    ))
+    sys_.add_nodes(verts, np.full(n, 0.5 / n))
+    sys_.add_force(LimitedTriangleStrain(faces, 100.0, 0.95, 1.05,
+                                         backend=backend))
+    if bend:
+        sys_.add_force(Bend(extract_hinges(faces), 20.0))
+    if anchors:
+        top = np.flatnonzero(np.abs(verts[:, 1] - 1.0) < 1e-9)
+        sys_.add_force(StaticAnchor(top[:4]))
+    sys_.add_explicit_force(ExplicitForce(direction=(0, -9.8, 0)))
+    if wind:
+        sys_.add_explicit_force(WindForce(faces, direction=(1.5, 0, 0.4)))
+    assert sys_.initialize()
+    return sys_
+
+
+def _compare(steps=5, atol=1e-12, **kw):
+    gen = _cloth_system(False, **kw)
+    fast = _cloth_system(True, **kw)
+    assert fast._lattice is not None, "cloth fast path did not engage"
+    assert fast._lattice.model == "cloth"
+    for _ in range(steps):
+        gen.step()
+        fast.step()
+        np.testing.assert_allclose(fast.x, gen.x, atol=atol)
+    return gen, fast
+
+
+def test_cloth_fast_path_full_physics():
+    """Strain limiting + bend + anchors + gravity + wind: trajectory match
+    to round-off against the general dia path (pallas local backend —
+    identical projection code)."""
+    _compare()
+
+
+def test_cloth_fast_path_vs_xla_backend():
+    """Same comparison against the xla-backend general path (independent
+    SVD implementation) — loose tolerance covers fp ordering differences."""
+    _compare(atol=1e-8, backend="xla")
+
+
+def test_cloth_fast_path_no_wind_no_bend():
+    """Minimal config: strain + anchors + gravity only."""
+    _compare(wind=False, bend=False)
+
+
+def test_cloth_fast_path_no_anchors():
+    """Anchor-free cloth in free fall (A = M + dt^2 D^T W^2 D stays SPD
+    through the mass matrix alone)."""
+    _compare(steps=3, anchors=False, wind=False)
+
+
+def test_cloth_fast_path_scrambled_numbering():
+    """A randomly renumbered grid engages the fast path via
+    detect_grid_numbering's canonical permutation and matches the general
+    path running on the scrambled numbering."""
+    gen, fast = _compare(scramble=7)
+    assert not np.array_equal(np.asarray(fast._to_canon),
+                              np.arange(gen.n_nodes))
+
+
+def test_cloth_rollout_matches_stepping():
+    """run(n) (whole-rollout kernel windows) == n x step()."""
+    a = _cloth_system(True, nx=6, ny=5)
+    b = _cloth_system(True, nx=6, ny=5)
+    assert a._lattice is not None and b._lattice is not None
+    for _ in range(4):
+        a.step()
+    b.run(4)
+    np.testing.assert_allclose(np.asarray(b.x), np.asarray(a.x), atol=1e-13)
+
+
+def test_cloth_fast_path_rejects_nongrid():
+    """make_sym_plane (center-vertex layout) must NOT qualify: its faces
+    produce one stencil per quad column — the grouping bails out and the
+    general solver runs."""
+    from admm_elastic_tpu.geometry import make_sym_plane
+
+    mesh = make_sym_plane(6, 5)
+    n = mesh.n_vertices
+    sys_ = System(Settings(timestep_s=0.04, admm_iters=4, verbose=0,
+                           dtype=jnp.float64, lattice_fast_path=True))
+    sys_.add_nodes(mesh.vertices, np.full(n, 0.5 / n))
+    sys_.add_force(LimitedTriangleStrain(mesh.faces, 100.0, 0.95, 1.05))
+    sys_.add_force(StaticAnchor([0, 1]))
+    sys_.add_explicit_force(ExplicitForce(direction=(0, -9.8, 0)))
+    assert sys_.initialize()
+    assert sys_._lattice is None
+    sys_.step()
+    assert np.isfinite(sys_.x).all()
+
+
+def test_group_constant_offsets():
+    """Grid faces/hinges group into 2/3 stencils; degenerate duplicate
+    elements are rejected."""
+    from admm_elastic_tpu.core.cloth import group_constant_offsets
+
+    mesh = make_plane_grid(5, 4)
+    gt = group_constant_offsets(mesh.faces)
+    assert gt is not None and len(gt) == 2
+    assert sum(len(es) for _, es, _ in gt) == len(mesh.faces)
+    gh = group_constant_offsets(extract_hinges(mesh.faces))
+    assert gh is not None and len(gh) == 3
+    dup = np.vstack([mesh.faces, mesh.faces[:1]])
+    assert group_constant_offsets(dup) is None
+
+
+@pytest.mark.parametrize("key", ["x", "v"])
+def test_cloth_fast_path_state_access(key):
+    """System.x/.v round-trip through the stepper's plane layout."""
+    fast = _cloth_system(True, nx=5, ny=4, wind=False)
+    assert fast._lattice is not None
+    fast.step()
+    val = getattr(fast, key)
+    assert val.shape == (fast.n_nodes, 3)
+    assert np.isfinite(val).all()
+    if key == "x":
+        fast.x = val  # setter writes back into plane layout
+        np.testing.assert_allclose(fast.x, val, atol=1e-13)
