@@ -314,12 +314,17 @@ class System:
 
         self._lattice = None
         if s.lattice_fast_path:
+            from .banded import banded_from_system
             from .cloth import cloth_from_system
             from .lattice import lattice_from_system
 
             out = lattice_from_system(self)
             if out is None:
                 out = cloth_from_system(self)
+            if out is None:
+                # general fallback: any banded tet mesh (no constant-offset
+                # stencil needed; per-element materials allowed)
+                out = banded_from_system(self)
             if out is not None:
                 self._lattice, self._to_canon = out
                 if s.verbose >= 1:
@@ -696,10 +701,13 @@ class System:
             lat = self._lattice
             xc = np.empty_like(value)
             xc[np.asarray(self._to_canon)] = value
-            pad = lat.N - lat.n_nodes
-            lat.state["x"] = jnp.asarray(
-                np.pad(xc.T, ((0, 0), (0, pad))), lat.dtype
-            )
+            if hasattr(lat, "set_positions"):  # banded 2D layout
+                lat.set_positions(xc)
+            else:  # lattice/cloth plane layout
+                pad = lat.N - lat.n_nodes
+                lat.state["x"] = jnp.asarray(
+                    np.pad(xc.T, ((0, 0), (0, pad))), lat.dtype
+                )
         elif self.initialized:
             vi = value if self._i2o is None else value[self._i2o]
             self.state["x"] = jnp.asarray(vi, self.settings.dtype)
@@ -718,6 +726,18 @@ class System:
         if not self.initialized:
             raise RuntimeError("set velocities after initialize()")
         vv = np.asarray(value, dtype=np.float64).reshape(-1, 3)
+        if getattr(self, "_lattice", None) is not None:
+            lat = self._lattice
+            vc = np.empty_like(vv)
+            vc[np.asarray(self._to_canon)] = vv
+            if hasattr(lat, "set_velocities"):  # banded 2D layout
+                lat.set_velocities(vc)
+            else:  # lattice/cloth plane layout
+                pad = lat.N - lat.n_nodes
+                lat.state["v"] = jnp.asarray(
+                    np.pad(vc.T, ((0, 0), (0, pad))), lat.dtype
+                )
+            return
         if self._i2o is not None:
             vv = vv[self._i2o]
         self.state["v"] = jnp.asarray(vv, self.settings.dtype)

@@ -1,0 +1,479 @@
+"""Whole-ADMM-timestep Pallas kernel for ARBITRARY banded tet meshes.
+
+The lattice kernel (lattice_step.py) needs constant-offset selectors; this
+kernel drops that requirement. It runs the full System-dia algorithm —
+explicit kicks, every ADMM iteration's hyperelastic local steps, dual
+updates, RHS assembly and whole Jacobi-PCG solves — as ONE pallas_call per
+rollout window for ANY tet mesh whose vertex numbering is banded enough for
+the sparse-diagonal global matrix (grid meshes in any numbering via the
+renumbering in core/lattice.detect_grid_numbering, jittered/graded lattices,
+RCM-ordered unstructured meshes), with PER-ELEMENT materials.
+
+Everything lives in a 2D row-major layout: a vertex plane is an (Nr, 128)
+f32 block (vertex i at row i//128, lane i%128), element chunks are 64
+sub-blocks of 128 elements (element planes are (64, 128) blocks). The two
+operations the lattice kernel got for free from constant offsets are done
+with windowed dynamic-index primitives instead (hardware-probed; see
+tools/probe_mosaic.py):
+
+- GATHER x[tet[e,k],a]: each chunk's vertex indices fit a window of Wr
+  rows starting at a per-chunk base row (elements are sorted by min vertex
+  index on the host). The gather is a short scan over window rows r:
+  take_along_axis (a native per-sublane lane shuffle) picks lanes from the
+  broadcast row, and (rr == r) masks select which elements read row r.
+
+- SCATTER b[tet[e,k],a] += contrib: the host packs elements into
+  sub-blocks such that within a sub-block each corner's 128 target LANES
+  are distinct (core/banded.place_elements). The scatter then becomes a
+  lane PERMUTATION (take_along_axis by the inverse permutation P) followed
+  by the same short row scan on the permuted target rows, accumulating into
+  a window accumulator — no atomic/conflicting writes anywhere.
+
+The global CG solve uses the same sparse-diagonal matvec as cg_dia.py, but
+in 2D layout an offset `off = 128 q + s` becomes a lane roll by s combined
+with two static row shifts (lanes that wrap the 128 boundary read the next
+row); pltpu.roll handles the lane rotation.
+
+Algorithmically identical to the general System dia path (same math as
+reference System.cpp:26-75 with TetForce.cpp:303-364 local steps);
+trajectories match to f32 round-off (tests/test_banded.py).
+
+Supported: one tet force (NeoHookean/StVK HyperElasticTet or
+LinearTetStrain 'arap') with per-element mu/lam/k/volume, StaticAnchors
+with per-node weights, an optional floor CollisionForce, gravity-style
+velocity kicks, the dia global solve. Residual collection off.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .nh_local import _newton_hyper, _svd_columns
+
+SUB = 64          # sub-blocks (rows) per chunk; chunk = SUB*128 elements
+LANES = 128
+
+# FB (static per-chunk block) plane layout — each plane is SUB rows.
+# float planes: 0-11 cp[4b+k], 12 w2, 13 mu, 14 lam, 15 k(prox);
+# index planes (stored as exact small f32 values): 16-19 rr[k] (window row
+# of corner k), 20-23 cc[k] (lane of corner k), 24-27 P[k] (scatter lane
+# permutation: out-lane -> element lane), 28-31 rrp[k] (window row of the
+# PERMUTED targets; -1 marks a pad lane that receives nothing).
+FB_PLANES = 32
+CP0, W2P, MUP, LAMP, KP = 0, 12, 13, 14, 15
+RRP0, CCP0, PP0, RRPP0 = 16, 20, 24, 28
+
+# DB (dual block) planes: 0-8 u (row-major F planes), 9-11 warm sigma.
+DB_PLANES = 12
+
+# STATE planes (each Nr rows): live x, v, pre-step x, M xbar, b/r (folded),
+# CG p, CG Ap, anchor duals, floor duals.
+SX, SV, SXT, SMXB, SB, SP_, SAP, SAU, SCU = (3 * q for q in range(9))
+STATE_PLANES = 27
+
+# P2D (packed vertex-plane input) planes: aw2, invd, mass, vmask, ancz xyz.
+PAW2, PINVD, PMASS, PVM, PANCZ = 0, 1, 2, 3, 4
+P2D_PLANES = 7
+
+
+def _roll_lanes(x, k, interpret):
+    """out[r, l] = x[r, (l - k) % 128] (np.roll semantics along lanes)."""
+    k = k % LANES
+    if k == 0:
+        return x
+    if interpret:
+        return jnp.roll(x, k, axis=1)
+    return pltpu.roll(x, k, 1)
+
+
+def _row_shift_up(x, q, Nr):
+    """out[r] = x[r + q] with zero fill (q >= 0)."""
+    if q == 0:
+        return x
+    if q >= Nr:
+        return jnp.zeros_like(x)
+    return jnp.concatenate([x[q:, :], jnp.zeros((q, LANES), x.dtype)], 0)
+
+
+def _row_shift_down(x, q, Nr):
+    """out[r] = x[r - q] with zero fill (q >= 0)."""
+    if q == 0:
+        return x
+    if q >= Nr:
+        return jnp.zeros_like(x)
+    return jnp.concatenate([jnp.zeros((q, LANES), x.dtype), x[: Nr - q, :]], 0)
+
+
+def _shifted(xp, off, Nr, interpret):
+    """out[i] = x[i + off] (flat index, zero fill) in (Nr,128) layout."""
+    if off == 0:
+        return xp
+    if off > 0:
+        q, s = divmod(off, LANES)
+        t = _roll_lanes(xp, LANES - s, interpret) if s else xp
+        base = _row_shift_up(t, q, Nr)
+        if s == 0:
+            return base
+        alt = _row_shift_up(t, q + 1, Nr)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (Nr, LANES), 1)
+        return jnp.where(lane < LANES - s, base, alt)
+    m = -off
+    q, s = divmod(m, LANES)
+    t = _roll_lanes(xp, s, interpret) if s else xp
+    base = _row_shift_down(t, q, Nr)
+    if s == 0:
+        return base
+    alt = _row_shift_down(t, q + 1, Nr)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (Nr, LANES), 1)
+    return jnp.where(lane >= s, base, alt)
+
+
+def _make_banded_kernel(Nr, Wr, n_chunks, n_iters, dia_offs, model,
+                        newton_iters, cg_iters, dt, dt2, gvec,
+                        floor_y, floor_w2, interpret):
+    has_floor = floor_y is not None
+    SOLVE = n_chunks
+
+    def srows(plane):
+        return slice(plane * Nr, (plane + 1) * Nr)
+
+    def frows(plane):
+        return slice(plane * SUB, (plane + 1) * SUB)
+
+    def kernel(p2d_ref, dia_ref, rbase_ref,
+               fblk_hbm, x0_hbm, v0_hbm, au0_hbm, cu0_hbm, d_hbm,
+               x_out, v_out, d_out, au_out, cu_out,
+               ST, FB, DB, BW, sem):
+        st = pl.program_id(0)
+        i = pl.program_id(1)
+        p1 = pl.program_id(2)
+
+        def plane(pref, p):
+            return pref[srows(p)]
+
+        # ---- very first grid step: seed live state (DMA whole aligned
+        # buffers only — sub-tile VMEM slices are not DMA-able)
+        @pl.when(jnp.logical_and(st == 0, jnp.logical_and(i == 0, p1 == 0)))
+        def _seed():
+            for src, dst in ((x0_hbm, x_out), (v0_hbm, v_out),
+                             (au0_hbm, au_out), (cu0_hbm, cu_out)):
+                c = pltpu.make_async_copy(src, dst, sem)
+                c.start()
+                c.wait()
+            ST[slice(SX * Nr, (SX + 3) * Nr)] = x_out[:, :]
+            ST[slice(SV * Nr, (SV + 3) * Nr)] = v_out[:, :]
+            ST[slice(SAU * Nr, (SAU + 3) * Nr)] = au_out[:, :]
+            ST[slice(SCU * Nr, (SCU + 3) * Nr)] = cu_out[:, :]
+
+        # ---- per-timestep prologue: gravity kick, park pre-step x,
+        # xbar = x + dt v', M xbar
+        @pl.when(jnp.logical_and(i == 0, p1 == 0))
+        def _prologue():
+            mass = plane(p2d_ref, PMASS)
+            for a in range(3):
+                va = ST[srows(SV + a)] + dt * gvec[a]
+                ST[srows(SV + a)] = va
+                xst = ST[srows(SX + a)]
+                ST[srows(SXT + a)] = xst
+                xs = xst + dt * va
+                ST[srows(SX + a)] = xs
+                ST[srows(SMXB + a)] = mass * xs
+
+        @pl.when(p1 == 0)
+        def _reset_b():
+            ST[slice(SB * Nr, (SB + 3) * Nr)] = jnp.zeros(
+                (3 * Nr, LANES), ST.dtype
+            )
+
+        # ---- chunk phase: gather -> local prox -> dual update -> scatter
+        @pl.when(p1 < SOLVE)
+        def _chunk():
+            c = p1
+            cf = pltpu.make_async_copy(fblk_hbm.at[c], FB, sem)
+            cf.start()
+            cf.wait()
+            first = jnp.logical_and(st == 0, i == 0)
+
+            @pl.when(first)
+            def _din0():
+                cd = pltpu.make_async_copy(d_hbm.at[c], DB, sem)
+                cd.start()
+                cd.wait()
+
+            @pl.when(jnp.logical_not(first))
+            def _din():
+                cd = pltpu.make_async_copy(d_out.at[c], DB, sem)
+                cd.start()
+                cd.wait()
+
+            rbase = rbase_ref[c]
+
+            # gathered corner positions xg[k][a] (SUB,128)
+            xw = [
+                ST[pl.ds((SX + a) * Nr + rbase, Wr), :] for a in range(3)
+            ]
+            cc = [FB[frows(CCP0 + k)].astype(jnp.int32) for k in range(4)]
+            rr = [FB[frows(RRP0 + k)] for k in range(4)]
+            xg = [[jnp.zeros((SUB, LANES), FB.dtype) for _ in range(3)]
+                  for _ in range(4)]
+            for k in range(4):
+                for r in range(Wr):
+                    m = rr[k] == float(r)
+                    for a in range(3):
+                        t = jnp.take_along_axis(
+                            jnp.broadcast_to(xw[a][r : r + 1, :],
+                                             (SUB, LANES)),
+                            cc[k], axis=1,
+                        )
+                        xg[k][a] = xg[k][a] + jnp.where(m, t, 0.0)
+
+            cp = [FB[frows(CP0 + p)] for p in range(12)]
+            u = [DB[frows(p)] for p in range(9)]
+            f = []
+            for a in range(3):
+                for b in range(3):
+                    acc = u[3 * a + b]
+                    for k in range(4):
+                        acc = acc + cp[4 * b + k] * xg[k][a]
+                    f.append(acc)
+
+            eps = jnp.asarray(jnp.finfo(f[0].dtype).eps, f[0].dtype)
+            U, V, s = _svd_columns(f, eps)
+
+            up = [None] * 9
+            if model in ("nh", "stvk"):
+                # warm-start guards (TetForce.cpp:339-347)
+                w1 = DB[frows(9)]
+                w2_ = DB[frows(10)]
+                neg3 = DB[frows(11)] < 0.0
+                w3 = jnp.abs(DB[frows(11)])
+                collapsed = (~neg3) & (
+                    (jnp.abs(w1) < 1e-3) & (jnp.abs(w2_) < 1e-3)
+                    & (jnp.abs(w3) < 1e-3)
+                )
+                w1 = jnp.where(collapsed, 1e-3, w1)
+                w2_ = jnp.where(collapsed, 1e-3, w2_)
+                w3 = jnp.where(collapsed, 1e-3, w3)
+                mu = FB[frows(MUP)]
+                lam = FB[frows(LAMP)]
+                kp = FB[frows(KP)]
+                x1, x2, x3 = _newton_hyper(
+                    s, (w1, w2_, w3), mu, lam, kp, newton_iters, model
+                )
+                DB[frows(9)] = x1
+                DB[frows(10)] = x2
+                DB[frows(11)] = x3
+                sig = (x1, x2, x3)
+                for r in range(3):
+                    for c2 in range(3):
+                        z = (
+                            U[0][r] * sig[0] * V[0][c2]
+                            + U[1][r] * sig[1] * V[1][c2]
+                            + U[2][r] * sig[2] * V[2][c2]
+                        )
+                        up[3 * r + c2] = f[3 * r + c2] - z
+            else:  # arap: sigma -> (1,1,±1); z = (k P + w2 F)/(w2 + k)
+                one = jnp.ones_like(s[0])
+                s3 = jnp.where(s[2] < 0, -one, one)
+                sig = (one, one, s3)
+                w2e = FB[frows(W2P)]
+                kp = FB[frows(KP)]
+                mix = 1.0 / (w2e + jnp.where(w2e + kp > 0, kp, 1.0))
+                for r in range(3):
+                    for c2 in range(3):
+                        proj = (
+                            U[0][r] * sig[0] * V[0][c2]
+                            + U[1][r] * sig[1] * V[1][c2]
+                            + U[2][r] * sig[2] * V[2][c2]
+                        )
+                        z = (kp * proj + w2e * f[3 * r + c2]) * mix
+                        up[3 * r + c2] = f[3 * r + c2] - z
+            for p in range(9):
+                DB[frows(p)] = up[p]
+
+            # scatter b += w2 D^T (z - u'); (z - u') = F - 2 u'
+            w2e = FB[frows(W2P)]
+            zu = [w2e * (f[p] - 2.0 * up[p]) for p in range(9)]
+            BW[:, :] = jnp.zeros((3 * Wr, LANES), BW.dtype)
+            for k in range(4):
+                Pk = FB[frows(PP0 + k)].astype(jnp.int32)
+                rrp = FB[frows(RRPP0 + k)]
+                for a in range(3):
+                    acc = cp[4 * 0 + k] * zu[3 * a + 0]
+                    for b in range(1, 3):
+                        acc = acc + cp[4 * b + k] * zu[3 * a + b]
+                    sp = jnp.take_along_axis(acc, Pk, axis=1)
+                    for vr in range(Wr):
+                        add = jnp.sum(
+                            jnp.where(rrp == float(vr), sp, 0.0),
+                            axis=0, keepdims=True,
+                        )
+                        BW[a * Wr + vr : a * Wr + vr + 1, :] += add
+            for a in range(3):
+                ST[pl.ds((SB + a) * Nr + rbase, Wr), :] += BW[
+                    a * Wr : (a + 1) * Wr, :
+                ]
+
+            cd = pltpu.make_async_copy(DB, d_out.at[c], sem)
+            cd.start()
+            cd.wait()
+
+        # ---- solve phase: anchors + floor + whole Jacobi-PCG dia solve
+        @pl.when(p1 == SOLVE)
+        def _solve():
+            aw2 = plane(p2d_ref, PAW2)
+            invd = plane(p2d_ref, PINVD)
+            for a in range(3):
+                ancz = plane(p2d_ref, PANCZ + a)
+                au = ST[srows(SAU + a)] + ST[srows(SX + a)] - ancz
+                ST[srows(SAU + a)] = au
+                ST[srows(SB + a)] += aw2 * (ancz - au)
+
+            if has_floor:
+                vmask = plane(p2d_ref, PVM)
+                zc = [
+                    ST[srows(SX + a)] + ST[srows(SCU + a)] for a in range(3)
+                ]
+                zc[1] = jnp.maximum(zc[1], floor_y)
+                for a in range(3):
+                    un = ST[srows(SCU + a)] + ST[srows(SX + a)] - zc[a]
+                    ST[srows(SCU + a)] = un
+                    ST[srows(SB + a)] += floor_w2 * vmask * (zc[a] - un)
+
+            def matvec(src_plane):
+                """A @ ST[src_plane..+3] into the SAP planes."""
+                for a in range(3):
+                    xv = ST[srows(src_plane + a)]
+                    acc = None
+                    for d, off in enumerate(dia_offs):
+                        term = plane(dia_ref, d) * _shifted(
+                            xv, off, Nr, interpret
+                        )
+                        acc = term if acc is None else acc + term
+                    ST[srows(SAP + a)] = acc
+
+            matvec(SX)
+            for a in range(3):
+                r_ = (
+                    ST[srows(SMXB + a)] + dt2 * ST[srows(SB + a)]
+                    - ST[srows(SAP + a)]
+                )
+                ST[srows(SB + a)] = r_  # b is dead; reuse as CG residual
+                ST[srows(SP_ + a)] = invd * r_
+            rz0 = sum(
+                jnp.sum(ST[srows(SB + a)] * ST[srows(SP_ + a)])
+                for a in range(3)
+            )
+
+            def body(_, rz):
+                matvec(SP_)
+                pAp = sum(
+                    jnp.sum(ST[srows(SP_ + a)] * ST[srows(SAP + a)])
+                    for a in range(3)
+                )
+                alpha = rz / jnp.where(pAp > 0, pAp, 1.0)
+                for a in range(3):
+                    ST[srows(SX + a)] += alpha * ST[srows(SP_ + a)]
+                    ST[srows(SB + a)] -= alpha * ST[srows(SAP + a)]
+                rz_new = sum(
+                    jnp.sum(ST[srows(SB + a)] * invd * ST[srows(SB + a)])
+                    for a in range(3)
+                )
+                beta = rz_new / jnp.where(rz > 0, rz, 1.0)
+                for a in range(3):
+                    ST[srows(SP_ + a)] = (
+                        invd * ST[srows(SB + a)] + beta * ST[srows(SP_ + a)]
+                    )
+                return rz_new
+
+            jax.lax.fori_loop(0, cg_iters, body, rz0)
+
+            # per-timestep epilogue on the last ADMM iteration
+            @pl.when(i == n_iters - 1)
+            def _epilogue():
+                for a in range(3):
+                    vn = (ST[srows(SX + a)] - ST[srows(SXT + a)]) * (1.0 / dt)
+                    ST[srows(SV + a)] = vn
+                    v_out[srows(a)] = vn
+                    x_out[srows(a)] = ST[srows(SX + a)]
+                    au_out[srows(a)] = ST[srows(SAU + a)]
+                    cu_out[srows(a)] = ST[srows(SCU + a)]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "dia_offs", "model", "newton_iters", "cg_iters", "dt", "dt2",
+        "gvec", "n_iters", "n_steps", "Wr", "floor_y", "floor_w2",
+        "interpret",
+    ),
+    donate_argnums=(8,),
+)
+def _banded_call(p2d, dia2d, rbase, fblk, x0, v0, au0, cu0, d,
+                 dia_offs, model, newton_iters, cg_iters, dt, dt2, gvec,
+                 n_iters, n_steps, Wr, floor_y, floor_w2, interpret):
+    Nr = x0.shape[0] // 3
+    n_chunks = fblk.shape[0]
+    kern = _make_banded_kernel(
+        Nr, Wr, n_chunks, n_iters, dia_offs, model, newton_iters,
+        cg_iters, dt, dt2, gvec, floor_y, floor_w2, interpret,
+    )
+    vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+    sm = pl.BlockSpec(memory_space=pltpu.SMEM)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
+    out = pl.pallas_call(
+        kern,
+        grid=(n_steps, n_iters, n_chunks + 1),
+        in_specs=[vm, vm, sm, hbm, hbm, hbm, hbm, hbm, hbm],
+        out_specs=[vm, vm, hbm, vm, vm],
+        out_shape=[
+            jax.ShapeDtypeStruct(x0.shape, x0.dtype),
+            jax.ShapeDtypeStruct(v0.shape, v0.dtype),
+            jax.ShapeDtypeStruct(d.shape, d.dtype),
+            jax.ShapeDtypeStruct(au0.shape, au0.dtype),
+            jax.ShapeDtypeStruct(cu0.shape, cu0.dtype),
+        ],
+        input_output_aliases={8: 2},
+        scratch_shapes=[
+            pltpu.VMEM((STATE_PLANES * Nr, LANES), x0.dtype),
+            pltpu.VMEM((FB_PLANES * SUB, LANES), x0.dtype),
+            pltpu.VMEM((DB_PLANES * SUB, LANES), x0.dtype),
+            pltpu.VMEM((3 * Wr, LANES), x0.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(p2d, dia2d, rbase, fblk, x0, v0, au0, cu0, d)
+    return out
+
+
+def banded_rollout(p2d, dia2d, rbase, fblk, x0, v0, au0, cu0, d, *,
+                   dia_offs, model, newton_iters, cg_iters, dt, gravity,
+                   n_iters, n_steps, Wr, floor_y=None, floor_w2=0.0,
+                   interpret=None):
+    """n_steps whole timesteps in ONE kernel call.
+
+    p2d: (7*Nr,128) packed vertex planes [aw2, 1/diag, mass, vmask,
+    ancz xyz]; dia2d: (D*Nr,128); rbase: (n_chunks,) int32 window base
+    rows; fblk: (n_chunks, 32*64, 128) static element planes; x0/v0/
+    au0/cu0: (3*Nr,128); d: (n_chunks, 12*64, 128) duals+warm. Returns
+    (x, v, d, ancu, colu). Layouts are built by core/banded.BandedStepper.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    return _banded_call(
+        p2d, dia2d, rbase, fblk, x0, v0, au0, cu0, d,
+        dia_offs=tuple(int(o) for o in dia_offs), model=str(model),
+        newton_iters=int(newton_iters), cg_iters=int(cg_iters),
+        dt=float(dt), dt2=float(dt) ** 2,
+        gvec=tuple(float(q) for q in gravity),
+        n_iters=int(n_iters), n_steps=int(n_steps), Wr=int(Wr),
+        floor_y=None if floor_y is None else float(floor_y),
+        floor_w2=float(floor_w2), interpret=bool(interpret),
+    )

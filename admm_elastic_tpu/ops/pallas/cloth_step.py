@@ -69,89 +69,110 @@ def _make_cloth_kernel(N, groups, wind_groups, dia_offs, cg_iters, dt, dt2,
     (vals[d, i] = A[i, i+off])."""
     n_groups = len(groups)
     CG_PHASE = 3 * n_groups
+    XS, BS = 9, 12  # packed-scratch row bases: live x / b accumulator
+    # Column-chunk the temporary-heavy compute bodies: Mosaic allocates
+    # scoped-VMEM stack for every live (1,N) vector temporary, and the
+    # closed-form 3x2 SVD + wind cross products hold ~25 of them — at
+    # N ~= 51k that alone is several MB. Processing the lanes in halves
+    # halves the peak stack (measured: the unchunked kernel exceeds the
+    # 16 MB cap by ~60 KB at the 100k-triangle scale).
+    NCH = 2 if (N >= 16384 and N % 256 == 0) else 1
+    NC = N // NCH
 
     def kernel(masks_ref, ancz_ref, dia_ref,
                x3_hbm, v3_hbm, u_hbm, ancu_hbm,
                x_out, v_out, u_hbm_out, ancu_out,
-               x_s, b_s, u_blk, f9, sem):
+               S, u_blk, sem):
         # masks_ref rows: 0 = anchor w2 plane, 1 = vertex masses,
         # 2 = 1/diag (Jacobi preconditioner), 3+ = group validity planes.
-        # The CG work vectors live in f9 (dead during the solve phase):
-        # rows 0-2 = Ap, rows 3-5 = p — two fewer (3,N) VMEM blocks.
-        # The seed arrays (x3/v3/ancu) and per-group duals live in HBM and
-        # are DMA'd — every (3,N) VMEM input block costs a padded (4,N)
-        # tile and the total must stay under the 16 MB scoped-VMEM cap.
+        # S is ONE packed 16-row scratch: rows 0-8 = F planes / wind
+        # staging / CG Ap (0-2) + p (3-5); rows XS..XS+2 = live x; rows
+        # BS..BS+2 = b accumulator / CG r. Packing matters because VMEM
+        # scratch pads to 8-sublane tiles — three separate (9,N)/(3,N)/
+        # (3,N) buffers would occupy 32 padded rows, the packed S takes 16
+        # (measured: the split layout overflows the 16 MB scoped-VMEM cap
+        # at the 100k-triangle scale by 1.6 MB). The seed arrays
+        # (x3/v3/ancu) and per-group duals live in HBM and are DMA'd.
         st = pl.program_id(0)
         i = pl.program_id(1)
         p1 = pl.program_id(2)
 
-        # ---- very first grid step: seed live state from the inputs
+        # ---- very first grid step: seed live state from the inputs.
+        # DMA destinations must be whole (tile-aligned) refs — a
+        # sub-tile slice like S.at[9:12] fails Mosaic's memref_slice —
+        # so x seeds via x_out (overwritten as the pre-step park below).
         @pl.when(jnp.logical_and(st == 0, jnp.logical_and(i == 0, p1 == 0)))
         def _seed_state():
-            for src, dst in ((x3_hbm, x_s), (v3_hbm, v_out),
+            for src, dst in ((x3_hbm, x_out), (v3_hbm, v_out),
                              (ancu_hbm, ancu_out)):
                 c = pltpu.make_async_copy(src, dst, sem)
                 c.start()
                 c.wait()
+            for a in range(3):
+                S[XS + a, :] = x_out[a, :]
 
         # ---- per-timestep prologue: park pre-step x in x_out, gravity
         # kick, wind kick, xbar = x + dt v'
         @pl.when(jnp.logical_and(i == 0, p1 == 0))
         def _init():
             for a in range(3):
-                x_out[a, :] = x_s[a, :]
+                x_out[a, :] = S[XS + a, :]
                 v_out[a, :] = v_out[a, :] + dt * gvec[a]
             # Wejchert-Haumann wind (ExplicitForce.cpp:42-98): per-group
             # triangle force from post-gravity velocities, the same vector
             # added to all 3 corners. All per-corner reads use base-aligned
             # slices of common length N - max(offs); forces are staged in
-            # f9 (3 planes per group) BEFORE any scatter so reads of v_out
-            # are hazard-free.
+            # S rows 0-8 (3 planes per group) BEFORE any scatter so reads of
+            # v_out are hazard-free.
             for w, (offs, mrow) in enumerate(wind_groups):
                 M = max(offs)
                 L = N - M
-
-                def rd(ref, a, o, M=M, L=L):
-                    return ref[a, o : L + o]
-
-                px = [[rd(x_s, a, o) for a in range(3)] for o in offs]
-                vm = [
-                    (rd(v_out, a, offs[0]) + rd(v_out, a, offs[1])
-                     + rd(v_out, a, offs[2])) * (1.0 / 3.0)
-                    for a in range(3)
-                ]
-                e1 = [px[1][a] - px[0][a] for a in range(3)]
-                e2 = [px[2][a] - px[0][a] for a in range(3)]
-                nx = e1[1] * e2[2] - e1[2] * e2[1]
-                ny = e1[2] * e2[0] - e1[0] * e2[2]
-                nz = e1[0] * e2[1] - e1[1] * e2[0]
-                nlen = jnp.sqrt(nx * nx + ny * ny + nz * nz)
-                inv = 1.0 / jnp.where(nlen > 0, nlen, 1.0)
-                nhat = [nx * inv, ny * inv, nz * inv]
-                area = 0.5 * nlen
-                v_n = (
-                    nhat[0] * (vm[0] - wind_dir[0])
-                    + nhat[1] * (vm[1] - wind_dir[1])
-                    + nhat[2] * (vm[2] - wind_dir[2])
-                )
-                m = masks_ref[mrow, :L]
-                scale = -1000.0 * 0.33 * dt * m * area * v_n * jnp.abs(v_n)
                 for a in range(3):
-                    f9[3 * w + a, :] = jnp.zeros_like(f9[3 * w + a, :])
-                    f9[3 * w + a, :L] = scale * nhat[a]
+                    S[3 * w + a, :] = jnp.zeros_like(S[3 * w + a, :])
+                for h0 in range(0, L, NC):
+                    h1 = min(L, h0 + NC)
+
+                    def rd(ref, a, o, h0=h0, h1=h1):
+                        return ref[a, o + h0 : o + h1]
+
+                    px = [[rd(S, XS + a, o) for a in range(3)]
+                          for o in offs]
+                    vm = [
+                        (rd(v_out, a, offs[0]) + rd(v_out, a, offs[1])
+                         + rd(v_out, a, offs[2])) * (1.0 / 3.0)
+                        for a in range(3)
+                    ]
+                    e1 = [px[1][a] - px[0][a] for a in range(3)]
+                    e2 = [px[2][a] - px[0][a] for a in range(3)]
+                    nx = e1[1] * e2[2] - e1[2] * e2[1]
+                    ny = e1[2] * e2[0] - e1[0] * e2[2]
+                    nz = e1[0] * e2[1] - e1[1] * e2[0]
+                    nlen = jnp.sqrt(nx * nx + ny * ny + nz * nz)
+                    inv = 1.0 / jnp.where(nlen > 0, nlen, 1.0)
+                    nhat = [nx * inv, ny * inv, nz * inv]
+                    area = 0.5 * nlen
+                    v_n = (
+                        nhat[0] * (vm[0] - wind_dir[0])
+                        + nhat[1] * (vm[1] - wind_dir[1])
+                        + nhat[2] * (vm[2] - wind_dir[2])
+                    )
+                    m = masks_ref[mrow, h0:h1]
+                    scale = (-1000.0 * 0.33 * dt) * m * area * v_n * jnp.abs(v_n)
+                    for a in range(3):
+                        S[3 * w + a, h0:h1] = scale * nhat[a]
             for w, (offs, mrow) in enumerate(wind_groups):
                 M = max(offs)
                 L = N - M
                 for o in offs:
                     for a in range(3):
-                        v_out[a, o : L + o] += f9[3 * w + a, :L]
+                        v_out[a, o : L + o] += S[3 * w + a, :L]
             for a in range(3):
-                x_s[a, :] = x_out[a, :] + dt * v_out[a, :]
+                S[XS + a, :] = x_out[a, :] + dt * v_out[a, :]
 
         @pl.when(p1 == 0)
         def _reset_b():
             for a in range(3):
-                b_s[a, :] = jnp.zeros_like(b_s[a, :])
+                S[BS + a, :] = jnp.zeros_like(S[BS + a, :])
 
         first = jnp.logical_and(st == 0, i == 0)
 
@@ -183,7 +204,7 @@ def _make_cloth_kernel(N, groups, wind_groups, dia_offs, cg_iters, dt, dt2,
                     # F_{a,b} = u + sum_k cp6[3b+k] x[a, base+o_k]
                     for a in range(3):
                         for b in range(2):
-                            f9[2 * a + b, :] = u_blk[2 * a + b, :]
+                            S[2 * a + b, :] = u_blk[2 * a + b, :]
                     for kk, o in enumerate(offs):
                         for a in range(3):
                             for b in range(2):
@@ -191,24 +212,26 @@ def _make_cloth_kernel(N, groups, wind_groups, dia_offs, cg_iters, dt, dt2,
                                 if w == 0.0:
                                     continue
                                 if o == 0:
-                                    f9[2 * a + b, :] += w * x_s[a, :]
+                                    S[2 * a + b, :] += w * S[XS + a, :]
                                 else:
-                                    f9[2 * a + b, : N - o] += (
-                                        w * x_s[a, o:]
+                                    S[2 * a + b, : N - o] += (
+                                        w * S[XS + a, o:]
                                     )
 
                 @pl.when(p1 == 3 * g + 1)
                 def _compute_tri(w2=w2, k=k, lmin=lmin, lmax=lmax,
                                  limiting=limiting):
-                    f = [f9[p, :] for p in range(6)]
-                    z = _tri_body(f, w2, k, lmin, lmax, limiting)
-                    for p in range(6):
-                        u_blk[p, :] = f[p] - z[p]
+                    for h in range(NCH):
+                        sl = slice(h * NC, (h + 1) * NC)
+                        f = [S[p, sl] for p in range(6)]
+                        z = _tri_body(f, w2, k, lmin, lmax, limiting)
+                        for p in range(6):
+                            u_blk[p, sl] = f[p] - z[p]
 
                 @pl.when(p1 == 3 * g + 2)
                 def _scatter_tri(g=g, offs=offs, cp6=cp6, w2=w2, mrow=mrow):
                     m = w2 * masks_ref[mrow, :]
-                    zu = [m * (f9[p, :] - 2.0 * u_blk[p, :])
+                    zu = [m * (S[p, :] - 2.0 * u_blk[p, :])
                           for p in range(6)]
                     for kk, o in enumerate(offs):
                         for j in range(3):
@@ -222,9 +245,9 @@ def _make_cloth_kernel(N, groups, wind_groups, dia_offs, cg_iters, dt, dt2,
                             if acc is None:
                                 continue
                             if o == 0:
-                                b_s[j, :] += acc
+                                S[BS + j, :] += acc
                             else:
-                                b_s[j, o:] += acc[: N - o]
+                                S[BS + j, o:] += acc[: N - o]
                     _dma_duals_out(g)
 
             else:  # bend
@@ -241,17 +264,17 @@ def _make_cloth_kernel(N, groups, wind_groups, dia_offs, cg_iters, dt, dt2,
                     _dma_duals_in(g)
                     for j in range(3):
                         for r in range(3):
-                            f9[3 * r + j, :] = u_blk[3 * r + j, :]
+                            S[3 * r + j, :] = u_blk[3 * r + j, :]
                     for r, (oa, ob) in enumerate(rows):
                         for j in range(3):
                             if oa == 0:
-                                f9[3 * r + j, :] += x_s[j, :]
+                                S[3 * r + j, :] += S[XS + j, :]
                             else:
-                                f9[3 * r + j, : N - oa] += x_s[j, oa:]
+                                S[3 * r + j, : N - oa] += S[XS + j, oa:]
                             if ob == 0:
-                                f9[3 * r + j, :] -= x_s[j, :]
+                                S[3 * r + j, :] -= S[XS + j, :]
                             else:
-                                f9[3 * r + j, : N - ob] -= x_s[j, ob:]
+                                S[3 * r + j, : N - ob] -= S[XS + j, ob:]
 
                 @pl.when(p1 == 3 * g + 1)
                 def _compute_bend(arow=arow, inv_denom=inv_denom, w2=w2,
@@ -259,22 +282,24 @@ def _make_cloth_kernel(N, groups, wind_groups, dia_offs, cg_iters, dt, dt2,
                     # flat-state projection (BendForce.cpp:134-144):
                     # lam_j = 2 sum_r arow_r F_rj / |arow|^2;
                     # p = F - arow/2 * lam; z = (k p + w2 F)/(w2 + k)
-                    for j in range(3):
-                        lam = inv_denom * (
-                            arow[0] * f9[j, :]
-                            + arow[1] * f9[3 + j, :]
-                            + arow[2] * f9[6 + j, :]
-                        )
-                        for r in range(3):
-                            fp = f9[3 * r + j, :]
-                            pr = fp - 0.5 * arow[r] * lam
-                            z = (k * pr + w2 * fp) * mix
-                            u_blk[3 * r + j, :] = fp - z
+                    for h in range(NCH):
+                        sl = slice(h * NC, (h + 1) * NC)
+                        for j in range(3):
+                            lam = inv_denom * (
+                                arow[0] * S[j, sl]
+                                + arow[1] * S[3 + j, sl]
+                                + arow[2] * S[6 + j, sl]
+                            )
+                            for r in range(3):
+                                fp = S[3 * r + j, sl]
+                                pr = fp - 0.5 * arow[r] * lam
+                                z = (k * pr + w2 * fp) * mix
+                                u_blk[3 * r + j, sl] = fp - z
 
                 @pl.when(p1 == 3 * g + 2)
                 def _scatter_bend(g=g, offs=offs, w2=w2, mrow=mrow):
                     m = w2 * masks_ref[mrow, :]
-                    zu = [m * (f9[p, :] - 2.0 * u_blk[p, :])
+                    zu = [m * (S[p, :] - 2.0 * u_blk[p, :])
                           for p in range(9)]
                     # D^T columns (BendForce coeff): corner0 += row0,
                     # corner1 += row2, corner2 -= (row0+row1+row2),
@@ -293,9 +318,9 @@ def _make_cloth_kernel(N, groups, wind_groups, dia_offs, cg_iters, dt, dt2,
                                 acc = t if acc is None else acc + t
                             acc = sgn * acc
                             if o == 0:
-                                b_s[j, :] += acc
+                                S[BS + j, :] += acc
                             else:
-                                b_s[j, o:] += acc[: N - o]
+                                S[BS + j, o:] += acc[: N - o]
                     _dma_duals_out(g)
 
         # ---- CG phase: anchors + whole Jacobi-PCG symmetric-dia solve
@@ -303,55 +328,55 @@ def _make_cloth_kernel(N, groups, wind_groups, dia_offs, cg_iters, dt, dt2,
         def _solve():
             aw2 = masks_ref[ANCHOR_ROW, :]
             for a in range(3):
-                ua = ancu_out[a, :] + x_s[a, :] - ancz_ref[a, :]
+                ua = ancu_out[a, :] + S[XS + a, :] - ancz_ref[a, :]
                 ancu_out[a, :] = ua
-                b_s[a, :] += aw2 * (ancz_ref[a, :] - ua)
+                S[BS + a, :] += aw2 * (ancz_ref[a, :] - ua)
 
             def matvec_into(src_ref, sb):
-                """A @ src into f9 rows 0-2; src = src_ref rows sb..sb+2."""
+                """A @ src into S rows 0-2; src = src_ref rows sb..sb+2."""
                 for d, off in enumerate(dia_offs):
                     if d == 0:
                         for a in range(3):
-                            f9[a, :] = jnp.zeros_like(f9[a, :])
+                            S[a, :] = jnp.zeros_like(S[a, :])
                     if off == 0:
                         for a in range(3):
-                            f9[a, :] += dia_ref[d, :] * src_ref[sb + a, :]
+                            S[a, :] += dia_ref[d, :] * src_ref[sb + a, :]
                     else:
                         # symmetric pair: vals[d,i] = A[i,i+off] = A[i+off,i]
                         for a in range(3):
                             w = dia_ref[d, : N - off]
-                            f9[a, : N - off] += w * src_ref[sb + a, off:]
-                            f9[a, off:] += w * src_ref[sb + a, : N - off]
+                            S[a, : N - off] += w * src_ref[sb + a, off:]
+                            S[a, off:] += w * src_ref[sb + a, : N - off]
 
             # r = M xbar + dt^2 b - A x, with M xbar recomputed from the
             # parked pre-step x (x_out) and the kicked v (v_out) — folding
             # b into r in place saves two (3,N) VMEM planes
-            matvec_into(x_s, 0)
+            matvec_into(S, XS)
             for a in range(3):
                 xbar = x_out[a, :] + dt * v_out[a, :]
-                b_s[a, :] = (
-                    masks_ref[1, :] * xbar + dt2 * b_s[a, :] - f9[a, :]
+                S[BS + a, :] = (
+                    masks_ref[1, :] * xbar + dt2 * S[BS + a, :] - S[a, :]
                 )
-                f9[3 + a, :] = masks_ref[2, :] * b_s[a, :]
-            rz0 = sum(jnp.sum(b_s[a, :] * f9[3 + a, :]) for a in range(3))
+                S[3 + a, :] = masks_ref[2, :] * S[BS + a, :]
+            rz0 = sum(jnp.sum(S[BS + a, :] * S[3 + a, :]) for a in range(3))
 
             def body(_, rz):
-                matvec_into(f9, 3)
+                matvec_into(S, 3)
                 pAp = sum(
-                    jnp.sum(f9[3 + a, :] * f9[a, :]) for a in range(3)
+                    jnp.sum(S[3 + a, :] * S[a, :]) for a in range(3)
                 )
                 alpha = rz / jnp.where(pAp > 0, pAp, 1.0)
                 for a in range(3):
-                    x_s[a, :] += alpha * f9[3 + a, :]
-                    b_s[a, :] -= alpha * f9[a, :]
+                    S[XS + a, :] += alpha * S[3 + a, :]
+                    S[BS + a, :] -= alpha * S[a, :]
                 rz_new = sum(
-                    jnp.sum(b_s[a, :] * masks_ref[2, :] * b_s[a, :])
+                    jnp.sum(S[BS + a, :] * masks_ref[2, :] * S[BS + a, :])
                     for a in range(3)
                 )
                 beta = rz_new / jnp.where(rz > 0, rz, 1.0)
                 for a in range(3):
-                    f9[3 + a, :] = (masks_ref[2, :] * b_s[a, :]
-                                    + beta * f9[3 + a, :])
+                    S[3 + a, :] = (masks_ref[2, :] * S[BS + a, :]
+                                    + beta * S[3 + a, :])
                 return rz_new
 
             jax.lax.fori_loop(0, cg_iters, body, rz0)
@@ -361,8 +386,8 @@ def _make_cloth_kernel(N, groups, wind_groups, dia_offs, cg_iters, dt, dt2,
             @pl.when(i == n_iters - 1)
             def _epilogue():
                 for a in range(3):
-                    v_out[a, :] = (x_s[a, :] - x_out[a, :]) * (1.0 / dt)
-                    x_out[a, :] = x_s[a, :]
+                    v_out[a, :] = (S[XS + a, :] - x_out[a, :]) * (1.0 / dt)
+                    x_out[a, :] = S[XS + a, :]
 
     return kernel
 
@@ -403,11 +428,8 @@ def _cloth_call(masks, ancz, dia, x3, v3, u, ancu,
         ],
         input_output_aliases={5: 2},
         scratch_shapes=[
-            pltpu.VMEM((3, N), x3.dtype),   # live x
-            pltpu.VMEM((3, N), x3.dtype),   # b / CG r (folded)
+            pltpu.VMEM((16, N), x3.dtype),  # packed S (see kernel header)
             pltpu.VMEM((16, N), x3.dtype),  # streamed dual block
-            pltpu.VMEM((9, N), x3.dtype),   # F planes / wind staging /
-                                            # CG Ap (rows 0-2) + p (3-5)
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,

@@ -1,0 +1,209 @@
+"""Banded-mesh whole-timestep kernel (core/banded.py +
+ops/pallas/banded_step.py) parity vs the general System dia path.
+
+The test meshes are JITTERED beam lattices: vertex positions are randomly
+perturbed so detect_lattice / detect_grid_numbering reject them (no
+constant-offset stencils exist) while the vertex numbering stays banded —
+i.e. genuinely unstructured geometry exercising the windowed gather /
+permutation scatter, not the lattice shortcuts."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from admm_elastic_tpu import Settings, System
+from admm_elastic_tpu.core.banded import SUB, BandedStepper, place_elements
+from admm_elastic_tpu.geometry import make_beam_tets
+from admm_elastic_tpu.models import (
+    Collision,
+    ExplicitForce,
+    Floor,
+    HyperElasticTet,
+    LinearTetStrain,
+    StaticAnchor,
+)
+
+F64 = jnp.float64
+
+
+def jittered_beam(nx=4, ny=3, nz=3, seed=0, jitter=0.08):
+    mesh = make_beam_tets(nx, ny, nz, size=0.25)
+    rng = np.random.RandomState(seed)
+    mesh.vertices = mesh.vertices + jitter * 0.25 * rng.randn(
+        *mesh.vertices.shape
+    )
+    return mesh
+
+
+def build_system(mesh, *, fast, model="nh", mu=1e4, lam=2.5e4,
+                 floor_y=None, anchor_w=1000.0, seed=None, admm=6):
+    n = mesh.n_vertices
+    s = System(Settings(timestep_s=0.04, admm_iters=admm, verbose=0,
+                        dtype=F64, lattice_fast_path=fast,
+                        global_solver="dia", dense_max_nodes=0))
+    verts = mesh.vertices.copy()
+    if floor_y is not None:
+        verts = verts + np.array([0.0, 0.6, 0.0])
+    s.add_nodes(verts, np.full(n, 2.0 / n))
+    if seed is not None:  # per-element materials
+        rng = np.random.RandomState(seed)
+        mu = mu * (0.5 + rng.rand(len(mesh.tets)))
+        lam = lam * (0.5 + rng.rand(len(mesh.tets)))
+    # backend='pallas' on BOTH sides: the banded kernel embeds the same
+    # prox code as the pallas backend, so parity is exact; the xla
+    # backend's newton_minimize differs in line-search fp detail
+    # (~1e-10 after one step, see tests/test_lattice.py).
+    if model == "arap":
+        s.add_force(LinearTetStrain(mesh.tets, mu, backend="pallas"))
+    else:
+        s.add_force(HyperElasticTet(mesh.tets, mu=mu, lam=lam,
+                                    max_iters=4, model=model,
+                                    backend="pallas"))
+    s.add_force(StaticAnchor([0, 1], weight=anchor_w))
+    if floor_y is not None:
+        s.add_force(Collision([Floor(center=(0.0, floor_y, 0.0))],
+                              n_nodes=n))
+    s.add_explicit_force(ExplicitForce(direction=(0, -9.8, 0)))
+    assert s.initialize()
+    return s
+
+
+def _assert_banded(s):
+    assert s._lattice is not None, "banded fast path did not engage"
+    assert isinstance(s._lattice, BandedStepper), type(s._lattice)
+
+
+def test_banded_single_iteration_exact():
+    """One ADMM iteration is BIT-LEVEL equal to the general dia path
+    (same prox code, same CG): positions, tet duals, warm starts and
+    anchor duals all match to f64 round-off. Multi-iteration trajectories
+    can only be compared loosely (below): the Newton backtracking ladder
+    has discrete branches, so ~1e-16 accumulation-order noise in F can
+    flip a step choice and grow to ~1e-10 within an iteration — the same
+    reason tests/test_lattice.py compares cross-implementation
+    trajectories at loose tolerance."""
+    mesh = jittered_beam()
+    ref = build_system(mesh, fast=False, admm=1)
+    fast = build_system(mesh, fast=True, admm=1)
+    _assert_banded(fast)
+    ref.step()
+    fast.step()
+    np.testing.assert_allclose(fast.x, ref.x, rtol=0, atol=1e-13)
+    np.testing.assert_allclose(fast.v, ref.v, rtol=0, atol=1e-12)
+    # duals: map the chunk planes back to element order
+    st = fast._lattice
+    idx = np.asarray(mesh.tets, np.int64)
+    subs = place_elements(idx)
+    d = np.asarray(st.state["d"])
+    nc = d.shape[0]
+    subs = np.pad(subs, ((0, nc * SUB - len(subs)), (0, 0)),
+                  constant_values=-1)
+    E = len(idx)
+    u_b = np.zeros((E, 9))
+    w_b = np.zeros((E, 3))
+    for c in range(nc):
+        blk = subs[c * SUB : (c + 1) * SUB]
+        m = blk >= 0
+        for p in range(9):
+            u_b[blk[m], p] = d[c, p * SUB : (p + 1) * SUB][m]
+        for p in range(3):
+            w_b[blk[m], p] = d[c, (9 + p) * SUB : (10 + p) * SUB][m]
+    tk = [k for k in ref.state["u"] if "Hyper" in k][0]
+    ua = np.asarray(ref.state["u"][tk])[:, :E].T
+    sig = np.asarray(ref.state["forces"][tk]["sigma"])[:, :E].T
+    np.testing.assert_allclose(u_b, ua, rtol=0, atol=1e-14)
+    np.testing.assert_allclose(w_b, sig, rtol=0, atol=1e-14)
+
+
+@pytest.mark.parametrize("model", ["nh", "stvk", "arap"])
+def test_banded_matches_general(model):
+    mesh = jittered_beam()
+    ref = build_system(mesh, fast=False, model=model)
+    fast = build_system(mesh, fast=True, model=model)
+    _assert_banded(fast)
+    for _ in range(5):
+        ref.step()
+        fast.step()
+    np.testing.assert_allclose(fast.x, ref.x, rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(fast.v, ref.v, rtol=1e-5, atol=1e-7)
+
+
+def test_banded_per_element_materials():
+    """Per-element mu/lam — beyond what the lattice kernel supports."""
+    mesh = jittered_beam(seed=3)
+    ref = build_system(mesh, fast=False, seed=7)
+    fast = build_system(mesh, fast=True, seed=7)
+    _assert_banded(fast)
+    for _ in range(5):
+        ref.step()
+        fast.step()
+    np.testing.assert_allclose(fast.x, ref.x, rtol=1e-6, atol=1e-8)
+
+
+def test_banded_floor_collision():
+    mesh = jittered_beam(seed=5)
+    ref = build_system(mesh, fast=False, floor_y=0.0, anchor_w=0.0)
+    fast = build_system(mesh, fast=True, floor_y=0.0, anchor_w=0.0)
+    _assert_banded(fast)
+    for _ in range(8):  # enough steps to hit the floor
+        ref.step()
+        fast.step()
+    assert fast.x[:, 1].min() > -0.25  # the floor actually acts
+    np.testing.assert_allclose(fast.x, ref.x, rtol=1e-6, atol=1e-8)
+
+
+def test_banded_rollout_windows_match_steps():
+    mesh = jittered_beam(seed=9)
+    a = build_system(mesh, fast=True)
+    b = build_system(mesh, fast=True)
+    _assert_banded(a)
+    for _ in range(4):
+        a.step()
+    b.run(4)
+    np.testing.assert_allclose(np.asarray(b.x), np.asarray(a.x),
+                               rtol=1e-12, atol=1e-14)
+
+
+def test_banded_set_positions_roundtrip():
+    """x/v setters route through the 2D plane layout (bunnyexpand-style
+    scramble support)."""
+    mesh = jittered_beam(seed=11)
+    s = build_system(mesh, fast=True)
+    _assert_banded(s)
+    rng = np.random.RandomState(0)
+    newx = mesh.vertices + 0.01 * rng.randn(*mesh.vertices.shape)
+    s.x = newx
+    np.testing.assert_allclose(s.x, newx, rtol=0, atol=1e-12)
+    ref = build_system(mesh, fast=False)
+    ref.x = newx
+    s.step()
+    ref.step()
+    np.testing.assert_allclose(s.x, ref.x, rtol=1e-6, atol=1e-8)
+
+
+def test_place_elements_distinct_lanes():
+    mesh = make_beam_tets(6, 5, 4, size=0.2)
+    idx = np.asarray(mesh.tets, np.int64)
+    subs = place_elements(idx)
+    seen = np.zeros(len(idx), bool)
+    for row in subs:
+        real = row[row >= 0]
+        assert not seen[real].any()
+        seen[real] = True
+        for k in range(4):
+            lanes = idx[real, k] % 128
+            assert len(np.unique(lanes)) == len(lanes), "lane collision"
+    assert seen.all()
+    # bounded displacement from sorted order (window growth bound)
+    order = np.argsort(idx.min(axis=1), kind="stable")
+    rank = np.empty(len(idx), np.int64)
+    rank[order] = np.arange(len(idx))
+    flat = subs.ravel()
+    flat = flat[flat >= 0]
+    for pos, e in enumerate(flat):
+        assert rank[e] <= pos + 1024
