@@ -11,14 +11,12 @@ Host-side preparation (this module) packs the mesh for the kernel
 (ops/pallas/banded_step.py):
 
 1. `place_elements` sorts tets by min vertex index and packs them into
-   sub-blocks of 128 with DISTINCT target lanes per corner — the property
-   that turns the kernel's scatter into a conflict-free lane permutation.
-   Packing is a bounded-pool greedy wave sweep: each wave selects, among
-   the next POOL unplaced elements in order, those that are the first
-   occurrence of every one of their four (corner, vertex%128) lane
-   classes. Selections within a wave cannot collide, so each wave forms a
-   valid sub-block; the pool bound keeps elements near their sorted
-   position, bounding the vertex window.
+   sub-blocks of 128 with DISTINCT target lanes per corner slot — the
+   property that turns the kernel's scatter into a conflict-free lane
+   permutation. Packing is a sequential first-fit greedy with a 4x4
+   corner->slot matching per element (corner order within a tet is a
+   dummy index, so relabeling is free); a bounded lookback keeps
+   elements near their sorted position, bounding the vertex window.
 2. Sub-blocks are grouped 64 per chunk; per-chunk vertex windows (base row
    + static width Wr) cover every referenced vertex.
 3. Per-chunk planes: selector coefficients, w2/mu/lam/k, window row/lane
@@ -38,39 +36,94 @@ import jax.numpy as jnp
 
 LANES = 128
 SUB = 64            # sub-blocks per chunk (chunk = 8192 elements)
-POOL = 1024         # greedy placement lookahead (bounds window growth)
 MAX_WR = 40         # max vertex-window rows (gather scan length bound)
 MAX_DIAGONALS = 48  # same budget as the dia solver
 
 
+MAX_OPEN = 16  # greedy lookback in blocks (bounds window skew)
+
+
+def _match_slots(bits, o):
+    """Assign each of 4 corner lane bitmasks `bits` an exclusive slot of
+    occupancy `o` (slot s usable for corner k iff o[s] & bits[k] == 0).
+    Returns a 4-tuple slot assignment or None. Tiny DFS (4x4 matching);
+    corner order within a tet is a dummy summation index, so any
+    assignment is physically equivalent (F = sum_k cp[:,k] x[idx[k]])."""
+    assign = [-1, -1, -1, -1]
+    used = 0
+
+    def dfs(k):
+        nonlocal used
+        if k == 4:
+            return True
+        for s in range(4):
+            if not (used >> s) & 1 and not (o[s] & bits[k]):
+                assign[k] = s
+                used |= 1 << s
+                if dfs(k + 1):
+                    return True
+                used &= ~(1 << s)
+        return False
+
+    return tuple(assign) if dfs(0) else None
+
+
 def place_elements(idx):
     """Pack elements (sorted by min vertex index) into sub-blocks of 128
-    such that within each sub-block all four corners' target lanes
-    (vertex % 128) are distinct. Returns (n_sub, 128) int64 of element
-    ids, -1 for pad slots."""
+    such that within each sub-block every corner slot's 128 target lanes
+    (vertex % 128) are distinct. Returns (subs, perm):
+    subs (n_sub, 128) int64 element ids (-1 pads); perm (E, 4) int8 the
+    corner->slot relabeling chosen per element (apply as idx[e, perm[e]]
+    / coeff[e, :, perm[e]] — exactly the freedom that makes the packing
+    tight: a cell's tets share vertices at the SAME canonical corner, but
+    any corner can serve any slot).
+
+    Sequential first-fit greedy over the sorted order with a 4x4 slot
+    matching per candidate block; a lookback bound keeps every element
+    near its sorted position, bounding the per-chunk vertex window. When
+    the WHOLE mesh fits in the kernel's MAX_WR-row gather window there is
+    no skew cost, so the lookback is unlimited (this is what keeps
+    small/medium meshes tightly packed: their padding is driven by
+    lane-class capacity, not ordering)."""
     idx = np.asarray(idx, np.int64)
+    E = len(idx)
     order = np.argsort(idx.min(axis=1), kind="stable")
     lanes = (idx % LANES).astype(np.int64)
-    subs = []
-    remaining = order
-    while len(remaining):
-        pool = remaining[:POOL]
-        sel = np.ones(len(pool), bool)
-        for k in range(4):
-            key = lanes[pool, k]
-            first = np.zeros(len(pool), bool)
-            _, fidx = np.unique(key, return_index=True)
-            first[fidx] = True
-            sel &= first
-        pos = np.flatnonzero(sel)[:LANES]
-        chosen = pool[pos]
-        mask = np.ones(len(remaining), bool)
-        mask[pos] = False
-        remaining = remaining[mask]
-        subs.append(
-            np.pad(chosen, (0, LANES - len(chosen)), constant_values=-1)
-        )
-    return np.asarray(subs, np.int64)
+    n_rows = int(idx.max()) // LANES + 1
+    lookback = E if n_rows <= MAX_WR else MAX_OPEN
+    perm = np.zeros((E, 4), np.int8)
+    blocks = []  # element-id lists
+    occ = []     # per-block [slot0..slot3] lane bitmasks
+    counts = []
+    for e in order:
+        bits = [1 << int(l) for l in lanes[e]]
+        placed = False
+        for bi in range(max(0, len(blocks) - lookback), len(blocks)):
+            if counts[bi] == LANES:
+                continue
+            o = occ[bi]
+            a = _match_slots(bits, o)
+            if a is not None:
+                blocks[bi].append(e)
+                counts[bi] += 1
+                for k in range(4):
+                    o[a[k]] |= bits[k]
+                # slot s takes corner inv(a)[s]: idx[e, perm[e]] is in
+                # slot order
+                pe = perm[e]
+                for k in range(4):
+                    pe[a[k]] = k
+                placed = True
+                break
+        if not placed:
+            blocks.append([e])
+            counts.append(1)
+            occ.append(list(bits))
+            perm[e] = (0, 1, 2, 3)
+    subs = np.asarray(
+        [blk + [-1] * (LANES - len(blk)) for blk in blocks], np.int64
+    )
+    return subs, perm
 
 
 class BandedStepper:
@@ -95,7 +148,8 @@ class BandedStepper:
                  dia_offs, dia_vals, diag,
                  gravity=(0.0, -9.8, 0.0), dt=0.04, admm_iters=10,
                  cg_iters=25, dtype=jnp.float32,
-                 floor_y=None, floor_w2=0.0):
+                 floor_y=None, floor_w2=0.0,
+                 positions=None, uell=None):
         v = np.asarray(vertices, np.float64)
         n = len(v)
         E = len(tet_idx)
@@ -121,15 +175,27 @@ class BandedStepper:
         lam = np.broadcast_to(np.asarray(tet_lam, np.float64), (E,))
         kp = np.broadcast_to(np.asarray(tet_k, np.float64), (E,))
 
-        # vertex padding: multiples of 8 rows keep every plane slice and
-        # dynamic window tile-aligned
-        N = -(-n // (8 * LANES)) * (8 * LANES)
+        # diluted vertex layout (unstructured / uell mode): every vertex
+        # plane is indexed by positions[v]; copy/spare slots are padding
+        if positions is None:
+            self._positions = np.arange(n, dtype=np.int64)
+            N = -(-n // (8 * LANES)) * (8 * LANES)
+        else:
+            self._positions = np.asarray(positions, np.int64)
+            assert uell is not None, "positions requires uell planes"
+            N = int(uell["n_pad"])
+        self._uell = uell
+        idx = self._positions[idx]
         self.N = N
         Nr = N // LANES
         self.Nr = Nr
 
-        # ---- element placement + chunking
-        subs = place_elements(idx)  # (n_sub, 128)
+        # ---- element placement + chunking (with per-element corner->slot
+        # relabeling; physically equivalent, see place_elements)
+        subs, perm = place_elements(idx)  # (n_sub, 128), (E, 4)
+        idx = np.take_along_axis(idx, perm.astype(np.int64), axis=1)
+        coeff = np.take_along_axis(coeff, perm[:, None, :].astype(np.int64),
+                                   axis=2)
         n_sub = len(subs)
         n_chunks = -(-n_sub // SUB)
         subs = np.pad(subs, ((0, n_chunks * SUB - n_sub), (0, 0)),
@@ -195,12 +261,14 @@ class BandedStepper:
         self._fblk = jnp.asarray(fblk, dtype)
         self._rbase = jnp.asarray(rbase, jnp.int32)
 
-        # ---- packed vertex planes + diagonals (2D row-major layout)
+        # ---- packed vertex planes + diagonals (2D row-major layout);
+        # per-vertex values land at their (possibly diluted) positions
         def to2d(plane, fill=0.0):
-            return np.pad(
-                np.asarray(plane, np.float64), (0, N - n),
-                constant_values=fill,
-            ).reshape(Nr, LANES)
+            full = np.full(N, fill, np.float64)
+            full[self._positions] = np.broadcast_to(
+                np.asarray(plane, np.float64), (n,)
+            )
+            return full.reshape(Nr, LANES)
 
         aw2 = np.zeros(n)
         np.add.at(aw2, np.asarray(anchor_idx, np.int64),
@@ -218,12 +286,53 @@ class BandedStepper:
             axis=0,
         )
         self._p2d = jnp.asarray(p2d, dtype)
-        self.dia_offs = tuple(int(o) for o in dia_offs)
-        dv = np.asarray(dia_vals, np.float64)
-        dia2d = np.concatenate([to2d(dv[d]) for d in range(len(dv))], 0)
-        self._dia2d = jnp.asarray(dia2d, dtype)
+        if uell is None:
+            self.dia_offs = tuple(int(o) for o in dia_offs)
+            dv = np.asarray(dia_vals, np.float64)
+            dia2d = np.concatenate(
+                [to2d(dv[d]) for d in range(len(dv))], 0
+            )
+            self._dia2d = jnp.asarray(dia2d, dtype)
+            self._ucc2d = None
+            self._uell_slot_qs = None
+            self._uell_fold_qs = None
+        else:
+            # per-row-offset ELL + fold planes (core/uell.py): val planes
+            # (full precision — the CG solution error scales with
+            # cond(A_hat) times any value quantization, so lossy storage
+            # is NOT acceptable) stacked into the dia slot of the kernel;
+            # 7-bit lane indices packed four per int32 word (lossless)
+            self.dia_offs = ()
+            all_planes = list(uell["slots"]) + [
+                op for layer in uell["folds"] for op in layer
+            ]
+            self._uell_slot_qs = tuple(q for q, _, _ in uell["slots"])
+            self._uell_fold_qs = tuple(
+                tuple(q for q, _, _ in layer) for layer in uell["folds"]
+            )
+            self._uell_packed = bool(
+                np.dtype(jnp.dtype(dtype)) == np.dtype(np.float32)
+            )
+            vals = np.concatenate([vp for _, _, vp in all_planes], 0)
+            ccs = [cc for _, cc, _ in all_planes]
+            self._dia2d = jnp.asarray(vals, dtype)
+            if self._uell_packed:
+                words = []
+                for w in range(-(-len(ccs) // 4)):
+                    word = np.zeros_like(ccs[0], np.int64)
+                    for b in range(4):
+                        k = 4 * w + b
+                        if k < len(ccs):
+                            word |= ccs[k].astype(np.int64) << (8 * b)
+                    words.append(word.astype(np.int32))
+                self._ucc2d = jnp.asarray(np.concatenate(words, 0))
+            else:
+                self._ucc2d = jnp.asarray(
+                    np.concatenate(ccs, 0), jnp.int32
+                )
 
         def state3(arr):
+            arr = np.asarray(arr, np.float64)
             return jnp.asarray(
                 np.concatenate([to2d(arr[:, a]) for a in range(3)], 0),
                 dtype,
@@ -245,7 +354,7 @@ class BandedStepper:
     # ------------------------------------------------------------ access
 
     def _planes_to_xyz(self, planes):
-        a = np.asarray(planes).reshape(3, self.N)[:, : self.n_nodes]
+        a = np.asarray(planes).reshape(3, self.N)[:, self._positions]
         return a.T
 
     @property
@@ -259,14 +368,14 @@ class BandedStepper:
     def set_positions(self, value):
         """Overwrite positions (internal numbering, (n,3))."""
         v = np.zeros((3, self.N))
-        v[:, : self.n_nodes] = np.asarray(value, np.float64).T
+        v[:, self._positions] = np.asarray(value, np.float64).T
         self.state["x"] = jnp.asarray(
             v.reshape(3 * self.Nr, LANES), self.dtype
         )
 
     def set_velocities(self, value):
         v = np.zeros((3, self.N))
-        v[:, : self.n_nodes] = np.asarray(value, np.float64).T
+        v[:, self._positions] = np.asarray(value, np.float64).T
         self.state["v"] = jnp.asarray(
             v.reshape(3 * self.Nr, LANES), self.dtype
         )
@@ -289,6 +398,13 @@ class BandedStepper:
                 dt=dt, gravity=self.gravity, n_iters=self.admm_iters,
                 Wr=self.Wr, floor_y=self.floor_y, floor_w2=self.floor_w2,
             )
+            if self._uell is not None:
+                kw.update(
+                    ucc2d=self._ucc2d,
+                    uell_slot_qs=self._uell_slot_qs,
+                    uell_fold_qs=self._uell_fold_qs,
+                    uell_packed=self._uell_packed,
+                )
 
             def roll(state):
                 x, v, d, au, cu = banded_rollout(
@@ -341,7 +457,7 @@ def banded_from_system(system):
     s = system.settings
     if s.collect_residuals or s.residual_tol is not None:
         return None
-    if getattr(system, "_solver_mode", None) != "dia":
+    if getattr(system, "_solver_mode", None) not in ("dia", "ell"):
         return None
 
     tet = None
@@ -409,14 +525,61 @@ def banded_from_system(system):
                   if anchors else np.zeros((0, 3)))
 
     sv = system.params["_solver"]
+    if system._solver_mode == "dia":
+        dia_offs = system._dia_offsets
+        dia_vals = np.asarray(sv["dia_vals"], np.float64)
+        diag = np.asarray(sv["diag"], np.float64)
+        positions = None
+        packed = None
+    else:
+        # unstructured numbering: no diagonal structure exists — pack
+        # A_hat into per-row-offset ELL slots over a spatially-ordered,
+        # diluted vertex layout (core/uell.py)
+        from .solver import _assemble_A_hat_csr
+        from .uell import dilute_positions, pack_uell, slab_order
+
+        n = system.n_nodes
+        cparams = {
+            k: {kk: np.asarray(jax.device_get(vv))
+                for kk, vv in system.params[k].items()}
+            for k in system._constraint_names
+        }
+        A = _assemble_A_hat_csr(n, system._mi, s.timestep_s, cparams)
+        diag = A.diagonal().copy()
+        Ac = A.tocoo()
+        nz = Ac.data != 0.0  # structural zeros would waste slot planes
+        order = slab_order(system._xi)
+        positions, n_pos = dilute_positions(order)
+        try:
+            packed = pack_uell(Ac.row[nz], Ac.col[nz], Ac.data[nz],
+                               positions, n_pos)
+        except ValueError:
+            return None
+        dia_offs = ()
+        dia_vals = np.zeros((0, n))
+        # VMEM budget estimate (plus ~45 planes of state/element scratch
+        # and stack); reject and fall back to the general path rather
+        # than fault the chip. The kernel raises the compiler's scoped
+        # cap to ~100 MB (v5e has 128 MB/core), so the budget here is
+        # generous — f32 value planes + packed int32 lane words
+        n_planes = packed["n_slots"] + packed["n_fold_ops"]
+        nr = packed["n_pad"] // 128
+        a_bytes = nr * 128 * (4 * n_planes + 4 * (-(-n_planes // 4)))
+        vmem = a_bytes + 45 * nr * 128 * 4
+        if vmem > 85 * 2**20:
+            if s.verbose:
+                print(
+                    f"Solver: uell planes need ~{vmem/2**20:.0f} MB VMEM"
+                    " — banded kernel skipped"
+                )
+            return None
     try:
         stepper = BandedStepper(
             system._xi, system._mi,
             p["indices"], p["coeff"], w2, mu, lam, kp,
             model, newton_iters,
             anchor_idx, anchor_w2, anchor_pos,
-            system._dia_offsets, np.asarray(sv["dia_vals"], np.float64),
-            np.asarray(sv["diag"], np.float64),
+            dia_offs, dia_vals, diag,
             gravity=tuple(gravity), dt=s.timestep_s,
             admm_iters=s.admm_iters,
             cg_iters=(s.cg_fixed_iters
@@ -426,6 +589,7 @@ def banded_from_system(system):
                      if floor is not None else None),
             floor_w2=(float(floor.weight_value) ** 2
                       if floor is not None else 0.0),
+            positions=positions, uell=packed,
         )
     except ValueError:
         return None

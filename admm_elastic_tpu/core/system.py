@@ -318,13 +318,17 @@ class System:
             from .cloth import cloth_from_system
             from .lattice import lattice_from_system
 
-            out = lattice_from_system(self)
+            # the banded whole-timestep kernel is both the most general
+            # (no stencil structure needed — any dia-banded numbering, or
+            # ANY topology via the uell fallback planes) and, measured on
+            # the chip, the fastest, so it is tried FIRST; the lattice
+            # kernel remains as fallback for meshes the banded window
+            # rejects, and the cloth kernel handles triangle grids
+            out = banded_from_system(self)
+            if out is None:
+                out = lattice_from_system(self)
             if out is None:
                 out = cloth_from_system(self)
-            if out is None:
-                # general fallback: any banded tet mesh (no constant-offset
-                # stencil needed; per-element materials allowed)
-                out = banded_from_system(self)
             if out is not None:
                 self._lattice, self._to_canon = out
                 if s.verbose >= 1:

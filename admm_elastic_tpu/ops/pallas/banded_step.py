@@ -41,7 +41,13 @@ trajectories match to f32 round-off (tests/test_banded.py).
 Supported: one tet force (NeoHookean/StVK HyperElasticTet or
 LinearTetStrain 'arap') with per-element mu/lam/k/volume, StaticAnchors
 with per-node weights, an optional floor CollisionForce, gravity-style
-velocity kicks, the dia global solve. Residual collection off.
+velocity kicks. Residual collection off.
+
+Global solve: two interchangeable matvec forms —
+- sparse-DIAgonal (banded numberings: static shifts + lane rolls), or
+- per-row-offset ELL + layered folds (core/uell.py; ARBITRARY topology:
+  one native lane shuffle + multiply-add per slot plane, hub splits
+  folded back on the result plane, valid-mask to hide spare slots).
 """
 
 from __future__ import annotations
@@ -135,9 +141,17 @@ def _shifted(xp, off, Nr, interpret):
 
 def _make_banded_kernel(Nr, Wr, n_chunks, n_iters, dia_offs, model,
                         newton_iters, cg_iters, dt, dt2, gvec,
-                        floor_y, floor_w2, interpret):
+                        floor_y, floor_w2, halves, interpret, uell_meta):
     has_floor = floor_y is not None
     SOLVE = n_chunks
+    # Row-half chunking of the local-step body: Mosaic stack-allocates
+    # scoped VMEM for every live (HS,128) temporary, and the gather +
+    # 3x3 SVD + Newton prox + scatter pipeline holds ~100 of them — at
+    # SUB=64 that alone is ~3 MB and the 100k-tet kernel exceeds the
+    # 16 MB cap by ~2 MB. Processing the chunk's SUB element rows in
+    # `halves` passes divides the peak stack accordingly; results are
+    # bit-identical (elements are independent in the local step).
+    HS = SUB // halves
 
     def srows(plane):
         return slice(plane * Nr, (plane + 1) * Nr)
@@ -145,7 +159,10 @@ def _make_banded_kernel(Nr, Wr, n_chunks, n_iters, dia_offs, model,
     def frows(plane):
         return slice(plane * SUB, (plane + 1) * SUB)
 
-    def kernel(p2d_ref, dia_ref, rbase_ref,
+    def hrows(plane, h):
+        return slice(plane * SUB + h * HS, plane * SUB + (h + 1) * HS)
+
+    def kernel(p2d_ref, dia_ref, ucc_ref, rbase_ref,
                fblk_hbm, x0_hbm, v0_hbm, au0_hbm, cu0_hbm, d_hbm,
                x_out, v_out, d_out, au_out, cu_out,
                ST, FB, DB, BW, sem):
@@ -213,107 +230,111 @@ def _make_banded_kernel(Nr, Wr, n_chunks, n_iters, dia_offs, model,
 
             rbase = rbase_ref[c]
 
-            # gathered corner positions xg[k][a] (SUB,128)
+            # window of live x rows shared by all halves
             xw = [
                 ST[pl.ds((SX + a) * Nr + rbase, Wr), :] for a in range(3)
             ]
-            cc = [FB[frows(CCP0 + k)].astype(jnp.int32) for k in range(4)]
-            rr = [FB[frows(RRP0 + k)] for k in range(4)]
-            xg = [[jnp.zeros((SUB, LANES), FB.dtype) for _ in range(3)]
-                  for _ in range(4)]
-            for k in range(4):
-                for r in range(Wr):
-                    m = rr[k] == float(r)
-                    for a in range(3):
-                        t = jnp.take_along_axis(
-                            jnp.broadcast_to(xw[a][r : r + 1, :],
-                                             (SUB, LANES)),
-                            cc[k], axis=1,
-                        )
-                        xg[k][a] = xg[k][a] + jnp.where(m, t, 0.0)
-
-            cp = [FB[frows(CP0 + p)] for p in range(12)]
-            u = [DB[frows(p)] for p in range(9)]
-            f = []
-            for a in range(3):
-                for b in range(3):
-                    acc = u[3 * a + b]
-                    for k in range(4):
-                        acc = acc + cp[4 * b + k] * xg[k][a]
-                    f.append(acc)
-
-            eps = jnp.asarray(jnp.finfo(f[0].dtype).eps, f[0].dtype)
-            U, V, s = _svd_columns(f, eps)
-
-            up = [None] * 9
-            if model in ("nh", "stvk"):
-                # warm-start guards (TetForce.cpp:339-347)
-                w1 = DB[frows(9)]
-                w2_ = DB[frows(10)]
-                neg3 = DB[frows(11)] < 0.0
-                w3 = jnp.abs(DB[frows(11)])
-                collapsed = (~neg3) & (
-                    (jnp.abs(w1) < 1e-3) & (jnp.abs(w2_) < 1e-3)
-                    & (jnp.abs(w3) < 1e-3)
-                )
-                w1 = jnp.where(collapsed, 1e-3, w1)
-                w2_ = jnp.where(collapsed, 1e-3, w2_)
-                w3 = jnp.where(collapsed, 1e-3, w3)
-                mu = FB[frows(MUP)]
-                lam = FB[frows(LAMP)]
-                kp = FB[frows(KP)]
-                x1, x2, x3 = _newton_hyper(
-                    s, (w1, w2_, w3), mu, lam, kp, newton_iters, model
-                )
-                DB[frows(9)] = x1
-                DB[frows(10)] = x2
-                DB[frows(11)] = x3
-                sig = (x1, x2, x3)
-                for r in range(3):
-                    for c2 in range(3):
-                        z = (
-                            U[0][r] * sig[0] * V[0][c2]
-                            + U[1][r] * sig[1] * V[1][c2]
-                            + U[2][r] * sig[2] * V[2][c2]
-                        )
-                        up[3 * r + c2] = f[3 * r + c2] - z
-            else:  # arap: sigma -> (1,1,±1); z = (k P + w2 F)/(w2 + k)
-                one = jnp.ones_like(s[0])
-                s3 = jnp.where(s[2] < 0, -one, one)
-                sig = (one, one, s3)
-                w2e = FB[frows(W2P)]
-                kp = FB[frows(KP)]
-                mix = 1.0 / (w2e + jnp.where(w2e + kp > 0, kp, 1.0))
-                for r in range(3):
-                    for c2 in range(3):
-                        proj = (
-                            U[0][r] * sig[0] * V[0][c2]
-                            + U[1][r] * sig[1] * V[1][c2]
-                            + U[2][r] * sig[2] * V[2][c2]
-                        )
-                        z = (kp * proj + w2e * f[3 * r + c2]) * mix
-                        up[3 * r + c2] = f[3 * r + c2] - z
-            for p in range(9):
-                DB[frows(p)] = up[p]
-
-            # scatter b += w2 D^T (z - u'); (z - u') = F - 2 u'
-            w2e = FB[frows(W2P)]
-            zu = [w2e * (f[p] - 2.0 * up[p]) for p in range(9)]
             BW[:, :] = jnp.zeros((3 * Wr, LANES), BW.dtype)
-            for k in range(4):
-                Pk = FB[frows(PP0 + k)].astype(jnp.int32)
-                rrp = FB[frows(RRPP0 + k)]
+
+            for h in range(halves):
+                # gathered corner positions xg[k][a] (HS,128)
+                cc = [FB[hrows(CCP0 + k, h)].astype(jnp.int32)
+                      for k in range(4)]
+                rr = [FB[hrows(RRP0 + k, h)] for k in range(4)]
+                xg = [[jnp.zeros((HS, LANES), FB.dtype) for _ in range(3)]
+                      for _ in range(4)]
+                for k in range(4):
+                    for r in range(Wr):
+                        m = rr[k] == float(r)
+                        for a in range(3):
+                            t = jnp.take_along_axis(
+                                jnp.broadcast_to(xw[a][r : r + 1, :],
+                                                 (HS, LANES)),
+                                cc[k], axis=1,
+                            )
+                            xg[k][a] = xg[k][a] + jnp.where(m, t, 0.0)
+
+                cp = [FB[hrows(CP0 + p, h)] for p in range(12)]
+                u = [DB[hrows(p, h)] for p in range(9)]
+                f = []
                 for a in range(3):
-                    acc = cp[4 * 0 + k] * zu[3 * a + 0]
-                    for b in range(1, 3):
-                        acc = acc + cp[4 * b + k] * zu[3 * a + b]
-                    sp = jnp.take_along_axis(acc, Pk, axis=1)
-                    for vr in range(Wr):
-                        add = jnp.sum(
-                            jnp.where(rrp == float(vr), sp, 0.0),
-                            axis=0, keepdims=True,
-                        )
-                        BW[a * Wr + vr : a * Wr + vr + 1, :] += add
+                    for b in range(3):
+                        acc = u[3 * a + b]
+                        for k in range(4):
+                            acc = acc + cp[4 * b + k] * xg[k][a]
+                        f.append(acc)
+
+                eps = jnp.asarray(jnp.finfo(f[0].dtype).eps, f[0].dtype)
+                U, V, s = _svd_columns(f, eps)
+
+                up = [None] * 9
+                if model in ("nh", "stvk"):
+                    # warm-start guards (TetForce.cpp:339-347)
+                    w1 = DB[hrows(9, h)]
+                    w2_ = DB[hrows(10, h)]
+                    neg3 = DB[hrows(11, h)] < 0.0
+                    w3 = jnp.abs(DB[hrows(11, h)])
+                    collapsed = (~neg3) & (
+                        (jnp.abs(w1) < 1e-3) & (jnp.abs(w2_) < 1e-3)
+                        & (jnp.abs(w3) < 1e-3)
+                    )
+                    w1 = jnp.where(collapsed, 1e-3, w1)
+                    w2_ = jnp.where(collapsed, 1e-3, w2_)
+                    w3 = jnp.where(collapsed, 1e-3, w3)
+                    mu = FB[hrows(MUP, h)]
+                    lam = FB[hrows(LAMP, h)]
+                    kp = FB[hrows(KP, h)]
+                    x1, x2, x3 = _newton_hyper(
+                        s, (w1, w2_, w3), mu, lam, kp, newton_iters, model
+                    )
+                    DB[hrows(9, h)] = x1
+                    DB[hrows(10, h)] = x2
+                    DB[hrows(11, h)] = x3
+                    sig = (x1, x2, x3)
+                    for r in range(3):
+                        for c2 in range(3):
+                            z = (
+                                U[0][r] * sig[0] * V[0][c2]
+                                + U[1][r] * sig[1] * V[1][c2]
+                                + U[2][r] * sig[2] * V[2][c2]
+                            )
+                            up[3 * r + c2] = f[3 * r + c2] - z
+                else:  # arap: sigma -> (1,1,±1); z = (k P + w2 F)/(w2 + k)
+                    one = jnp.ones_like(s[0])
+                    s3 = jnp.where(s[2] < 0, -one, one)
+                    sig = (one, one, s3)
+                    w2e = FB[hrows(W2P, h)]
+                    kp = FB[hrows(KP, h)]
+                    mix = 1.0 / (w2e + jnp.where(w2e + kp > 0, kp, 1.0))
+                    for r in range(3):
+                        for c2 in range(3):
+                            proj = (
+                                U[0][r] * sig[0] * V[0][c2]
+                                + U[1][r] * sig[1] * V[1][c2]
+                                + U[2][r] * sig[2] * V[2][c2]
+                            )
+                            z = (kp * proj + w2e * f[3 * r + c2]) * mix
+                            up[3 * r + c2] = f[3 * r + c2] - z
+                for p in range(9):
+                    DB[hrows(p, h)] = up[p]
+
+                # scatter b += w2 D^T (z - u'); (z - u') = F - 2 u'
+                w2e = FB[hrows(W2P, h)]
+                zu = [w2e * (f[p] - 2.0 * up[p]) for p in range(9)]
+                for k in range(4):
+                    Pk = FB[hrows(PP0 + k, h)].astype(jnp.int32)
+                    rrp = FB[hrows(RRPP0 + k, h)]
+                    for a in range(3):
+                        acc = cp[4 * 0 + k] * zu[3 * a + 0]
+                        for b in range(1, 3):
+                            acc = acc + cp[4 * b + k] * zu[3 * a + b]
+                        sp = jnp.take_along_axis(acc, Pk, axis=1)
+                        for vr in range(Wr):
+                            add = jnp.sum(
+                                jnp.where(rrp == float(vr), sp, 0.0),
+                                axis=0, keepdims=True,
+                            )
+                            BW[a * Wr + vr : a * Wr + vr + 1, :] += add
             for a in range(3):
                 ST[pl.ds((SB + a) * Nr + rbase, Wr), :] += BW[
                     a * Wr : (a + 1) * Wr, :
@@ -345,17 +366,79 @@ def _make_banded_kernel(Nr, Wr, n_chunks, n_iters, dia_offs, model,
                     ST[srows(SCU + a)] = un
                     ST[srows(SB + a)] += floor_w2 * vmask * (zc[a] - un)
 
-            def matvec(src_plane):
-                """A @ ST[src_plane..+3] into the SAP planes."""
-                for a in range(3):
-                    xv = ST[srows(src_plane + a)]
-                    acc = None
-                    for d, off in enumerate(dia_offs):
-                        term = plane(dia_ref, d) * _shifted(
-                            xv, off, Nr, interpret
-                        )
-                        acc = term if acc is None else acc + term
-                    ST[srows(SAP + a)] = acc
+            if uell_meta is not None:
+                slot_qs = uell_meta["slot_qs"]
+                fold_qs = uell_meta["fold_qs"]
+
+                def uval(k):
+                    vp = plane(dia_ref, k)
+                    return (vp.astype(ST.dtype)
+                            if vp.dtype != ST.dtype else vp)
+
+                def ucc(k):
+                    if uell_meta["packed"]:
+                        w = plane(ucc_ref, k // 4)
+                        sh = 8 * (k % 4)
+                        if sh:
+                            w = jax.lax.shift_right_logical(
+                                w, jnp.int32(sh)
+                            )
+                        return jax.lax.bitwise_and(w, jnp.int32(0x7F))
+                    return plane(ucc_ref, k)
+
+                def rshift(xv, qq):
+                    return (_row_shift_up(xv, qq, Nr) if qq >= 0
+                            else _row_shift_down(xv, -qq, Nr))
+
+                vmask_mv = plane(p2d_ref, PVM)
+
+                # slots arrive grouped by q (core/uell.pack_uell emits
+                # them in q order); scoping each shifted plane to its
+                # group keeps at most ONE shifted copy of x live at a
+                # time (a dict cache held ~2 MB of planes alive across
+                # the whole slot loop and overflowed the VMEM stack)
+                q_groups = []
+                for k, qq in enumerate(slot_qs):
+                    if q_groups and q_groups[-1][0] == qq:
+                        q_groups[-1][1].append(k)
+                    else:
+                        q_groups.append((qq, [k]))
+
+                def matvec(src_plane):
+                    """A @ ST[src..+3] via per-row-offset ELL slots +
+                    layered fold ops (core/uell.py format). The valid
+                    mask zeroes copy/spare positions so the CG never
+                    sees phantom dofs."""
+                    for a in range(3):
+                        xv = ST[srows(src_plane + a)]
+                        acc = None
+                        for qq, ks in q_groups:
+                            sh = rshift(xv, qq)
+                            for k in ks:
+                                term = uval(k) * jnp.take_along_axis(
+                                    sh, ucc(k), axis=1
+                                )
+                                acc = term if acc is None else acc + term
+                        kf = len(slot_qs)
+                        for layer in fold_qs:
+                            for qq in layer:
+                                acc = acc + uval(kf) * jnp.take_along_axis(
+                                    rshift(acc, qq), ucc(kf), axis=1
+                                )
+                                kf += 1
+                        ST[srows(SAP + a)] = acc * vmask_mv
+            else:
+                def matvec(src_plane):
+                    """A @ ST[src_plane..+3] into the SAP planes."""
+                    for a in range(3):
+                        xv = ST[srows(src_plane + a)]
+                        acc = None
+                        for d, off in enumerate(dia_offs):
+                            term = plane(dia_ref, d) * _shifted(
+                                xv, off, Nr, interpret
+                            )
+                            acc = term if acc is None else acc + term
+                        ST[srows(SAP + a)] = acc
 
             matvec(SX)
             for a in range(3):
@@ -412,18 +495,26 @@ def _make_banded_kernel(Nr, Wr, n_chunks, n_iters, dia_offs, model,
     static_argnames=(
         "dia_offs", "model", "newton_iters", "cg_iters", "dt", "dt2",
         "gvec", "n_iters", "n_steps", "Wr", "floor_y", "floor_w2",
-        "interpret",
+        "halves", "interpret", "uell_meta_static",
     ),
-    donate_argnums=(8,),
+    donate_argnums=(9,),
 )
-def _banded_call(p2d, dia2d, rbase, fblk, x0, v0, au0, cu0, d,
+def _banded_call(p2d, dia2d, ucc2d, rbase, fblk, x0, v0, au0, cu0, d,
                  dia_offs, model, newton_iters, cg_iters, dt, dt2, gvec,
-                 n_iters, n_steps, Wr, floor_y, floor_w2, interpret):
+                 n_iters, n_steps, Wr, floor_y, floor_w2, halves,
+                 interpret, uell_meta_static):
     Nr = x0.shape[0] // 3
     n_chunks = fblk.shape[0]
+    uell_meta = None
+    if uell_meta_static is not None:
+        slot_qs, fold_qs, packed = uell_meta_static
+        uell_meta = {
+            "slot_qs": slot_qs, "fold_qs": fold_qs, "packed": packed,
+        }
     kern = _make_banded_kernel(
         Nr, Wr, n_chunks, n_iters, dia_offs, model, newton_iters,
-        cg_iters, dt, dt2, gvec, floor_y, floor_w2, interpret,
+        cg_iters, dt, dt2, gvec, floor_y, floor_w2, halves, interpret,
+        uell_meta,
     )
     vm = pl.BlockSpec(memory_space=pltpu.VMEM)
     sm = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -431,7 +522,7 @@ def _banded_call(p2d, dia2d, rbase, fblk, x0, v0, au0, cu0, d,
     out = pl.pallas_call(
         kern,
         grid=(n_steps, n_iters, n_chunks + 1),
-        in_specs=[vm, vm, sm, hbm, hbm, hbm, hbm, hbm, hbm],
+        in_specs=[vm, vm, vm, sm, hbm, hbm, hbm, hbm, hbm, hbm],
         out_specs=[vm, vm, hbm, vm, vm],
         out_shape=[
             jax.ShapeDtypeStruct(x0.shape, x0.dtype),
@@ -440,7 +531,7 @@ def _banded_call(p2d, dia2d, rbase, fblk, x0, v0, au0, cu0, d,
             jax.ShapeDtypeStruct(au0.shape, au0.dtype),
             jax.ShapeDtypeStruct(cu0.shape, cu0.dtype),
         ],
-        input_output_aliases={8: 2},
+        input_output_aliases={9: 2},
         scratch_shapes=[
             pltpu.VMEM((STATE_PLANES * Nr, LANES), x0.dtype),
             pltpu.VMEM((FB_PLANES * SUB, LANES), x0.dtype),
@@ -448,15 +539,24 @@ def _banded_call(p2d, dia2d, rbase, fblk, x0, v0, au0, cu0, d,
             pltpu.VMEM((3 * Wr, LANES), x0.dtype),
             pltpu.SemaphoreType.DMA,
         ],
+        # the default scoped-VMEM cap is 16 MB — a compiler pipelining
+        # default, not the hardware (v5e has 128 MB/core). This kernel IS
+        # the whole program while it runs, so claim most of the chip's
+        # VMEM; the uell value/lane planes at 100k-tet scale need it
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20,
+        ),
         interpret=interpret,
-    )(p2d, dia2d, rbase, fblk, x0, v0, au0, cu0, d)
+    )(p2d, dia2d, ucc2d, rbase, fblk, x0, v0, au0, cu0, d)
     return out
 
 
 def banded_rollout(p2d, dia2d, rbase, fblk, x0, v0, au0, cu0, d, *,
                    dia_offs, model, newton_iters, cg_iters, dt, gravity,
                    n_iters, n_steps, Wr, floor_y=None, floor_w2=0.0,
-                   interpret=None):
+                   halves=None, interpret=None, ucc2d=None,
+                   uell_slot_qs=None, uell_fold_qs=None,
+                   uell_packed=False):
     """n_steps whole timesteps in ONE kernel call.
 
     p2d: (7*Nr,128) packed vertex planes [aw2, 1/diag, mass, vmask,
@@ -464,16 +564,32 @@ def banded_rollout(p2d, dia2d, rbase, fblk, x0, v0, au0, cu0, d, *,
     rows; fblk: (n_chunks, 32*64, 128) static element planes; x0/v0/
     au0/cu0: (3*Nr,128); d: (n_chunks, 12*64, 128) duals+warm. Returns
     (x, v, d, ancu, colu). Layouts are built by core/banded.BandedStepper.
+
+    halves: row-half chunking factor for the local-step body (1, 2 or 4;
+    bit-identical results). Default: 2 at >=8 chunks (the 16 MB
+    scoped-VMEM stack limit binds at large scale), else 1.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if halves is None:
+        halves = 2 if fblk.shape[0] >= 8 else 1
+    if uell_slot_qs is not None:
+        uell_meta_static = (
+            tuple(int(q) for q in uell_slot_qs),
+            tuple(tuple(int(q) for q in layer) for layer in uell_fold_qs),
+            bool(uell_packed),
+        )
+    else:
+        uell_meta_static = None
+        ucc2d = jnp.zeros((1, LANES), jnp.int32)
     return _banded_call(
-        p2d, dia2d, rbase, fblk, x0, v0, au0, cu0, d,
+        p2d, dia2d, ucc2d, rbase, fblk, x0, v0, au0, cu0, d,
         dia_offs=tuple(int(o) for o in dia_offs), model=str(model),
         newton_iters=int(newton_iters), cg_iters=int(cg_iters),
         dt=float(dt), dt2=float(dt) ** 2,
         gvec=tuple(float(q) for q in gravity),
         n_iters=int(n_iters), n_steps=int(n_steps), Wr=int(Wr),
         floor_y=None if floor_y is None else float(floor_y),
-        floor_w2=float(floor_w2), interpret=bool(interpret),
+        floor_w2=float(floor_w2), halves=int(halves),
+        interpret=bool(interpret), uell_meta_static=uell_meta_static,
     )

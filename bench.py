@@ -38,7 +38,7 @@ def _load_baseline():
 
 def build_tet100k(dtype, admm_iters=10, local_backend="xla", global_solver="dia",
                   cg_backend="xla", lattice=False, scramble=False,
-                  residuals=False):
+                  residuals=False, jitter=0.0):
     import jax.numpy as jnp
 
     from admm_elastic_tpu import Settings, System
@@ -48,6 +48,14 @@ def build_tet100k(dtype, admm_iters=10, local_backend="xla", global_solver="dia"
     # 40 x 25 x 20 cells x 5 tets = 100,000 tets; 22,386 nodes
     beam = make_beam_tets(40, 25, 20, size=0.05)
     verts, tets = beam.vertices, beam.tets
+    anchored = np.flatnonzero(verts[:, 0] < 1e-9)
+    if jitter:
+        # perturb positions: the mesh is no longer a lattice/grid (no
+        # constant-offset stencils, detect_lattice rejects it) while the
+        # numbering stays banded -> exercises the banded whole-timestep
+        # kernel (core/banded.py) on genuinely unstructured geometry
+        rng = np.random.default_rng(1)
+        verts = verts + jitter * 0.05 * rng.standard_normal(verts.shape)
     if scramble:
         # adversarial vertex numbering: exercises detect_lattice (lattice
         # path) / detect_grid_numbering (dia renumbering) instead of the
@@ -80,7 +88,8 @@ def build_tet100k(dtype, admm_iters=10, local_backend="xla", global_solver="dia"
     sys = System(settings)
     n = beam.n_vertices
     sys.add_nodes(verts, np.full(n, 50.0 / n))
-    anchored = np.flatnonzero(verts[:, 0] < 1e-9)
+    if scramble:
+        anchored = inv[anchored]
     sys.add_force(StaticAnchor(anchored))
     sys.add_force(
         HyperElasticTet(tets, mu=1e5, lam=1e5, max_iters=5, model="nh",
@@ -91,6 +100,60 @@ def build_tet100k(dtype, admm_iters=10, local_backend="xla", global_solver="dia"
     if lattice:
         assert sys._lattice is not None, "lattice fast path did not engage"
     return sys, beam.n_tets
+
+
+def build_delaunay100k(dtype, admm_iters=10, fast_path=True):
+    """Genuinely UNSTRUCTURED workload: ~100k-tet Delaunay
+    tetrahedralization of jittered grid points. A_hat has thousands of
+    distinct diagonals in any numbering — no lattice stencil, no dia
+    form, no grid renumbering applies. Default config: the banded
+    whole-timestep kernel with the per-row-offset ELL matvec
+    (core/uell.py). --no-lattice measures the general ELL path."""
+    import jax.numpy as jnp
+    from scipy.spatial import Delaunay
+
+    from admm_elastic_tpu import Settings, System
+    from admm_elastic_tpu.models import ExplicitForce, HyperElasticTet, StaticAnchor
+
+    rng = np.random.default_rng(0)
+    nx, ny, nz = 37, 22, 20
+    gx, gy, gz = np.meshgrid(np.arange(nx), np.arange(ny),
+                             np.arange(nz), indexing="ij")
+    pts = np.stack([gx, gy, gz], -1).reshape(-1, 3).astype(np.float64)
+    pts += rng.uniform(-0.3, 0.3, pts.shape)
+    pts *= 0.05
+    tets = Delaunay(pts).simplices
+    pp = pts[tets]
+    emax = np.linalg.norm(pp[:, :, None, :] - pp[:, None, :, :],
+                          axis=-1).max(axis=(1, 2))
+    tets = tets[emax < 0.11]
+    v6 = np.linalg.det(pts[tets][:, 1:] - pts[tets][:, :1])
+    tets[v6 < 0] = tets[v6 < 0][:, [0, 2, 1, 3]]
+    n = len(pts)
+
+    settings = Settings(
+        timestep_s=0.04, admm_iters=admm_iters, verbose=1, dtype=dtype,
+        global_solver="ell", cg_fixed_iters=25,
+        lattice_fast_path=fast_path,
+    )
+    sys = System(settings)
+    sys.add_nodes(pts, np.full(n, 50.0 / n))
+    sys.add_force(StaticAnchor(
+        np.flatnonzero(pts[:, 0] < pts[:, 0].min() + 0.5 * 0.05)
+    ))
+    sys.add_force(HyperElasticTet(tets, mu=1e5, lam=1e5, max_iters=5,
+                                  model="nh"))
+    sys.add_explicit_force(ExplicitForce(direction=(0, -9.8, 0)))
+    assert sys.initialize()
+    if fast_path:
+        from admm_elastic_tpu.core.banded import BandedStepper
+
+        assert isinstance(sys._lattice, BandedStepper), (
+            "delaunay100k must route onto the banded whole-timestep "
+            f"kernel (uell matvec), got {type(sys._lattice)}"
+        )
+        assert sys._lattice._uell is not None, "expected uell matvec"
+    return sys, len(tets)
 
 
 def build_cloth100k(dtype, admm_iters=10, fast_path=True):
@@ -356,13 +419,22 @@ def main():
     dev = jax.devices()[0]
     print(f"# backend: {dev.platform} ({dev.device_kind})", file=sys.stderr)
 
-    if args.preset == "tet100k":
+    if args.preset in ("tet100k", "banded100k"):
+        jitter = 0.02 if args.preset == "banded100k" else 0.0
         sys_, n_tets = build_tet100k(
             dtype, local_backend=args.local_backend,
             global_solver=args.global_solver, cg_backend=args.cg_backend,
             lattice=args.lattice and not args.residuals,
             scramble=args.scramble, residuals=args.residuals,
+            jitter=jitter,
         )
+        if args.preset == "banded100k":
+            from admm_elastic_tpu.core.banded import BandedStepper
+
+            assert isinstance(sys_._lattice, BandedStepper), (
+                "banded100k must route onto the banded whole-timestep "
+                f"kernel, got {type(sys_._lattice)}"
+            )
         admm_iters = sys_.settings.admm_iters
         ms = bench_system(sys_, args.steps) * 1e3
         iters_per_s = admm_iters / (ms / 1e3)
@@ -376,14 +448,16 @@ def main():
             # until tools/bench_reference.sh records a measured number.
             vs = 2000.0 / ms
         print(
-            f"# tet100k: {n_tets} tets, {ms:.2f} ms/step, "
+            f"# {args.preset}: {n_tets} tets, {ms:.2f} ms/step, "
             f"{iters_per_s:.1f} ADMM iters/s",
             file=sys.stderr,
         )
         print(
             json.dumps(
                 {
-                    "metric": "ms_per_timestep_100k_tet_nh",
+                    "metric": ("ms_per_timestep_100k_tet_nh"
+                               if args.preset == "tet100k"
+                               else "ms_per_timestep_100k_tet_nh_unstructured"),
                     "value": round(ms, 3),
                     "unit": "ms",
                     "vs_baseline": round(vs, 2),
@@ -406,6 +480,33 @@ def main():
                     "value": round(ms, 3),
                     "unit": "ms",
                     "vs_baseline": 1.0,
+                }
+            )
+        )
+    elif args.preset == "delaunay100k":
+        sys_, n_tets = build_delaunay100k(dtype, fast_path=args.lattice)
+        ms = bench_system(sys_, args.steps) * 1e3
+        iters_per_s = sys_.settings.admm_iters / (ms / 1e3)
+        baseline = _load_baseline()
+        if baseline and "tet100k_ms_per_step" in baseline:
+            # the measured C++ reference number is for the lattice-beam
+            # 100k-tet workload; same element count/materials/iterations,
+            # so it is the honest comparison point for this mesh too
+            vs = baseline["tet100k_ms_per_step"] / ms
+        else:
+            vs = 2000.0 / ms
+        print(
+            f"# delaunay100k: {n_tets} tets, {ms:.2f} ms/step, "
+            f"{iters_per_s:.1f} ADMM iters/s",
+            file=sys.stderr,
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "ms_per_timestep_100k_tet_nh_delaunay",
+                    "value": round(ms, 3),
+                    "unit": "ms",
+                    "vs_baseline": round(vs, 2),
                 }
             )
         )
