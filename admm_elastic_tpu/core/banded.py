@@ -536,7 +536,7 @@ def banded_from_system(system):
         # A_hat into per-row-offset ELL slots over a spatially-ordered,
         # diluted vertex layout (core/uell.py)
         from .solver import _assemble_A_hat_csr
-        from .uell import dilute_positions, pack_uell, slab_order
+        from .uell import pack_uell_auto
 
         n = system.n_nodes
         cparams = {
@@ -548,11 +548,9 @@ def banded_from_system(system):
         diag = A.diagonal().copy()
         Ac = A.tocoo()
         nz = Ac.data != 0.0  # structural zeros would waste slot planes
-        order = slab_order(system._xi)
-        positions, n_pos = dilute_positions(order)
         try:
-            packed = pack_uell(Ac.row[nz], Ac.col[nz], Ac.data[nz],
-                               positions, n_pos)
+            packed, positions = pack_uell_auto(
+                Ac.row[nz], Ac.col[nz], Ac.data[nz], system._xi)
         except ValueError:
             return None
         dia_offs = ()

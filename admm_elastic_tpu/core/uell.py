@@ -210,6 +210,36 @@ def pack_uell(rows, cols, vals, positions, n_pos, cap_quantile=0.99,
     }
 
 
+def pack_uell_auto(rows, cols, vals, vertices, max_slots=160,
+                   candidates=((128, 0.97), (128, 0.99), (64, 0.99),
+                               (512, 0.99), (512, 0.97))):
+    """Pack with the cheapest of several (slab_target, cap_quantile)
+    candidates, measured by total plane count (slots + fold ops) — the
+    per-CG-iteration matvec cost is linear in it. Packing is host-side
+    and ~0.3 s per candidate at 100k tets, so trying a handful at init
+    is free relative to kernel compile time. Measured on the
+    delaunay100k workload this picks 68 planes where the previous fixed
+    (512, 0.99) choice produced 89.
+
+    Returns (packed, positions) for the best candidate, or raises
+    ValueError when none fits max_slots."""
+    best = None
+    for slab_target, cq in candidates:
+        order = slab_order(vertices, slab_target)
+        positions, n_pos = dilute_positions(order)
+        try:
+            p = pack_uell(rows, cols, vals, positions, n_pos,
+                          cap_quantile=cq, max_slots=max_slots)
+        except ValueError:
+            continue
+        cost = p["n_slots"] + p["n_fold_ops"]
+        if best is None or cost < best[0]:
+            best = (cost, p, positions)
+    if best is None:
+        raise ValueError("uell: no candidate packing fits")
+    return best[1], best[2]
+
+
 def uell_matvec_np(packed, x):
     """Numpy reference of the kernel matvec (for tests): x is (n_pad,)
     over diluted positions; returns A@x over positions (copies already

@@ -109,6 +109,34 @@ def test_pack_uell_hub_splitting():
     assert err < 1e-13, err
 
 
+def test_pack_uell_auto_picks_cheapest():
+    """The auto-tuner returns an exact packing no more expensive than the
+    old fixed (512, 0.99) choice."""
+    from admm_elastic_tpu.core.uell import (
+        dilute_positions,
+        pack_uell,
+        pack_uell_auto,
+        slab_order,
+        uell_matvec_np,
+    )
+
+    pts, tets = _delaunay_mesh()
+    A = _adjacency(pts, tets)
+    A.sum_duplicates()
+    packed, pos = pack_uell_auto(A.row, A.col, A.data, pts)
+    fixed_pos, n_pos = dilute_positions(slab_order(pts), 8)
+    fixed = pack_uell(A.row, A.col, A.data, fixed_pos, n_pos)
+    cost = packed["n_slots"] + packed["n_fold_ops"]
+    assert cost <= fixed["n_slots"] + fixed["n_fold_ops"]
+
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal(packed["n_pad"])
+    y = uell_matvec_np(packed, x)
+    ref = A.tocsr() @ x[pos]
+    err = np.abs(y[pos] - ref).max() / np.abs(ref).max()
+    assert err < 1e-13, err
+
+
 def _build_system(pts, tets, fast, floor_y=None, anchors=True,
                   model="nh", per_elem=False):
     import admm_elastic_tpu as aet
