@@ -14,6 +14,16 @@ paths are testable without a TPU.
 import os
 import sys
 
+# 8 virtual devices time-share the host's few physical cores, so device
+# threads reach a collective minutes apart on big programs (e.g. the
+# 50k-tet spmd test). XLA CPU's rendezvous ABORTS the process after a
+# hard 40 s termination timeout (rendezvous.cc) — raise both the warn
+# and terminate timeouts well past worst-case stagger.
+_COLLECTIVE_TIMEOUT_FLAGS = (
+    " --xla_cpu_collective_timeout_seconds=1200"
+    " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+)
+
 _NEEDS_SCRUB = (
     os.environ.get("_AET_CLEAN_ENV") != "1"
     and (
@@ -33,6 +43,7 @@ if _NEEDS_SCRUB:
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = (
         env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+        + _COLLECTIVE_TIMEOUT_FLAGS
     ).strip()
     os.execve(sys.executable, [sys.executable, "-m", "pytest", *sys.argv[1:]], env)
 
@@ -40,6 +51,10 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 if "--xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    ).strip()
+if "xla_cpu_collective" not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "") + _COLLECTIVE_TIMEOUT_FLAGS
     ).strip()
 
 import jax  # noqa: E402
