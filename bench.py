@@ -371,7 +371,10 @@ def bench_sharded(dtype, n_dev=8, steps=3):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default="tet100k")
-    ap.add_argument("--steps", type=int, default=20)
+    # 30-step reps: production rollouts are long, and the whole-timestep
+    # kernels re-enter per 10-step window — 3 windows per rep measures
+    # steady state (20-step reps read ~15% high from re-entry overhead)
+    ap.add_argument("--steps", type=int, default=30)
     # bf16 was measured and rejected (round 2): Mosaic's layout inference
     # crashes on the bf16 Pallas kernels, XLA:CPU emulates it ~1000x slower,
     # and an implicit solver's POSITION state needs more than bf16's ~3
