@@ -132,7 +132,8 @@ class BandedStepper:
     Matches System dia-path semantics for: one tet force — NeoHookean/StVK
     `HyperElasticTet` (per-element mu/lam, `newton_iters` warm-started
     local Newton iterations) or `LinearTetStrain` (model='arap') —
-    StaticAnchors with per-node weights, an optional floor CollisionForce,
+    StaticAnchors with per-node weights, an optional CollisionForce of
+    analytic shapes (floor/sphere/cylinder, declaration-order projection),
     gravity velocity kicks, and the dia global solve with `cg_iters` fixed
     Jacobi-PCG iterations.
 
@@ -149,6 +150,7 @@ class BandedStepper:
                  gravity=(0.0, -9.8, 0.0), dt=0.04, admm_iters=10,
                  cg_iters=25, dtype=jnp.float32,
                  floor_y=None, floor_w2=0.0,
+                 coll_shapes=None, coll_w2=None,
                  positions=None, uell=None):
         v = np.asarray(vertices, np.float64)
         n = len(v)
@@ -161,8 +163,17 @@ class BandedStepper:
         self.dtype = dtype
         self.model = str(model)
         self.gravity = tuple(float(q) for q in gravity)
-        self.floor_y = None if floor_y is None else float(floor_y)
-        self.floor_w2 = float(floor_w2)
+        # static analytic collision shapes, declaration-order projected
+        # in-kernel (floor/sphere/cylinder); floor_y/floor_w2 are the
+        # single-floor sugar form
+        if coll_shapes is None:
+            coll_shapes = ((("floor", (float(floor_y),)),)
+                           if floor_y is not None else ())
+            coll_w2 = float(floor_w2)
+        self.coll_shapes = tuple(
+            (str(k), tuple(float(q) for q in prm)) for k, prm in coll_shapes
+        )
+        self.coll_w2 = float(coll_w2 if coll_w2 is not None else floor_w2)
         if self.model not in ("nh", "stvk", "arap"):
             raise ValueError(f"unknown banded model {self.model!r}")
         if len(dia_offs) > MAX_DIAGONALS:
@@ -396,7 +407,8 @@ class BandedStepper:
                 dia_offs=self.dia_offs, model=self.model,
                 newton_iters=self.newton_iters, cg_iters=self.cg_iters,
                 dt=dt, gravity=self.gravity, n_iters=self.admm_iters,
-                Wr=self.Wr, floor_y=self.floor_y, floor_w2=self.floor_w2,
+                Wr=self.Wr, coll_shapes=self.coll_shapes,
+                coll_w2=self.coll_w2,
             )
             if self._uell is not None:
                 kw.update(
@@ -442,7 +454,8 @@ def banded_from_system(system):
 
     Qualifying configuration: one tet force (HyperElasticTet nh/stvk or
     LinearTetStrain — per-element materials allowed), StaticAnchors (any
-    weights), at most one Collision holding exactly one Floor, all-node
+    weights), at most one Collision holding any mix of Floor/Sphere/
+    Cylinder shapes, all-node
     ExplicitForce kicks only, no residual collection, dia global solve
     (possibly via System's internal grid renumbering), bounded window.
 
@@ -450,7 +463,7 @@ def banded_from_system(system):
     so any renumbering System performed is inherited for free.
     """
     from ..models.anchor import StaticAnchor
-    from ..models.collision import Collision, Floor
+    from ..models.collision import Collision, Cylinder, Floor, Sphere
     from ..models.explicit import ExplicitForce, WindForce
     from ..models.tet import HyperElasticTet, LinearTetStrain
 
@@ -475,10 +488,9 @@ def banded_from_system(system):
         elif type(f) is StaticAnchor:
             anchors.append(f)
         elif isinstance(f, Collision):
-            shapes = f.shapes
-            if (floor is not None or len(shapes) != 1
-                    or not isinstance(shapes[0], Floor)
-                    or f.n_nodes != system.n_nodes):
+            if (floor is not None or f.n_nodes != system.n_nodes
+                    or not all(isinstance(s_, (Floor, Sphere, Cylinder))
+                               for s_ in f.shapes)):
                 return None
             floor = f
         else:
@@ -583,10 +595,17 @@ def banded_from_system(system):
             cg_iters=(s.cg_fixed_iters
                       if s.cg_fixed_iters is not None else 25),
             dtype=s.dtype,
-            floor_y=(float(floor.shapes[0].center[1])
-                     if floor is not None else None),
-            floor_w2=(float(floor.weight_value) ** 2
-                      if floor is not None else 0.0),
+            coll_shapes=tuple(
+                ("floor", (float(s_.center[1]),)) if isinstance(s_, Floor)
+                else ("sphere", (*[float(q) for q in s_.center],
+                                 float(s_.radius)))
+                if isinstance(s_, Sphere)
+                else ("cylinder", (float(s_.center[0]),
+                                   float(s_.center[1]), float(s_.radius)))
+                for s_ in (floor.shapes if floor is not None else ())
+            ),
+            coll_w2=(float(floor.weight_value) ** 2
+                     if floor is not None else 0.0),
             positions=positions, uell=packed,
         )
     except ValueError:

@@ -40,7 +40,8 @@ trajectories match to f32 round-off (tests/test_banded.py).
 
 Supported: one tet force (NeoHookean/StVK HyperElasticTet or
 LinearTetStrain 'arap') with per-element mu/lam/k/volume, StaticAnchors
-with per-node weights, an optional floor CollisionForce, gravity-style
+with per-node weights, an optional CollisionForce of analytic shapes
+(floor/sphere/cylinder), gravity-style
 velocity kicks. Residual collection off.
 
 Global solve: two interchangeable matvec forms —
@@ -141,8 +142,8 @@ def _shifted(xp, off, Nr, interpret):
 
 def _make_banded_kernel(Nr, Wr, n_chunks, n_iters, dia_offs, model,
                         newton_iters, cg_iters, dt, dt2, gvec,
-                        floor_y, floor_w2, halves, interpret, uell_meta):
-    has_floor = floor_y is not None
+                        coll_shapes, coll_w2, halves, interpret, uell_meta):
+    has_coll = len(coll_shapes) > 0
     SOLVE = n_chunks
     # Row-half chunking of the local-step body: Mosaic stack-allocates
     # scoped VMEM for every live (HS,128) temporary, and the gather +
@@ -355,16 +356,45 @@ def _make_banded_kernel(Nr, Wr, n_chunks, n_iters, dia_offs, model,
                 ST[srows(SAU + a)] = au
                 ST[srows(SB + a)] += aw2 * (ancz - au)
 
-            if has_floor:
+            if has_coll:
                 vmask = plane(p2d_ref, PVM)
                 zc = [
                     ST[srows(SX + a)] + ST[srows(SCU + a)] for a in range(3)
                 ]
-                zc[1] = jnp.maximum(zc[1], floor_y)
+                # sequential declaration-order projection, matching the
+                # general path (models/collision.py project) and the
+                # reference loop (CollisionForce.cpp:53-70). Shapes are
+                # static Python values -> the loop unrolls to vector ops
+                for kind, prm in coll_shapes:
+                    if kind == "floor":
+                        zc[1] = jnp.maximum(zc[1], prm[0])
+                    elif kind == "sphere":
+                        cx, cy, cz, r = prm
+                        dx = zc[0] - cx
+                        dy = zc[1] - cy
+                        dz = zc[2] - cz
+                        d2 = dx * dx + dy * dy + dz * dz
+                        inside = d2 < r * r
+                        # at the exact center (d2=0) the general path
+                        # leaves the point at the center; the huge rsqrt
+                        # times zero displacement reproduces that
+                        s_ = r * jax.lax.rsqrt(jnp.maximum(d2, 1e-30))
+                        zc[0] = jnp.where(inside, cx + dx * s_, zc[0])
+                        zc[1] = jnp.where(inside, cy + dy * s_, zc[1])
+                        zc[2] = jnp.where(inside, cz + dz * s_, zc[2])
+                    elif kind == "cylinder":  # axis ∥ z through (cx,cy)
+                        cx, cy, r = prm
+                        dx = zc[0] - cx
+                        dy = zc[1] - cy
+                        d2 = dx * dx + dy * dy
+                        inside = d2 < r * r
+                        s_ = r * jax.lax.rsqrt(jnp.maximum(d2, 1e-30))
+                        zc[0] = jnp.where(inside, cx + dx * s_, zc[0])
+                        zc[1] = jnp.where(inside, cy + dy * s_, zc[1])
                 for a in range(3):
                     un = ST[srows(SCU + a)] + ST[srows(SX + a)] - zc[a]
                     ST[srows(SCU + a)] = un
-                    ST[srows(SB + a)] += floor_w2 * vmask * (zc[a] - un)
+                    ST[srows(SB + a)] += coll_w2 * vmask * (zc[a] - un)
 
             if uell_meta is not None:
                 slot_qs = uell_meta["slot_qs"]
@@ -494,14 +524,14 @@ def _make_banded_kernel(Nr, Wr, n_chunks, n_iters, dia_offs, model,
     jax.jit,
     static_argnames=(
         "dia_offs", "model", "newton_iters", "cg_iters", "dt", "dt2",
-        "gvec", "n_iters", "n_steps", "Wr", "floor_y", "floor_w2",
+        "gvec", "n_iters", "n_steps", "Wr", "coll_shapes", "coll_w2",
         "halves", "interpret", "uell_meta_static",
     ),
     donate_argnums=(9,),
 )
 def _banded_call(p2d, dia2d, ucc2d, rbase, fblk, x0, v0, au0, cu0, d,
                  dia_offs, model, newton_iters, cg_iters, dt, dt2, gvec,
-                 n_iters, n_steps, Wr, floor_y, floor_w2, halves,
+                 n_iters, n_steps, Wr, coll_shapes, coll_w2, halves,
                  interpret, uell_meta_static):
     Nr = x0.shape[0] // 3
     n_chunks = fblk.shape[0]
@@ -513,7 +543,7 @@ def _banded_call(p2d, dia2d, ucc2d, rbase, fblk, x0, v0, au0, cu0, d,
         }
     kern = _make_banded_kernel(
         Nr, Wr, n_chunks, n_iters, dia_offs, model, newton_iters,
-        cg_iters, dt, dt2, gvec, floor_y, floor_w2, halves, interpret,
+        cg_iters, dt, dt2, gvec, coll_shapes, coll_w2, halves, interpret,
         uell_meta,
     )
     vm = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -554,6 +584,7 @@ def _banded_call(p2d, dia2d, ucc2d, rbase, fblk, x0, v0, au0, cu0, d,
 def banded_rollout(p2d, dia2d, rbase, fblk, x0, v0, au0, cu0, d, *,
                    dia_offs, model, newton_iters, cg_iters, dt, gravity,
                    n_iters, n_steps, Wr, floor_y=None, floor_w2=0.0,
+                   coll_shapes=None, coll_w2=None,
                    halves=None, interpret=None, ucc2d=None,
                    uell_slot_qs=None, uell_fold_qs=None,
                    uell_packed=False):
@@ -573,6 +604,20 @@ def banded_rollout(p2d, dia2d, rbase, fblk, x0, v0, au0, cu0, d, *,
         interpret = jax.default_backend() == "cpu"
     if halves is None:
         halves = 2 if fblk.shape[0] >= 8 else 1
+    # floor_y/floor_w2 are kept as sugar for the single-floor case;
+    # coll_shapes generalizes to any static list of
+    # ('floor',(y,)) | ('sphere',(cx,cy,cz,r)) | ('cylinder',(cx,cy,r))
+    # applied in declaration order with one shared weight coll_w2
+    if coll_shapes is None:
+        coll_shapes = (
+            (("floor", (float(floor_y),)),) if floor_y is not None else ()
+        )
+        coll_w2 = float(floor_w2)
+    else:
+        coll_shapes = tuple(
+            (str(k), tuple(float(q) for q in prm)) for k, prm in coll_shapes
+        )
+        coll_w2 = float(coll_w2 if coll_w2 is not None else floor_w2)
     if uell_slot_qs is not None:
         uell_meta_static = (
             tuple(int(q) for q in uell_slot_qs),
@@ -589,7 +634,7 @@ def banded_rollout(p2d, dia2d, rbase, fblk, x0, v0, au0, cu0, d, *,
         dt=float(dt), dt2=float(dt) ** 2,
         gvec=tuple(float(q) for q in gravity),
         n_iters=int(n_iters), n_steps=int(n_steps), Wr=int(Wr),
-        floor_y=None if floor_y is None else float(floor_y),
-        floor_w2=float(floor_w2), halves=int(halves),
+        coll_shapes=coll_shapes,
+        coll_w2=coll_w2, halves=int(halves),
         interpret=bool(interpret), uell_meta_static=uell_meta_static,
     )

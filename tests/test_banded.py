@@ -157,6 +157,48 @@ def test_banded_floor_collision():
     np.testing.assert_allclose(fast.x, ref.x, rtol=1e-6, atol=1e-8)
 
 
+def test_banded_sphere_cylinder_collision():
+    """plinko-class analytic shapes in-kernel: a mixed Floor + Sphere +
+    Cylinder CollisionForce, declaration-order projection, matches the
+    general path (reference loop CollisionForce.cpp:53-70)."""
+    from admm_elastic_tpu.models import Cylinder, Sphere
+
+    mesh = jittered_beam(seed=11)
+    lo = mesh.vertices.min(0)
+    hi = mesh.vertices.max(0)
+    mid = 0.5 * (lo + hi)
+    shapes = [
+        Floor(center=(0.0, float(lo[1]) - 0.45, 0.0)),
+        Sphere(center=(float(mid[0]), float(lo[1]) - 0.25, float(mid[2])),
+               radius=0.2),
+        Cylinder(center=(float(lo[0]) + 0.1, float(lo[1]) - 0.2, 0.0),
+                 radius=0.15),
+    ]
+
+    def build(fast):
+        n = mesh.n_vertices
+        s = System(Settings(timestep_s=0.04, admm_iters=6, verbose=0,
+                            dtype=F64, lattice_fast_path=fast,
+                            global_solver="dia", dense_max_nodes=0))
+        s.add_nodes(mesh.vertices, np.full(n, 2.0 / n))
+        s.add_force(HyperElasticTet(mesh.tets, mu=1e4, lam=2.5e4,
+                                    max_iters=4, model="nh",
+                                    backend="pallas"))
+        s.add_force(Collision(list(shapes), n_nodes=n))
+        s.add_explicit_force(ExplicitForce(direction=(0, -9.8, 0)))
+        assert s.initialize()
+        return s
+
+    ref = build(False)
+    fast = build(True)
+    _assert_banded(fast)
+    for _ in range(10):  # free fall onto the shapes
+        ref.step()
+        fast.step()
+    assert fast.x[:, 1].min() > lo[1] - 0.8, "shapes must stop the fall"
+    np.testing.assert_allclose(fast.x, ref.x, rtol=1e-6, atol=1e-8)
+
+
 def test_banded_rollout_windows_match_steps():
     mesh = jittered_beam(seed=9)
     a = build_system(mesh, fast=True)
