@@ -212,6 +212,9 @@ class BandedStepper:
         subs = np.pad(subs, ((0, n_chunks * SUB - n_sub), (0, 0)),
                       constant_values=-1)
         self.n_chunks = n_chunks
+        # chunk -> element-id map (pads -1), kept for per-scenario
+        # material-plane refills (core/sweep.SweepStepper)
+        self._subs = subs.reshape(n_chunks, SUB, LANES)
 
         rbase = np.zeros(n_chunks, np.int32)
         wr_need = 1
@@ -448,9 +451,15 @@ class BandedStepper:
         return True
 
 
-def banded_from_system(system):
+def banded_from_system(system, _pack_vals=None):
     """Build a BandedStepper equivalent to an initialized dia-mode System
     when its force set qualifies. Returns (stepper, to_canonical) or None.
+
+    _pack_vals: optional (nnz,) override of the A_hat entry values (in the
+    assembled CSR's data order) used ONLY to pick the uell packing
+    structure (nz filter + slot layout) — sweep builders pass the UNION
+    magnitude over scenarios so the shared structure covers every
+    scenario's pattern.
 
     Qualifying configuration: one tet force (HyperElasticTet nh/stvk or
     LinearTetStrain — per-element materials allowed), StaticAnchors (any
@@ -559,10 +568,11 @@ def banded_from_system(system):
         A = _assemble_A_hat_csr(n, system._mi, s.timestep_s, cparams)
         diag = A.diagonal().copy()
         Ac = A.tocoo()
-        nz = Ac.data != 0.0  # structural zeros would waste slot planes
+        pv = Ac.data if _pack_vals is None else np.asarray(_pack_vals)
+        nz = pv != 0.0  # structural zeros would waste slot planes
         try:
             packed, positions = pack_uell_auto(
-                Ac.row[nz], Ac.col[nz], Ac.data[nz], system._xi)
+                Ac.row[nz], Ac.col[nz], pv[nz], system._xi)
         except ValueError:
             return None
         dia_offs = ()

@@ -170,7 +170,7 @@ def pack_uell(rows, cols, vals, positions, n_pos, cap_quantile=0.99,
     n_pad = -(-cap_total // (8 * LANES)) * (8 * LANES)
     Nr = n_pad // LANES
 
-    def build(tt, ss, vv):
+    def build(tt, ss, vv, fill=None):
         qv = ss // LANES - tt // LANES
         rkv = _group_ranks(tt, qv)
         out = []
@@ -184,10 +184,21 @@ def pack_uell(rows, cols, vals, positions, n_pos, cap_quantile=0.99,
                 tm, sm, vm = tt[m], ss[m], vv[m]
                 cc[tm // LANES, tm % LANES] = (sm % LANES).astype(np.int32)
                 vp[tm // LANES, tm % LANES] = vm
+                if fill is not None:
+                    fill[0][m] = len(out)
+                    fill[1][m] = tm // LANES
+                    fill[2][m] = tm % LANES
                 out.append((int(qq), cc, vp))
         return out
 
-    slots = build(t, s, v)
+    # per-entry placement (plane, row, lane) in the ORIGINAL entry order —
+    # lets callers refill the value planes for new values over the same
+    # sparsity (e.g. per-scenario stiffness sweeps); the slot STRUCTURE
+    # depends only on the pattern, never on the values
+    n_entries = len(t)
+    fill = (np.zeros(n_entries, np.int32), np.zeros(n_entries, np.int32),
+            np.zeros(n_entries, np.int32))
+    slots = build(t, s, v, fill)
     if len(slots) > max_slots:
         raise ValueError(
             f"uell: {len(slots)} slots exceed budget {max_slots}"
@@ -207,7 +218,23 @@ def pack_uell(rows, cols, vals, positions, n_pos, cap_quantile=0.99,
         "folds": folds,
         "n_slots": len(slots),
         "n_fold_ops": sum(len(f) for f in folds),
+        "fill": fill,
     }
+
+
+def refill_uell_values(packed, vals):
+    """Value planes for new entry values over packed's sparsity. `vals` is
+    (..., n_entries) in the SAME entry order given to pack_uell. Returns
+    (..., n_slots, Nr, 128) f64 — slot planes only (fold planes are
+    value-independent weight-1 adds)."""
+    plane, row, lane = packed["fill"]
+    n_slots = packed["n_slots"]
+    Nr = packed["n_pad"] // LANES
+    vals = np.asarray(vals, np.float64)
+    lead = vals.shape[:-1]
+    out = np.zeros(lead + (n_slots, Nr, LANES), np.float64)
+    out[..., plane, row, lane] = vals
+    return out
 
 
 def pack_uell_auto(rows, cols, vals, vertices, max_slots=160,

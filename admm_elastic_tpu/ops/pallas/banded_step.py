@@ -142,7 +142,8 @@ def _shifted(xp, off, Nr, interpret):
 
 def _make_banded_kernel(Nr, Wr, n_chunks, n_iters, dia_offs, model,
                         newton_iters, cg_iters, dt, dt2, gvec,
-                        coll_shapes, coll_w2, halves, interpret, uell_meta):
+                        coll_shapes, coll_w2, halves, interpret, uell_meta,
+                        sweep=False):
     has_coll = len(coll_shapes) > 0
     SOLVE = n_chunks
     # Row-half chunking of the local-step body: Mosaic stack-allocates
@@ -164,12 +165,36 @@ def _make_banded_kernel(Nr, Wr, n_chunks, n_iters, dia_offs, model,
         return slice(plane * SUB + h * HS, plane * SUB + (h + 1) * HS)
 
     def kernel(p2d_ref, dia_ref, ucc_ref, rbase_ref,
-               fblk_hbm, x0_hbm, v0_hbm, au0_hbm, cu0_hbm, d_hbm,
+               fblk_hbm, matv_ref, x0_hbm, v0_hbm, au0_hbm, cu0_hbm, d_hbm,
                x_out, v_out, d_out, au_out, cu_out,
                ST, FB, DB, BW, sem):
-        st = pl.program_id(0)
-        i = pl.program_id(1)
-        p1 = pl.program_id(2)
+        # sweep mode: a leading SCENARIO grid axis — every scenario runs
+        # the identical single-scenario program against its own state/
+        # material/matrix planes (p2d/dia2d/matv/x0.../d are per-scenario;
+        # topology planes fblk/ucc/rbase are shared). The VMEM state
+        # scratch is re-seeded at each scenario's first grid step.
+        if sweep:
+            sc = pl.program_id(0)
+            st = pl.program_id(1)
+            i = pl.program_id(2)
+            p1 = pl.program_id(3)
+        else:
+            st = pl.program_id(0)
+            i = pl.program_id(1)
+            p1 = pl.program_id(2)
+
+        def hb(ref):
+            """Per-scenario view of an HBM ref holding state."""
+            return ref.at[sc] if sweep else ref
+
+        def matp(p, h):
+            """Material plane p (0 w2, 1 mu, 2 lam, 3 k) for row-half h:
+            per-scenario matv planes in sweep mode, static FB planes
+            otherwise."""
+            if sweep:
+                return matv_ref[slice(p * SUB + h * HS,
+                                      p * SUB + (h + 1) * HS)]
+            return FB[hrows((W2P, MUP, LAMP, KP)[p], h)]
 
         def plane(pref, p):
             return pref[srows(p)]
@@ -180,7 +205,7 @@ def _make_banded_kernel(Nr, Wr, n_chunks, n_iters, dia_offs, model,
         def _seed():
             for src, dst in ((x0_hbm, x_out), (v0_hbm, v_out),
                              (au0_hbm, au_out), (cu0_hbm, cu_out)):
-                c = pltpu.make_async_copy(src, dst, sem)
+                c = pltpu.make_async_copy(hb(src), dst, sem)
                 c.start()
                 c.wait()
             ST[slice(SX * Nr, (SX + 3) * Nr)] = x_out[:, :]
@@ -219,13 +244,17 @@ def _make_banded_kernel(Nr, Wr, n_chunks, n_iters, dia_offs, model,
 
             @pl.when(first)
             def _din0():
-                cd = pltpu.make_async_copy(d_hbm.at[c], DB, sem)
+                cd = pltpu.make_async_copy(
+                    d_hbm.at[sc, c] if sweep else d_hbm.at[c], DB, sem
+                )
                 cd.start()
                 cd.wait()
 
             @pl.when(jnp.logical_not(first))
             def _din():
-                cd = pltpu.make_async_copy(d_out.at[c], DB, sem)
+                cd = pltpu.make_async_copy(
+                    d_out.at[sc, c] if sweep else d_out.at[c], DB, sem
+                )
                 cd.start()
                 cd.wait()
 
@@ -282,9 +311,9 @@ def _make_banded_kernel(Nr, Wr, n_chunks, n_iters, dia_offs, model,
                     w1 = jnp.where(collapsed, 1e-3, w1)
                     w2_ = jnp.where(collapsed, 1e-3, w2_)
                     w3 = jnp.where(collapsed, 1e-3, w3)
-                    mu = FB[hrows(MUP, h)]
-                    lam = FB[hrows(LAMP, h)]
-                    kp = FB[hrows(KP, h)]
+                    mu = matp(1, h)
+                    lam = matp(2, h)
+                    kp = matp(3, h)
                     x1, x2, x3 = _newton_hyper(
                         s, (w1, w2_, w3), mu, lam, kp, newton_iters, model
                     )
@@ -304,8 +333,8 @@ def _make_banded_kernel(Nr, Wr, n_chunks, n_iters, dia_offs, model,
                     one = jnp.ones_like(s[0])
                     s3 = jnp.where(s[2] < 0, -one, one)
                     sig = (one, one, s3)
-                    w2e = FB[hrows(W2P, h)]
-                    kp = FB[hrows(KP, h)]
+                    w2e = matp(0, h)
+                    kp = matp(3, h)
                     mix = 1.0 / (w2e + jnp.where(w2e + kp > 0, kp, 1.0))
                     for r in range(3):
                         for c2 in range(3):
@@ -320,7 +349,7 @@ def _make_banded_kernel(Nr, Wr, n_chunks, n_iters, dia_offs, model,
                     DB[hrows(p, h)] = up[p]
 
                 # scatter b += w2 D^T (z - u'); (z - u') = F - 2 u'
-                w2e = FB[hrows(W2P, h)]
+                w2e = matp(0, h)
                 zu = [w2e * (f[p] - 2.0 * up[p]) for p in range(9)]
                 for k in range(4):
                     Pk = FB[hrows(PP0 + k, h)].astype(jnp.int32)
@@ -341,7 +370,9 @@ def _make_banded_kernel(Nr, Wr, n_chunks, n_iters, dia_offs, model,
                     a * Wr : (a + 1) * Wr, :
                 ]
 
-            cd = pltpu.make_async_copy(DB, d_out.at[c], sem)
+            cd = pltpu.make_async_copy(
+                DB, d_out.at[sc, c] if sweep else d_out.at[c], sem
+            )
             cd.start()
             cd.wait()
 
@@ -525,15 +556,16 @@ def _make_banded_kernel(Nr, Wr, n_chunks, n_iters, dia_offs, model,
     static_argnames=(
         "dia_offs", "model", "newton_iters", "cg_iters", "dt", "dt2",
         "gvec", "n_iters", "n_steps", "Wr", "coll_shapes", "coll_w2",
-        "halves", "interpret", "uell_meta_static",
+        "halves", "interpret", "uell_meta_static", "n_scen",
     ),
-    donate_argnums=(9,),
+    donate_argnums=(10,),
 )
-def _banded_call(p2d, dia2d, ucc2d, rbase, fblk, x0, v0, au0, cu0, d,
+def _banded_call(p2d, dia2d, ucc2d, rbase, fblk, matv, x0, v0, au0, cu0, d,
                  dia_offs, model, newton_iters, cg_iters, dt, dt2, gvec,
                  n_iters, n_steps, Wr, coll_shapes, coll_w2, halves,
-                 interpret, uell_meta_static):
-    Nr = x0.shape[0] // 3
+                 interpret, uell_meta_static, n_scen):
+    sweep = n_scen is not None
+    Nr = x0.shape[-2] // 3
     n_chunks = fblk.shape[0]
     uell_meta = None
     if uell_meta_static is not None:
@@ -544,16 +576,37 @@ def _banded_call(p2d, dia2d, ucc2d, rbase, fblk, x0, v0, au0, cu0, d,
     kern = _make_banded_kernel(
         Nr, Wr, n_chunks, n_iters, dia_offs, model, newton_iters,
         cg_iters, dt, dt2, gvec, coll_shapes, coll_w2, halves, interpret,
-        uell_meta,
+        uell_meta, sweep=sweep,
     )
     vm = pl.BlockSpec(memory_space=pltpu.VMEM)
     sm = pl.BlockSpec(memory_space=pltpu.SMEM)
     hbm = pl.BlockSpec(memory_space=pl.ANY)
+    if sweep:
+        grid = (n_scen, n_steps, n_iters, n_chunks + 1)
+
+        def scb(shape):
+            """Per-scenario VMEM block of a (S, ...) array."""
+            return pl.BlockSpec(
+                (None,) + shape, lambda sc, st, i, c: (sc,) + (0,) * len(shape)
+            )
+
+        matv_spec = pl.BlockSpec(
+            (None, None, 4 * SUB, LANES),
+            lambda sc, st, i, c: (sc, jnp.minimum(c, n_chunks - 1), 0, 0),
+        )
+        in_specs = [scb(p2d.shape[1:]), scb(dia2d.shape[1:]), vm, sm, hbm,
+                    matv_spec, hbm, hbm, hbm, hbm, hbm]
+        out_specs = [scb(x0.shape[1:]), scb(v0.shape[1:]), hbm,
+                     scb(au0.shape[1:]), scb(cu0.shape[1:])]
+    else:
+        grid = (n_steps, n_iters, n_chunks + 1)
+        in_specs = [vm, vm, vm, sm, hbm, vm, hbm, hbm, hbm, hbm, hbm]
+        out_specs = [vm, vm, hbm, vm, vm]
     out = pl.pallas_call(
         kern,
-        grid=(n_steps, n_iters, n_chunks + 1),
-        in_specs=[vm, vm, vm, sm, hbm, hbm, hbm, hbm, hbm, hbm],
-        out_specs=[vm, vm, hbm, vm, vm],
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
         out_shape=[
             jax.ShapeDtypeStruct(x0.shape, x0.dtype),
             jax.ShapeDtypeStruct(v0.shape, v0.dtype),
@@ -561,7 +614,7 @@ def _banded_call(p2d, dia2d, ucc2d, rbase, fblk, x0, v0, au0, cu0, d,
             jax.ShapeDtypeStruct(au0.shape, au0.dtype),
             jax.ShapeDtypeStruct(cu0.shape, cu0.dtype),
         ],
-        input_output_aliases={9: 2},
+        input_output_aliases={10: 2},
         scratch_shapes=[
             pltpu.VMEM((STATE_PLANES * Nr, LANES), x0.dtype),
             pltpu.VMEM((FB_PLANES * SUB, LANES), x0.dtype),
@@ -577,7 +630,7 @@ def _banded_call(p2d, dia2d, ucc2d, rbase, fblk, x0, v0, au0, cu0, d,
             vmem_limit_bytes=100 * 2**20,
         ),
         interpret=interpret,
-    )(p2d, dia2d, ucc2d, rbase, fblk, x0, v0, au0, cu0, d)
+    )(p2d, dia2d, ucc2d, rbase, fblk, matv, x0, v0, au0, cu0, d)
     return out
 
 
@@ -587,7 +640,7 @@ def banded_rollout(p2d, dia2d, rbase, fblk, x0, v0, au0, cu0, d, *,
                    coll_shapes=None, coll_w2=None,
                    halves=None, interpret=None, ucc2d=None,
                    uell_slot_qs=None, uell_fold_qs=None,
-                   uell_packed=False):
+                   uell_packed=False, matv=None, n_scen=None):
     """n_steps whole timesteps in ONE kernel call.
 
     p2d: (7*Nr,128) packed vertex planes [aw2, 1/diag, mass, vmask,
@@ -599,6 +652,14 @@ def banded_rollout(p2d, dia2d, rbase, fblk, x0, v0, au0, cu0, d, *,
     halves: row-half chunking factor for the local-step body (1, 2 or 4;
     bit-identical results). Default: 2 at >=8 chunks (the 16 MB
     scoped-VMEM stack limit binds at large scale), else 1.
+
+    SWEEP mode (n_scen=S): run S independent scenarios of the SAME
+    topology in one kernel (a leading scenario grid axis; each scenario
+    is the identical single-scenario program). Per-scenario arrays gain
+    a leading S axis: p2d, dia2d (matrix values), x0/v0/au0/cu0, d, and
+    `matv` (S, n_chunks, 4*SUB, 128) — per-scenario element material
+    planes [w2, mu, lam, k] (padding lanes: w2=0, mu=lam=k=1). Topology
+    planes (fblk/ucc2d/rbase) stay shared.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -627,8 +688,12 @@ def banded_rollout(p2d, dia2d, rbase, fblk, x0, v0, au0, cu0, d, *,
     else:
         uell_meta_static = None
         ucc2d = jnp.zeros((1, LANES), jnp.int32)
+    if n_scen is None:
+        matv = jnp.zeros((8, LANES), x0.dtype)  # unused dummy
+    elif matv is None:
+        raise ValueError("sweep mode (n_scen) requires matv planes")
     return _banded_call(
-        p2d, dia2d, ucc2d, rbase, fblk, x0, v0, au0, cu0, d,
+        p2d, dia2d, ucc2d, rbase, fblk, matv, x0, v0, au0, cu0, d,
         dia_offs=tuple(int(o) for o in dia_offs), model=str(model),
         newton_iters=int(newton_iters), cg_iters=int(cg_iters),
         dt=float(dt), dt2=float(dt) ** 2,
@@ -637,4 +702,5 @@ def banded_rollout(p2d, dia2d, rbase, fblk, x0, v0, au0, cu0, d, *,
         coll_shapes=coll_shapes,
         coll_w2=coll_w2, halves=int(halves),
         interpret=bool(interpret), uell_meta_static=uell_meta_static,
+        n_scen=None if n_scen is None else int(n_scen),
     )

@@ -88,29 +88,33 @@ def batch_params(params, sweep: dict, n_scenarios: int, system=None):
     return batched
 
 
-def _rebatch_solver(batched, sweep, n_scenarios, system):
-    """Re-assemble the precomputed ell/dia global matrix per scenario with
-    the swept weights applied — VECTORIZED over scenarios.
+def batched_A_values(system, w2_b):
+    """Per-scenario A_hat values over the shared topological sparsity —
+    VECTORIZED over scenarios.
 
     The sparsity pattern is topological (structural zeros retained), so
     only the VALUES change: A_s = diag(m) + dt^2 sum_e w2[s,e] * Me with
     Me = C_e^T C_e constant. One pass precomputes every COO entry's slot
     in the shared CSR pattern; the batched fill is then a single bincount
     over (scenario, slot) — 1024-scenario setup in well under a second
-    where the old per-scenario scipy loop took minutes.
+    where a per-scenario scipy loop took minutes.
+
+    w2_b: (S, total elements) squared weights, concatenated in
+    `system._constraint_names` order. Returns (A, vals, diag_b): the
+    shared-pattern CSR matrix A (values = scenario of w2_b[0] — callers
+    use only its structure), vals (S, nnz) in A.data (CSR = COO) order,
+    and diag_b (S, n).
     """
     import scipy.sparse as sp
 
     from ..core.solver import _assemble_A_hat_csr
 
-    mode = system._solver_mode
     n = system.n_nodes
     dt = system.settings.timestep_s
     dt2 = dt * dt
-    S = n_scenarios
+    S = len(w2_b)
     masses = np.asarray(getattr(system, "_mi", system._m), np.float64)
     names = list(system._constraint_names)
-    dtype = batched["_solver"]["diag"].dtype
 
     base_params = {
         name: {k: np.asarray(v) for k, v in system.params[name].items()}
@@ -142,11 +146,7 @@ def _rebatch_solver(batched, sweep, n_scenarios, system):
     slots = np.concatenate(slot_all)
     base = np.concatenate(base_all)
     wcol = np.concatenate(wcol_all)
-    w2_b = np.concatenate(
-        [np.asarray(batched[name]["weight"], np.float64) ** 2
-         for name in names],
-        axis=1,
-    )  # (S, total elements)
+    w2_b = np.asarray(w2_b, np.float64)
     contrib = base[None, :] * w2_b[:, wcol]  # (S, total entries)
     comb = (np.arange(S, dtype=np.int64)[:, None] * nnz + slots[None, :])
     vals = np.bincount(
@@ -155,6 +155,44 @@ def _rebatch_solver(batched, sweep, n_scenarios, system):
     dslots = np.asarray(slot_lut[np.arange(n), np.arange(n)]).ravel() - 1
     vals[:, dslots] += masses[None, :]
     diag_b = vals[:, dslots]
+    return A, vals, diag_b
+
+
+def sweep_w2_b(system, sweep_or_batched, n_scenarios):
+    """(S, total elements) squared weights in `system._constraint_names`
+    order, from either a raw sweep dict ({(name, 'weight'): (S[,E])}) or
+    batch_params output ({name: {'weight': (S, E)}})."""
+    S = n_scenarios
+    cols = []
+    for name in system._constraint_names:
+        base = np.asarray(system.params[name]["weight"], np.float64)
+        E = len(np.asarray(system.params[name]["indices"]))
+        w = None
+        if (name, "weight") in sweep_or_batched:
+            w = np.asarray(sweep_or_batched[(name, "weight")], np.float64)
+        elif (name in sweep_or_batched
+              and "weight" in sweep_or_batched[name]):
+            w = np.asarray(sweep_or_batched[name]["weight"], np.float64)
+        if w is None:
+            w = np.broadcast_to(np.broadcast_to(base, (E,)), (S, E))
+        else:
+            if w.ndim == 1:
+                w = w[:, None]
+            w = np.broadcast_to(w, (S, E))
+        cols.append(w**2)
+    return np.concatenate(cols, axis=1)
+
+
+def _rebatch_solver(batched, sweep, n_scenarios, system):
+    """Re-assemble the precomputed ell/dia global matrix per scenario with
+    the swept weights applied (see batched_A_values)."""
+    mode = system._solver_mode
+    n = system.n_nodes
+    S = n_scenarios
+    dtype = batched["_solver"]["diag"].dtype
+    w2_b = sweep_w2_b(system, batched, n_scenarios)
+    A, vals, diag_b = batched_A_values(system, w2_b)
+    indptr, nnz = A.indptr, A.nnz
 
     coo = A.tocoo()
     if mode == "dia":

@@ -260,11 +260,14 @@ def build_windyflag(dtype):
 
 
 def bench_sweep(dtype, n_scenarios=64, steps=10, global_solver="ell",
-                local_backend="pallas"):
+                local_backend="pallas", kernel=True):
     """Scenario-batch sweep: n parallel hyperelastic drops with varied
-    stiffness (the BASELINE '64 parallel armadillo drops' workload),
-    vmapped in a single program.
+    stiffness (the BASELINE '64 parallel armadillo drops' workload).
 
+    kernel=True (default): scenario-sweep whole-timestep kernel — every
+    scenario runs the single-scenario banded program under a leading
+    scenario grid axis, one pallas_call per rollout window.
+    kernel=False: the round-1 vmapped general path.
     global_solver: 'cg' (matrix-free) or 'ell' (per-scenario re-assembled
     precomputed matrix + fused CG; batch_params(..., system=) handles the
     weight sweep)."""
@@ -310,6 +313,30 @@ def bench_sweep(dtype, n_scenarios=64, steps=10, global_solver="ell",
         (het.name, "k"): np.repeat(mus[:, None], E, axis=1),
         (het.name, "weight"): np.sqrt(mus[:, None] * vols[None, :]),
     }
+    if kernel:
+        # scenario-sweep whole-timestep kernel (core/sweep.py): all
+        # scenarios in ONE pallas_call per rollout window; falls through
+        # to the vmapped general path if the scene doesn't qualify
+        from admm_elastic_tpu.core.sweep import sweep_from_system
+
+        out = sweep_from_system(sys_, sweep, n_scenarios)
+        if out is not None:
+            stepper, _cid = out
+            W = stepper.ROLLOUT_WINDOW
+            reps = max(1, steps // W)
+            stepper.run(W)  # warmup (compile)
+            jax.block_until_ready(stepper.state["x"])
+            times = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                stepper.run(W)
+                jax.block_until_ready(stepper.state["x"])
+                times.append((time.perf_counter() - t0) / W)
+            assert np.isfinite(np.asarray(stepper.state["x"])).all()
+            return float(np.median(times)), n_scenarios, E
+        print("# sweep kernel did not engage; vmapped general path",
+              file=sys.stderr)
+
     step = vmap_step(sys_)
     bstate = batch_state(sys_.state, n_scenarios)
     bparams = batch_params(sys_.params, sweep, n_scenarios, system=sys_)
@@ -529,7 +556,8 @@ def main():
     elif args.preset == "sweep64":
         solver = args.global_solver if args.global_solver in ("cg", "ell") else "ell"
         ms, n_sc, E = bench_sweep(dtype, steps=args.steps, global_solver=solver,
-                                  local_backend=args.local_backend)
+                                  local_backend=args.local_backend,
+                                  kernel=args.lattice)
         print(
             f"# sweep: {n_sc} scenarios x {E} tets, {ms*1e3:.2f} ms/step total",
             file=sys.stderr,
