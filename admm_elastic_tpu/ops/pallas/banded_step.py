@@ -183,10 +183,6 @@ def _make_banded_kernel(Nr, Wr, n_chunks, n_iters, dia_offs, model,
             i = pl.program_id(1)
             p1 = pl.program_id(2)
 
-        def hb(ref):
-            """Per-scenario view of an HBM ref holding state."""
-            return ref.at[sc] if sweep else ref
-
         def matp(p, h):
             """Material plane p (0 w2, 1 mu, 2 lam, 3 k) for row-half h:
             per-scenario matv planes in sweep mode, static FB planes
@@ -199,13 +195,23 @@ def _make_banded_kernel(Nr, Wr, n_chunks, n_iters, dia_offs, model,
         def plane(pref, p):
             return pref[srows(p)]
 
-        # ---- very first grid step: seed live state (DMA whole aligned
-        # buffers only — sub-tile VMEM slices are not DMA-able)
+        # ---- very first grid step (per scenario in sweep mode): seed the
+        # live state. Non-sweep: x0... are HBM refs — DMA whole aligned
+        # buffers only (sub-tile VMEM slices are not DMA-able), staged
+        # through the VMEM outputs. Sweep: x0... arrive as per-scenario
+        # blocked VMEM inputs (squeezed block refs are not DMA targets on
+        # Mosaic), so the seed is plain vector copies.
         @pl.when(jnp.logical_and(st == 0, jnp.logical_and(i == 0, p1 == 0)))
         def _seed():
+            if sweep:
+                ST[slice(SX * Nr, (SX + 3) * Nr)] = x0_hbm[:, :]
+                ST[slice(SV * Nr, (SV + 3) * Nr)] = v0_hbm[:, :]
+                ST[slice(SAU * Nr, (SAU + 3) * Nr)] = au0_hbm[:, :]
+                ST[slice(SCU * Nr, (SCU + 3) * Nr)] = cu0_hbm[:, :]
+                return
             for src, dst in ((x0_hbm, x_out), (v0_hbm, v_out),
                              (au0_hbm, au_out), (cu0_hbm, cu_out)):
-                c = pltpu.make_async_copy(hb(src), dst, sem)
+                c = pltpu.make_async_copy(src, dst, sem)
                 c.start()
                 c.wait()
             ST[slice(SX * Nr, (SX + 3) * Nr)] = x_out[:, :]
@@ -595,7 +601,8 @@ def _banded_call(p2d, dia2d, ucc2d, rbase, fblk, matv, x0, v0, au0, cu0, d,
             lambda sc, st, i, c: (sc, jnp.minimum(c, n_chunks - 1), 0, 0),
         )
         in_specs = [scb(p2d.shape[1:]), scb(dia2d.shape[1:]), vm, sm, hbm,
-                    matv_spec, hbm, hbm, hbm, hbm, hbm]
+                    matv_spec, scb(x0.shape[1:]), scb(v0.shape[1:]),
+                    scb(au0.shape[1:]), scb(cu0.shape[1:]), hbm]
         out_specs = [scb(x0.shape[1:]), scb(v0.shape[1:]), hbm,
                      scb(au0.shape[1:]), scb(cu0.shape[1:])]
     else:
