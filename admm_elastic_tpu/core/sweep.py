@@ -55,28 +55,50 @@ class SweepStepper:
     model_name = "sweep"
 
     def __init__(self, base: BandedStepper, n_scen: int, p2d_b, dia2d_b,
-                 matv_b):
+                 matv_b, mesh=None, data_axis: str = "data"):
         self.base = base
         self.n_scen = int(n_scen)
         self.dt = base.dt
         self.dtype = base.dtype
-        self._p2d = jnp.asarray(p2d_b, base.dtype)
-        self._dia2d = jnp.asarray(dia2d_b, base.dtype)
-        self._matv = jnp.asarray(matv_b, base.dtype)
+        self.mesh = mesh
+        self.data_axis = data_axis
+        if mesh is not None and self.n_scen % mesh.shape[data_axis]:
+            raise ValueError(
+                f"n_scen={self.n_scen} not divisible by mesh axis "
+                f"{data_axis!r} ({mesh.shape[data_axis]} devices)"
+            )
+        self._p2d = self._shard(jnp.asarray(p2d_b, base.dtype))
+        self._dia2d = self._shard(jnp.asarray(dia2d_b, base.dtype))
+        self._matv = self._shard(jnp.asarray(matv_b, base.dtype))
         S = self.n_scen
 
         def tile(a):
-            return jnp.broadcast_to(a[None], (S,) + a.shape)
+            return self._shard(
+                jnp.array(jnp.broadcast_to(a[None], (S,) + a.shape))
+            )
 
         self.state = {
             "x": tile(base.state["x"]),
             "v": tile(base.state["v"]),
-            "d": jnp.array(tile(base.state["d"])),  # donated: materialize
+            "d": tile(base.state["d"]),
             "ancu": tile(base.state["ancu"]),
             "colu": tile(base.state["colu"]),
             "t": base.state["t"],
         }
         self._rollouts = {}
+
+    def _shard(self, a):
+        """Place a leading-scenario-axis array sharded over the data
+        mesh axis (no-op without a mesh)."""
+        if self.mesh is None:
+            return a
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(
+            a,
+            NamedSharding(self.mesh,
+                          P(self.data_axis, *([None] * (a.ndim - 1)))),
+        )
 
     # ------------------------------------------------------------ access
 
@@ -103,9 +125,9 @@ class SweepStepper:
             value = np.broadcast_to(value, (self.n_scen,) + value.shape)
         v = np.zeros((self.n_scen, 3, b.N))
         v[:, :, b._positions] = value.transpose(0, 2, 1)
-        self.state["x"] = jnp.asarray(
+        self.state["x"] = self._shard(jnp.asarray(
             v.reshape(self.n_scen, 3 * b.Nr, LANES), self.dtype
-        )
+        ))
 
     def set_velocities(self, value):
         b = self.base
@@ -114,9 +136,9 @@ class SweepStepper:
             value = np.broadcast_to(value, (self.n_scen,) + value.shape)
         v = np.zeros((self.n_scen, 3, b.N))
         v[:, :, b._positions] = value.transpose(0, 2, 1)
-        self.state["v"] = jnp.asarray(
+        self.state["v"] = self._shard(jnp.asarray(
             v.reshape(self.n_scen, 3 * b.Nr, LANES), self.dtype
-        )
+        ))
 
     # ---------------------------------------------------------- stepping
 
@@ -128,14 +150,14 @@ class SweepStepper:
         if n_steps not in self._rollouts:
             b = self.base
             dt = b.dt
-            p2d, dia2d, matv = self._p2d, self._dia2d, self._matv
-            rbase, fblk = b._rbase, b._fblk
+            n_loc = (self.n_scen if self.mesh is None
+                     else self.n_scen // self.mesh.shape[self.data_axis])
             kw = dict(
                 dia_offs=b.dia_offs, model=b.model,
                 newton_iters=b.newton_iters, cg_iters=b.cg_iters,
                 dt=dt, gravity=b.gravity, n_iters=b.admm_iters,
                 Wr=b.Wr, coll_shapes=b.coll_shapes, coll_w2=b.coll_w2,
-                n_scen=self.n_scen,
+                n_scen=n_loc,
             )
             if b._uell is not None:
                 kw.update(
@@ -145,7 +167,7 @@ class SweepStepper:
                     uell_packed=b._uell_packed,
                 )
 
-            def roll(state):
+            def roll(p2d, dia2d, matv, rbase, fblk, state):
                 x, v, d, au, cu = banded_rollout(
                     p2d, dia2d, rbase, fblk, state["x"], state["v"],
                     state["ancu"], state["colu"], state["d"],
@@ -156,7 +178,35 @@ class SweepStepper:
                     "t": state["t"] + n_steps * dt,
                 }
 
-            self._rollouts[n_steps] = jax.jit(roll, donate_argnums=(0,))
+            if self.mesh is not None:
+                # scenarios are embarrassingly parallel: shard the
+                # scenario axis over the data mesh axis, replicate the
+                # topology planes — each device runs the whole-timestep
+                # sweep kernel on its own scenario slice, zero
+                # collectives (SURVEY §2.6 scenario-batch parallelism
+                # through the fastest path)
+                from jax.sharding import PartitionSpec as P
+
+                ax = self.data_axis
+                sp = P(ax)
+                st_specs = {
+                    "x": sp, "v": sp, "d": sp, "ancu": sp, "colu": sp,
+                    "t": P(),
+                }
+                roll = jax.shard_map(
+                    roll, mesh=self.mesh,
+                    in_specs=(sp, sp, sp, P(), P(), st_specs),
+                    out_specs=st_specs,
+                    # pallas_call out_shapes carry no vma annotation
+                    check_vma=False,
+                )
+
+            fn = jax.jit(roll, donate_argnums=(5,))
+            p2d, dia2d, matv = self._p2d, self._dia2d, self._matv
+            rbase, fblk = b._rbase, b._fblk
+            self._rollouts[n_steps] = lambda state: fn(
+                p2d, dia2d, matv, rbase, fblk, state
+            )
         return self._rollouts[n_steps]
 
     def step(self):
@@ -173,7 +223,8 @@ class SweepStepper:
         return True
 
 
-def sweep_from_system(system, sweep, n_scenarios, x0=None, v0=None):
+def sweep_from_system(system, sweep, n_scenarios, x0=None, v0=None,
+                      mesh=None, data_axis="data"):
     """Build a SweepStepper for `n_scenarios` variants of an initialized
     qualifying System (same qualification as core/banded.banded_from_system).
 
@@ -183,6 +234,9 @@ def sweep_from_system(system, sweep, n_scenarios, x0=None, v0=None):
     sweep-dict semantics for those keys.
     x0/v0: optional per-scenario initial positions/velocities
     (S, n, 3), ORIGINAL (pre-reorder) numbering.
+    mesh/data_axis: optional jax.sharding.Mesh — scenarios shard over
+    `data_axis` (must divide n_scenarios) and each device runs the sweep
+    kernel on its slice under shard_map (zero collectives).
 
     Returns (stepper, to_canonical) or None when the scene does not
     qualify.
@@ -285,7 +339,8 @@ def sweep_from_system(system, sweep, n_scenarios, x0=None, v0=None):
                 real[None], arr[:, e], pad
             )
 
-    stepper = SweepStepper(base, S, p2d_b, dia2d_b, matv_b)
+    stepper = SweepStepper(base, S, p2d_b, dia2d_b, matv_b,
+                           mesh=mesh, data_axis=data_axis)
     cid = np.asarray(cid)
 
     def to_internal(value):

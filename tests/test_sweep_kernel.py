@@ -162,6 +162,31 @@ def test_sweep_arap_and_anchor_weights():
     assert xs[2][:, 1].mean() < xs[0][:, 1].mean() - 1e-3
 
 
+def test_sweep_scenario_sharded_matches_unsharded():
+    """Scenarios shard over a 'data' mesh axis (shard_map, zero
+    collectives): 4 scenarios on 2 virtual devices reproduce the
+    unsharded sweep exactly (each device runs the identical per-scenario
+    program on its slice)."""
+    import jax
+    from jax.sharding import Mesh
+
+    mesh = jittered_beam(seed=13, nx=3, ny=3, nz=2)
+    mus = np.array([4e3, 8e3, 1.5e4, 3e4])
+    base = build_system(mesh, solver="dia", mu=1e4, lam=2.5e4)
+    sweep = stiffness_sweep(base, mus)
+
+    ref_st, cid = sweep_from_system(base, sweep, 4)
+    ref_st.run(2)
+    ref_x = np.asarray(ref_st.x)[:, cid]
+
+    base2 = build_system(mesh, solver="dia", mu=1e4, lam=2.5e4)
+    dmesh = Mesh(np.array(jax.devices()[:2]), ("data",))
+    sh_st, cid2 = sweep_from_system(base2, sweep, 4, mesh=dmesh)
+    sh_st.run(2)
+    sh_x = np.asarray(sh_st.x)[:, cid2]
+    np.testing.assert_allclose(sh_x, ref_x, rtol=0, atol=0)
+
+
 def test_sweep_per_scenario_initial_state():
     """Per-scenario x0 (jittered drops) thread through the seed DMA."""
     mesh = jittered_beam(seed=7)
