@@ -151,7 +151,7 @@ class BandedStepper:
                  cg_iters=25, dtype=jnp.float32,
                  floor_y=None, floor_w2=0.0,
                  coll_shapes=None, coll_w2=None,
-                 positions=None, uell=None):
+                 positions=None, uell=None, collect_residuals=False):
         v = np.asarray(vertices, np.float64)
         n = len(v)
         E = len(tet_idx)
@@ -162,6 +162,12 @@ class BandedStepper:
         self.newton_iters = int(newton_iters)
         self.dtype = dtype
         self.model = str(model)
+        # in-kernel per-iteration PRIMAL residual emission (the dual
+        # residual needs a second scatter pass — general path only)
+        self.collect_residuals = bool(collect_residuals)
+        #: (n_steps, admm_iters) primal residuals of the last step()/run()
+        #: window when collect_residuals is on
+        self.last_primal = None
         self.gravity = tuple(float(q) for q in gravity)
         # static analytic collision shapes, declaration-order projected
         # in-kernel (floor/sphere/cylinder); floor_y/floor_w2 are the
@@ -406,12 +412,13 @@ class BandedStepper:
             p2d, dia2d, rbase, fblk = (
                 self._p2d, self._dia2d, self._rbase, self._fblk
             )
+            collect = self.collect_residuals
             kw = dict(
                 dia_offs=self.dia_offs, model=self.model,
                 newton_iters=self.newton_iters, cg_iters=self.cg_iters,
                 dt=dt, gravity=self.gravity, n_iters=self.admm_iters,
                 Wr=self.Wr, coll_shapes=self.coll_shapes,
-                coll_w2=self.coll_w2,
+                coll_w2=self.coll_w2, collect_residuals=collect,
             )
             if self._uell is not None:
                 kw.update(
@@ -422,32 +429,42 @@ class BandedStepper:
                 )
 
             def roll(state):
-                x, v, d, au, cu = banded_rollout(
+                out = banded_rollout(
                     p2d, dia2d, rbase, fblk, state["x"], state["v"],
                     state["ancu"], state["colu"], state["d"],
                     n_steps=n_steps, **kw
                 )
-                return {
+                x, v, d, au, cu = out[:5]
+                new = {
                     "x": x, "v": v, "d": d, "ancu": au, "colu": cu,
                     "t": state["t"] + n_steps * dt,
                 }
+                return (new, out[5]) if collect else new
 
             self._rollouts[n_steps] = jax.jit(roll, donate_argnums=(0,))
         return self._rollouts[n_steps]
 
+    def _advance(self, n_steps):
+        out = self._roll_fn(n_steps)(self.state)
+        if self.collect_residuals:
+            self.state, self.last_primal = out
+        else:
+            self.state = out
+
     def step(self):
-        self.state = self._roll_fn(1)(self.state)
+        self._advance(1)
         return True
 
     def run(self, n_steps: int):
         """n_steps timesteps, chunked into ROLLOUT_WINDOW-step kernel
-        calls (remainder as single steps)."""
+        calls (remainder as single steps). With collect_residuals,
+        last_primal holds the final window's residuals."""
         W = self.ROLLOUT_WINDOW
         full, rem = divmod(n_steps, W)
         for _ in range(full):
-            self.state = self._roll_fn(W)(self.state)
+            self._advance(W)
         for _ in range(rem):
-            self.state = self._roll_fn(1)(self.state)
+            self._advance(1)
         return True
 
 
@@ -477,7 +494,11 @@ def banded_from_system(system, _pack_vals=None):
     from ..models.tet import HyperElasticTet, LinearTetStrain
 
     s = system.settings
-    if s.collect_residuals or s.residual_tol is not None:
+    # collect_residuals="primal" emits the primal residual in-kernel;
+    # full (primal+dual) collection and residual-driven early exit need
+    # the general path
+    if (s.collect_residuals and s.collect_residuals != "primal") or (
+            s.residual_tol is not None):
         return None
     if getattr(system, "_solver_mode", None) not in ("dia", "ell"):
         return None
@@ -617,6 +638,7 @@ def banded_from_system(system, _pack_vals=None):
             coll_w2=(float(floor.weight_value) ** 2
                      if floor is not None else 0.0),
             positions=positions, uell=packed,
+            collect_residuals=s.collect_residuals == "primal",
         )
     except ValueError:
         return None

@@ -79,9 +79,11 @@ class Settings:
     #: (x += A^{-1}(b - A x) via the sparse ELL matvec) — recovers accuracy
     #: lost to the f32 stored inverse at ~5 ms/step cost
     dense_refine_steps: int = 0
-    #: compute per-iteration primal/dual residuals (Eq. 22-23 noted at
-    #: System.cpp:64-65 but never computed by the reference)
-    collect_residuals: bool = False
+    #: compute per-iteration residuals (Eq. 22-23 noted at
+    #: System.cpp:64-65 but never computed by the reference): True =
+    #: primal + dual (general path), "primal" = primal only — emitted
+    #: in-kernel at ~zero cost when a whole-timestep fast path engages
+    collect_residuals: bool | str = False
     #: when set, stop ADMM iterations early once the primal residual
     #: ||W(Dx-z)|| drops below this absolute tolerance (max admm_iters still
     #: bounds the loop). The reference never implemented its noted early exit.
@@ -367,9 +369,12 @@ class System:
         dia_offsets = getattr(self, "_dia_offsets", None)
         #: dual residual (needs the z-contribution columns) only when
         #: explicitly requested; the primal residual (cheap, via the
-        #: dual-update identity Dx - z = u' - u) also drives residual_tol
-        collect_dual = self.settings.collect_residuals
-        collect = collect_dual or early_tol is not None
+        #: dual-update identity Dx - z = u' - u) also drives residual_tol.
+        #: collect_residuals="primal" skips the dual (and lets the
+        #: whole-timestep fast path emit residuals in-kernel)
+        collect_dual = self.settings.collect_residuals is True
+        collect = (bool(self.settings.collect_residuals)
+                   or early_tol is not None)
         n = self.n_nodes
         cnames = [f.name for f in forces]
 
@@ -598,6 +603,10 @@ class System:
             cb(self)
         if self._lattice is not None:
             self._lattice.step()
+            if getattr(self._lattice, "last_primal", None) is not None:
+                self.last_aux = {
+                    "primal_residual": self._lattice.last_primal[0]
+                }
             self.elapsed_s += self.settings.timestep_s
             return True
         self.state, self.last_aux = self._step_fn(self.state, self.params)
@@ -624,6 +633,11 @@ class System:
         """Advance n_steps entirely on device (no per-step callbacks)."""
         if self._lattice is not None:
             self._lattice.run(n_steps)
+            if getattr(self._lattice, "last_primal", None) is not None:
+                # last kernel window's (window_steps, admm_iters)
+                self.last_aux = {
+                    "primal_residual": self._lattice.last_primal
+                }
             self.elapsed_s += n_steps * self.settings.timestep_s
             return True
         key = ("_rollout", n_steps)

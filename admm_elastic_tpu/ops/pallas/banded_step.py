@@ -143,7 +143,7 @@ def _shifted(xp, off, Nr, interpret):
 def _make_banded_kernel(Nr, Wr, n_chunks, n_iters, dia_offs, model,
                         newton_iters, cg_iters, dt, dt2, gvec,
                         coll_shapes, coll_w2, halves, interpret, uell_meta,
-                        sweep=False):
+                        sweep=False, collect=False):
     has_coll = len(coll_shapes) > 0
     SOLVE = n_chunks
     # Row-half chunking of the local-step body: Mosaic stack-allocates
@@ -166,8 +166,8 @@ def _make_banded_kernel(Nr, Wr, n_chunks, n_iters, dia_offs, model,
 
     def kernel(p2d_ref, dia_ref, ucc_ref, rbase_ref,
                fblk_hbm, matv_ref, x0_hbm, v0_hbm, au0_hbm, cu0_hbm, d_hbm,
-               x_out, v_out, d_out, au_out, cu_out,
-               ST, FB, DB, BW, sem):
+               x_out, v_out, d_out, au_out, cu_out, res_out,
+               ST, FB, DB, BW, racc, sem):
         # sweep mode: a leading SCENARIO grid axis — every scenario runs
         # the identical single-scenario program against its own state/
         # material/matrix planes (p2d/dia2d/matv/x0.../d are per-scenario;
@@ -238,6 +238,8 @@ def _make_banded_kernel(Nr, Wr, n_chunks, n_iters, dia_offs, model,
             ST[slice(SB * Nr, (SB + 3) * Nr)] = jnp.zeros(
                 (3 * Nr, LANES), ST.dtype
             )
+            if collect:
+                racc[0] = jnp.asarray(0.0, ST.dtype)
 
         # ---- chunk phase: gather -> local prox -> dual update -> scatter
         @pl.when(p1 < SOLVE)
@@ -351,6 +353,16 @@ def _make_banded_kernel(Nr, Wr, n_chunks, n_iters, dia_offs, model,
                             )
                             z = (kp * proj + w2e * f[3 * r + c2]) * mix
                             up[3 * r + c2] = f[3 * r + c2] - z
+                if collect:
+                    # primal piece ||W(Dx - z)||^2 = sum w2 (u' - u)^2
+                    # (dual-update identity; System.cpp:64). Pad lanes
+                    # have w2 = 0.
+                    w2r = matp(0, h)
+                    r2h = sum(
+                        jnp.sum(w2r * (up[p] - u[p]) * (up[p] - u[p]))
+                        for p in range(9)
+                    )
+                    racc[0] = racc[0] + r2h
                 for p in range(9):
                     DB[hrows(p, h)] = up[p]
 
@@ -389,9 +401,12 @@ def _make_banded_kernel(Nr, Wr, n_chunks, n_iters, dia_offs, model,
             invd = plane(p2d_ref, PINVD)
             for a in range(3):
                 ancz = plane(p2d_ref, PANCZ + a)
-                au = ST[srows(SAU + a)] + ST[srows(SX + a)] - ancz
+                dlt = ST[srows(SX + a)] - ancz  # = au' - au
+                au = ST[srows(SAU + a)] + dlt
                 ST[srows(SAU + a)] = au
                 ST[srows(SB + a)] += aw2 * (ancz - au)
+                if collect:
+                    racc[0] = racc[0] + jnp.sum(aw2 * dlt * dlt)
 
             if has_coll:
                 vmask = plane(p2d_ref, PVM)
@@ -429,9 +444,17 @@ def _make_banded_kernel(Nr, Wr, n_chunks, n_iters, dia_offs, model,
                         zc[0] = jnp.where(inside, cx + dx * s_, zc[0])
                         zc[1] = jnp.where(inside, cy + dy * s_, zc[1])
                 for a in range(3):
-                    un = ST[srows(SCU + a)] + ST[srows(SX + a)] - zc[a]
+                    dlt = ST[srows(SX + a)] - zc[a]  # = cu' - cu
+                    un = ST[srows(SCU + a)] + dlt
                     ST[srows(SCU + a)] = un
                     ST[srows(SB + a)] += coll_w2 * vmask * (zc[a] - un)
+                    if collect:
+                        racc[0] = racc[0] + jnp.sum(
+                            coll_w2 * vmask * dlt * dlt
+                        )
+
+            if collect:
+                res_out[st, i] = jnp.sqrt(racc[0])
 
             if uell_meta is not None:
                 slot_qs = uell_meta["slot_qs"]
@@ -562,15 +585,17 @@ def _make_banded_kernel(Nr, Wr, n_chunks, n_iters, dia_offs, model,
     static_argnames=(
         "dia_offs", "model", "newton_iters", "cg_iters", "dt", "dt2",
         "gvec", "n_iters", "n_steps", "Wr", "coll_shapes", "coll_w2",
-        "halves", "interpret", "uell_meta_static", "n_scen",
+        "halves", "interpret", "uell_meta_static", "n_scen", "collect",
     ),
     donate_argnums=(10,),
 )
 def _banded_call(p2d, dia2d, ucc2d, rbase, fblk, matv, x0, v0, au0, cu0, d,
                  dia_offs, model, newton_iters, cg_iters, dt, dt2, gvec,
                  n_iters, n_steps, Wr, coll_shapes, coll_w2, halves,
-                 interpret, uell_meta_static, n_scen):
+                 interpret, uell_meta_static, n_scen, collect):
     sweep = n_scen is not None
+    if sweep and collect:
+        raise NotImplementedError("sweep mode does not collect residuals")
     Nr = x0.shape[-2] // 3
     n_chunks = fblk.shape[0]
     uell_meta = None
@@ -582,7 +607,7 @@ def _banded_call(p2d, dia2d, ucc2d, rbase, fblk, matv, x0, v0, au0, cu0, d,
     kern = _make_banded_kernel(
         Nr, Wr, n_chunks, n_iters, dia_offs, model, newton_iters,
         cg_iters, dt, dt2, gvec, coll_shapes, coll_w2, halves, interpret,
-        uell_meta, sweep=sweep,
+        uell_meta, sweep=sweep, collect=collect,
     )
     vm = pl.BlockSpec(memory_space=pltpu.VMEM)
     sm = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -613,13 +638,16 @@ def _banded_call(p2d, dia2d, ucc2d, rbase, fblk, matv, x0, v0, au0, cu0, d,
         kern,
         grid=grid,
         in_specs=in_specs,
-        out_specs=out_specs,
+        out_specs=out_specs + [pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_shape=[
             jax.ShapeDtypeStruct(x0.shape, x0.dtype),
             jax.ShapeDtypeStruct(v0.shape, v0.dtype),
             jax.ShapeDtypeStruct(d.shape, d.dtype),
             jax.ShapeDtypeStruct(au0.shape, au0.dtype),
             jax.ShapeDtypeStruct(cu0.shape, cu0.dtype),
+            # per-(step, ADMM iteration) primal residual; written only
+            # when collect (garbage otherwise — callers discard)
+            jax.ShapeDtypeStruct((n_steps, n_iters), x0.dtype),
         ],
         input_output_aliases={10: 2},
         scratch_shapes=[
@@ -627,6 +655,7 @@ def _banded_call(p2d, dia2d, ucc2d, rbase, fblk, matv, x0, v0, au0, cu0, d,
             pltpu.VMEM((FB_PLANES * SUB, LANES), x0.dtype),
             pltpu.VMEM((DB_PLANES * SUB, LANES), x0.dtype),
             pltpu.VMEM((3 * Wr, LANES), x0.dtype),
+            pltpu.SMEM((1,), x0.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         # the default scoped-VMEM cap is 16 MB — a compiler pipelining
@@ -647,8 +676,14 @@ def banded_rollout(p2d, dia2d, rbase, fblk, x0, v0, au0, cu0, d, *,
                    coll_shapes=None, coll_w2=None,
                    halves=None, interpret=None, ucc2d=None,
                    uell_slot_qs=None, uell_fold_qs=None,
-                   uell_packed=False, matv=None, n_scen=None):
+                   uell_packed=False, matv=None, n_scen=None,
+                   collect_residuals=False):
     """n_steps whole timesteps in ONE kernel call.
+
+    collect_residuals: also return the per-(step, iteration) PRIMAL
+    residual ||W(Dx - z)|| (computed in-kernel via the dual-update
+    identity at ~zero cost); the return gains a (n_steps, n_iters)
+    array. Dual-residual collection needs the general path.
 
     p2d: (7*Nr,128) packed vertex planes [aw2, 1/diag, mass, vmask,
     ancz xyz]; dia2d: (D*Nr,128); rbase: (n_chunks,) int32 window base
@@ -699,7 +734,7 @@ def banded_rollout(p2d, dia2d, rbase, fblk, x0, v0, au0, cu0, d, *,
         matv = jnp.zeros((8, LANES), x0.dtype)  # unused dummy
     elif matv is None:
         raise ValueError("sweep mode (n_scen) requires matv planes")
-    return _banded_call(
+    out = _banded_call(
         p2d, dia2d, ucc2d, rbase, fblk, matv, x0, v0, au0, cu0, d,
         dia_offs=tuple(int(o) for o in dia_offs), model=str(model),
         newton_iters=int(newton_iters), cg_iters=int(cg_iters),
@@ -710,4 +745,6 @@ def banded_rollout(p2d, dia2d, rbase, fblk, x0, v0, au0, cu0, d, *,
         coll_w2=coll_w2, halves=int(halves),
         interpret=bool(interpret), uell_meta_static=uell_meta_static,
         n_scen=None if n_scen is None else int(n_scen),
+        collect=bool(collect_residuals),
     )
+    return out if collect_residuals else out[:5]

@@ -419,9 +419,12 @@ def main():
                          "(default; --no-lattice measures the general "
                          "solver)")
     ap.add_argument("--residuals", action="store_true",
-                    help="tet100k: collect per-iteration primal/dual ADMM "
-                         "residuals (general path; measures instrumentation "
-                         "overhead at production speed)")
+                    help="tet100k: collect per-iteration ADMM residuals — "
+                         "in-kernel primal on the fast path (default), "
+                         "full primal+dual on the general path "
+                         "(--no-lattice)")
+    ap.add_argument("--scenarios", type=int, default=64,
+                    help="sweep64: number of sweep scenarios")
     ap.add_argument("--scramble", action="store_true",
                     help="tet100k: randomly renumber the mesh vertices "
                          "(adversarial input; exercises lattice detection / "
@@ -454,8 +457,13 @@ def main():
         sys_, n_tets = build_tet100k(
             dtype, local_backend=args.local_backend,
             global_solver=args.global_solver, cg_backend=args.cg_backend,
-            lattice=args.lattice and not args.residuals,
-            scramble=args.scramble, residuals=args.residuals,
+            lattice=args.lattice,
+            scramble=args.scramble,
+            # with the fast path on, residuals collect IN-KERNEL
+            # (primal, the matched-convergence metric); --no-lattice
+            # measures the general path's full primal+dual collection
+            residuals=(("primal" if args.lattice else True)
+                       if args.residuals else False),
             jitter=jitter,
         )
         if args.preset == "banded100k":
@@ -555,7 +563,8 @@ def main():
         )
     elif args.preset == "sweep64":
         solver = args.global_solver if args.global_solver in ("cg", "ell") else "ell"
-        ms, n_sc, E = bench_sweep(dtype, steps=args.steps, global_solver=solver,
+        ms, n_sc, E = bench_sweep(dtype, n_scenarios=args.scenarios,
+                                  steps=args.steps, global_solver=solver,
                                   local_backend=args.local_backend,
                                   kernel=args.lattice)
         print(
@@ -565,7 +574,7 @@ def main():
         print(
             json.dumps(
                 {
-                    "metric": "ms_per_timestep_64scenario_sweep",
+                    "metric": f"ms_per_timestep_{n_sc}scenario_sweep",
                     "value": round(ms * 1e3, 3),
                     "unit": "ms",
                     "vs_baseline": 1.0,

@@ -263,6 +263,56 @@ def test_banded_set_positions_roundtrip():
     np.testing.assert_allclose(s.x, ref.x, rtol=1e-6, atol=1e-8)
 
 
+def test_banded_in_kernel_primal_residuals():
+    """collect_residuals='primal' keeps the banded fast path engaged and
+    emits the per-iteration primal residual ||W(Dx-z)|| in-kernel; it
+    matches the general path's instrumented values (tets + anchors +
+    floor all contribute)."""
+    mesh = jittered_beam(seed=17)
+
+    def build(fast, collect):
+        n = mesh.n_vertices
+        s = System(Settings(timestep_s=0.04, admm_iters=6, verbose=0,
+                            dtype=F64, lattice_fast_path=fast,
+                            global_solver="dia", dense_max_nodes=0,
+                            collect_residuals=collect))
+        s.add_nodes(mesh.vertices + np.array([0.0, 0.3, 0.0]),
+                    np.full(n, 2.0 / n))
+        s.add_force(HyperElasticTet(mesh.tets, mu=1e4, lam=2.5e4,
+                                    max_iters=4, backend="pallas"))
+        s.add_force(StaticAnchor([0, 1], weight=500.0))
+        s.add_force(Collision([Floor(center=(0.0, 0.0, 0.0))],
+                              n_nodes=n))
+        s.add_explicit_force(ExplicitForce(direction=(0, -9.8, 0)))
+        assert s.initialize()
+        return s
+
+    ref = build(False, True)
+    fast = build(True, "primal")
+    _assert_banded(fast)
+    for k in range(6):
+        ref.step()
+        fast.step()
+        rp_ref = np.asarray(ref.last_aux["primal_residual"])
+        rp_fast = np.asarray(fast.last_aux["primal_residual"])
+        assert rp_fast.shape == rp_ref.shape
+        np.testing.assert_allclose(rp_fast, rp_ref, rtol=1e-5, atol=1e-9)
+        assert rp_ref[-1] < rp_ref[0]  # ADMM converges within the step
+
+    # run(): the LAST kernel window's (window_steps, iters) residuals
+    # surface (4 steps < the 10-step window => four 1-step windows)
+    fast2 = build(True, "primal")
+    fast2.run(4)
+    rp = np.asarray(fast2.last_aux["primal_residual"])
+    assert rp.shape == (1, 6) and np.isfinite(rp).all()
+
+    # 'primal' on a non-qualifying scene falls back to the general path
+    # and still collects (dual stays zeros)
+    gen = build(False, "primal")
+    gen.step()
+    assert np.asarray(gen.last_aux["primal_residual"]).shape == (6,)
+
+
 def test_place_elements_distinct_lanes():
     from admm_elastic_tpu.core.banded import MAX_OPEN
 
