@@ -571,13 +571,20 @@ def main():
             f"# sweep: {n_sc} scenarios x {E} tets, {ms*1e3:.2f} ms/step total",
             file=sys.stderr,
         )
+        # the reference has no batch facility: a sweep is n_sc sequential
+        # runs, so the baseline is n_sc x the measured C++ dillo ms/step
+        # (tools/bench_reference_dillo.cpp)
+        base = _load_baseline() or {}
+        dillo_ms = base.get("dillo_ms_per_step")
+        vs = (round(n_sc * dillo_ms / (ms * 1e3), 2)
+              if dillo_ms and E == 2761 else 1.0)
         print(
             json.dumps(
                 {
                     "metric": f"ms_per_timestep_{n_sc}scenario_sweep",
                     "value": round(ms * 1e3, 3),
                     "unit": "ms",
-                    "vs_baseline": 1.0,
+                    "vs_baseline": vs,
                 }
             )
         )

@@ -20,4 +20,23 @@ g++ -O3 -march=native -fopenmp -std=c++11 \
     "$REF/src/system/ExplicitForce.cpp" \
     -o "$BUILD/bench_reference"
 
-"$BUILD/bench_reference" "$STEPS" "${@:2}" | tee "$REPO/bench_baseline.json"
+g++ -O3 -march=native -fopenmp -std=c++11 \
+    -I"$REF/src/system" -I"$REF/src/collision" \
+    -I"$REF/deps/Eigen3" -I"$REF/deps/cppoptlib/include" \
+    "$REPO/tools/bench_reference_dillo.cpp" \
+    "$REF/src/system/System.cpp" \
+    "$REF/src/system/TetForce.cpp" \
+    "$REF/src/system/Force.cpp" \
+    "$REF/src/system/AnchorForce.cpp" \
+    "$REF/src/system/ExplicitForce.cpp" \
+    -o "$BUILD/bench_reference_dillo"
+
+T100K=$("$BUILD/bench_reference" "$STEPS" "${@:2}")
+DILLO=$("$BUILD/bench_reference_dillo" 10)
+python3 - "$T100K" "$DILLO" <<'EOF' | tee "$REPO/bench_baseline.json"
+import json, sys
+out = {}
+for arg in sys.argv[1:]:
+    out.update(json.loads(arg))
+print(json.dumps(out))
+EOF
