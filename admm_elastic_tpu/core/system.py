@@ -701,6 +701,65 @@ class System:
                     "inc_idx": inc,
                 }
 
+    # -------------------------------------------------------- checkpoints
+
+    def save_checkpoint(self, path: str) -> None:
+        """Checkpoint the live simulation state — CORRECT on both the
+        general path (state pytree) and the whole-timestep fast paths
+        (whose live state lives in the stepper's packed planes; the
+        general `self.state` is stale there). Restore into an
+        identically-constructed System with `load_checkpoint` (packing
+        is deterministic, so plane layouts match)."""
+        from ..utils.checkpoint import save_state
+
+        if self._lattice is not None:
+            save_state(path, {
+                "_fast_path": dict(self._lattice.state),
+                "_elapsed_s": np.float64(self.elapsed_s),
+            })
+        else:
+            save_state(path, dict(self.state,
+                                  _elapsed_s=np.float64(self.elapsed_s)))
+
+    def load_checkpoint(self, path: str) -> None:
+        from ..utils.checkpoint import load_state
+
+        dtype = self.settings.dtype
+        if self._lattice is not None:
+            tree = load_state(path, dtype=dtype)
+            if "_fast_path" not in tree:
+                raise ValueError(
+                    "checkpoint was saved from the general path but this "
+                    "System runs a whole-timestep fast path — rebuild "
+                    "with the same configuration it was saved from"
+                )
+            self.elapsed_s = float(np.asarray(tree["_elapsed_s"]))
+            st = tree["_fast_path"]
+            cur = self._lattice.state
+            if set(st) != set(cur):
+                raise ValueError(
+                    f"fast-path checkpoint keys {sorted(st)} do not match "
+                    f"this stepper's state {sorted(cur)}"
+                )
+            for k, v in st.items():
+                if hasattr(cur[k], "shape") and cur[k].shape != v.shape:
+                    raise ValueError(
+                        f"checkpoint plane {k!r} shape {v.shape} != "
+                        f"{cur[k].shape} — mesh/settings differ"
+                    )
+            self._lattice.state = st
+        else:
+            with np.load(path) as data:
+                if any(k.startswith("_fast_path") for k in data.files):
+                    raise ValueError(
+                        "checkpoint was saved from a whole-timestep fast "
+                        "path but this System runs the general path"
+                    )
+            tree = load_state(path, dtype=dtype, like=dict(
+                self.state, _elapsed_s=np.float64(0.0)))
+            self.elapsed_s = float(np.asarray(tree.pop("_elapsed_s")))
+            self.state = tree
+
     # ------------------------------------------------------------- access
 
     @property
