@@ -98,6 +98,50 @@ def test_cloth_fast_path_scrambled_numbering():
                               np.arange(gen.n_nodes))
 
 
+def test_cloth_fast_path_adversarial_params():
+    """Parameter-diverse parity: ASYMMETRIC strain limits actually engaged
+    (0.6/1.02 under strong wind), nondefault anchor weight, skewed
+    gravity, strong off-axis wind — guards against coefficient bugs that
+    default-parameter tests cannot see (the round-1 NH Hessian bug
+    class). Per-ELEMENT parameters are out of the cloth kernel's
+    documented scope (uniform per stencil group) and fall back to the
+    general path — asserted below."""
+    mesh = make_plane_grid(7, 5)
+    n = mesh.n_vertices
+
+    def build(fast, stiff=35.0):
+        s = System(Settings(
+            timestep_s=0.04, admm_iters=8, verbose=0, dtype=jnp.float64,
+            global_solver="dia", cg_fixed_iters=30, lattice_fast_path=fast,
+        ))
+        s.add_nodes(mesh.vertices, np.full(n, 0.5 / n))
+        s.add_force(LimitedTriangleStrain(
+            mesh.faces, stiff, limit_min=0.6, limit_max=1.02,
+            backend="pallas"))
+        s.add_force(Bend(extract_hinges(mesh.faces), 3.5))
+        top = np.flatnonzero(np.abs(mesh.vertices[:, 1] - 1.0) < 1e-9)
+        s.add_force(StaticAnchor(top[:3], weight=77.0))
+        s.add_explicit_force(ExplicitForce(direction=(0.3, -9.8, 0.1)))
+        s.add_explicit_force(WindForce(mesh.faces, direction=(4.0, 1.0, -2.5)))
+        assert s.initialize()
+        return s
+
+    gen = build(False)
+    fast = build(True)
+    assert fast._lattice is not None and fast._lattice.model == "cloth"
+    for _ in range(6):
+        gen.step()
+        fast.step()
+        np.testing.assert_allclose(fast.x, gen.x, atol=1e-11)
+
+    # per-element stiffness falls back (documented uniform-per-group scope)
+    E = len(mesh.faces)
+    pe = build(True, stiff=35.0 * (0.5 + np.random.RandomState(1).rand(E)))
+    assert pe._lattice is None
+    pe.step()
+    assert np.isfinite(pe.x).all()
+
+
 def test_cloth_rollout_matches_stepping():
     """run(n) (whole-rollout kernel windows) == n x step()."""
     a = _cloth_system(True, nx=6, ny=5)

@@ -195,6 +195,13 @@ def test_lattice_fast_path_via_system_nh():
     _lat_compare("nh")
 
 
+def test_lattice_fast_path_via_system_nh_lam4mu():
+    """lam = 4*mu (ordinary Poisson ratio): the parameter regime where
+    the round-1 NH prox Hessian bug hid (mu==lam masked the missing
+    +lam*inv^2 diagonal term)."""
+    _lat_compare("nh", mu=2.5e3, lam=1e4)
+
+
 def test_lattice_fast_path_via_system_stvk():
     _lat_compare("stvk", mu=100.0, lam=400.0)
 
