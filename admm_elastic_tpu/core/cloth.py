@@ -80,8 +80,15 @@ class ClothStepper:
     def __init__(self, vertices, masses, tri_force, bend_force, anchor_idx,
                  anchor_weight=1000.0, gravity=(0.0, -9.8, 0.0),
                  wind=None, dt=0.04, admm_iters=10, cg_iters=25,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, collect_residuals=False):
         from ..models.anchor import StaticAnchor
+
+        # in-kernel per-iteration PRIMAL residual emission (see
+        # ops/pallas/cloth_step.py); full primal+dual needs the general
+        # path
+        self.collect_residuals = bool(collect_residuals)
+        #: (n_steps, admm_iters) primal residuals of the last window
+        self.last_primal = None
 
         v = np.asarray(vertices, np.float64)
         n = len(v)
@@ -230,40 +237,51 @@ class ClothStepper:
         if n_steps not in self._rollouts:
             dt = self.dt
             masks, ancz, dia = self._masks, self._ancz, self._dia
+            collect = self.collect_residuals
             kw = dict(
                 groups=self.groups, wind_groups=self.wind_groups,
                 dia_offs=self.dia_offs, cg_iters=self.cg_iters, dt=dt,
                 gravity=self.gravity, wind_dir=self.wind_dir,
-                n_iters=self.admm_iters,
+                n_iters=self.admm_iters, collect_residuals=collect,
             )
 
             def roll(state):
-                x3, v3, u, ancu = cloth_rollout(
+                out = cloth_rollout(
                     masks, ancz, dia, state["x"], state["v"],
                     state["u"], state["ancu"], n_steps=n_steps, **kw
                 )
-                return {
+                x3, v3, u, ancu = out[:4]
+                new = {
                     "x": x3, "v": v3, "u": u, "ancu": ancu,
                     "t": state["t"] + n_steps * dt,
                 }
+                return (new, out[4]) if collect else new
 
             self._rollouts[n_steps] = jax.jit(roll, donate_argnums=(0,))
         return self._rollouts[n_steps]
 
+    def _advance(self, n_steps):
+        out = self._roll_fn(n_steps)(self.state)
+        if self.collect_residuals:
+            self.state, self.last_primal = out
+        else:
+            self.state = out
+
     def step(self):
-        self.state = self._roll_fn(1)(self.state)
+        self._advance(1)
         return True
 
     def run(self, n_steps: int):
         """n_steps timesteps, chunked into ROLLOUT_WINDOW-step kernel calls
         (remainder as single steps) so any n_steps reuses at most two
-        compiled kernels."""
+        compiled kernels. With collect_residuals, last_primal holds the
+        final window's residuals."""
         W = self.ROLLOUT_WINDOW
         full, rem = divmod(n_steps, W)
         for _ in range(full):
-            self.state = self._roll_fn(W)(self.state)
+            self._advance(W)
         for _ in range(rem):
-            self.state = self._roll_fn(1)(self.state)
+            self._advance(1)
         return True
 
 
@@ -284,7 +302,10 @@ def cloth_from_system(system):
     from .lattice import detect_grid_numbering
 
     s = system.settings
-    if s.collect_residuals or s.residual_tol is not None:
+    # collect_residuals="primal" is emitted in-kernel; True (primal+dual)
+    # and residual-driven early exit need the general path
+    if (s.collect_residuals and s.collect_residuals != "primal") or (
+            s.residual_tol is not None):
         return None
 
     tri = None
@@ -360,6 +381,7 @@ def cloth_from_system(system):
                 cg_iters=(s.cg_fixed_iters
                           if s.cg_fixed_iters is not None else 25),
                 dtype=s.dtype,
+                collect_residuals=s.collect_residuals == "primal",
             )
         except ValueError:
             return None

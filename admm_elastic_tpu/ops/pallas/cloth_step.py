@@ -60,7 +60,7 @@ ANCHOR_ROW = 0
 
 
 def _make_cloth_kernel(N, groups, wind_groups, dia_offs, cg_iters, dt, dt2,
-                       gvec, wind_dir, n_iters):
+                       gvec, wind_dir, n_iters, collect=False):
     """groups: tuple of
          ('tri', offs(3), cp6(6), w2, k, lmin, lmax, mask_row, limiting)
        | ('bend', offs(4), arow(3), w2, k, mask_row).
@@ -81,8 +81,8 @@ def _make_cloth_kernel(N, groups, wind_groups, dia_offs, cg_iters, dt, dt2,
 
     def kernel(masks_ref, ancz_ref, dia_ref,
                x3_hbm, v3_hbm, u_hbm, ancu_hbm,
-               x_out, v_out, u_hbm_out, ancu_out,
-               S, u_blk, sem):
+               x_out, v_out, u_hbm_out, ancu_out, res_out,
+               S, u_blk, racc, sem):
         # masks_ref rows: 0 = anchor w2 plane, 1 = vertex masses,
         # 2 = 1/diag (Jacobi preconditioner), 3+ = group validity planes.
         # S is ONE packed 16-row scratch: rows 0-8 = F planes / wind
@@ -173,6 +173,8 @@ def _make_cloth_kernel(N, groups, wind_groups, dia_offs, cg_iters, dt, dt2,
         def _reset_b():
             for a in range(3):
                 S[BS + a, :] = jnp.zeros_like(S[BS + a, :])
+            if collect:
+                racc[0] = jnp.asarray(0.0, S.dtype)
 
         first = jnp.logical_and(st == 0, i == 0)
 
@@ -220,11 +222,21 @@ def _make_cloth_kernel(N, groups, wind_groups, dia_offs, cg_iters, dt, dt2,
 
                 @pl.when(p1 == 3 * g + 1)
                 def _compute_tri(w2=w2, k=k, lmin=lmin, lmax=lmax,
-                                 limiting=limiting):
+                                 limiting=limiting, mrow=mrow):
                     for h in range(NCH):
                         sl = slice(h * NC, (h + 1) * NC)
                         f = [S[p, sl] for p in range(6)]
                         z = _tri_body(f, w2, k, lmin, lmax, limiting)
+                        if collect:
+                            # primal piece sum w2 (u' - u)^2; u' - u =
+                            # (f - z) - u_old, u_old still in u_blk
+                            m = masks_ref[mrow, sl]
+                            r2 = sum(
+                                jnp.sum(m * (f[p] - z[p] - u_blk[p, sl])
+                                        ** 2)
+                                for p in range(6)
+                            )
+                            racc[0] = racc[0] + w2 * r2
                         for p in range(6):
                             u_blk[p, sl] = f[p] - z[p]
 
@@ -278,12 +290,13 @@ def _make_cloth_kernel(N, groups, wind_groups, dia_offs, cg_iters, dt, dt2,
 
                 @pl.when(p1 == 3 * g + 1)
                 def _compute_bend(arow=arow, inv_denom=inv_denom, w2=w2,
-                                  k=k, mix=mix):
+                                  k=k, mix=mix, mrow=mrow):
                     # flat-state projection (BendForce.cpp:134-144):
                     # lam_j = 2 sum_r arow_r F_rj / |arow|^2;
                     # p = F - arow/2 * lam; z = (k p + w2 F)/(w2 + k)
                     for h in range(NCH):
                         sl = slice(h * NC, (h + 1) * NC)
+                        r2 = None
                         for j in range(3):
                             lam = inv_denom * (
                                 arow[0] * S[j, sl]
@@ -294,7 +307,16 @@ def _make_cloth_kernel(N, groups, wind_groups, dia_offs, cg_iters, dt, dt2,
                                 fp = S[3 * r + j, sl]
                                 pr = fp - 0.5 * arow[r] * lam
                                 z = (k * pr + w2 * fp) * mix
+                                if collect:
+                                    m = masks_ref[mrow, sl]
+                                    t = jnp.sum(
+                                        m * (fp - z - u_blk[3 * r + j, sl])
+                                        ** 2
+                                    )
+                                    r2 = t if r2 is None else r2 + t
                                 u_blk[3 * r + j, sl] = fp - z
+                        if collect:
+                            racc[0] = racc[0] + w2 * r2
 
                 @pl.when(p1 == 3 * g + 2)
                 def _scatter_bend(g=g, offs=offs, w2=w2, mrow=mrow):
@@ -328,9 +350,14 @@ def _make_cloth_kernel(N, groups, wind_groups, dia_offs, cg_iters, dt, dt2,
         def _solve():
             aw2 = masks_ref[ANCHOR_ROW, :]
             for a in range(3):
-                ua = ancu_out[a, :] + S[XS + a, :] - ancz_ref[a, :]
+                dlt = S[XS + a, :] - ancz_ref[a, :]  # = u' - u
+                ua = ancu_out[a, :] + dlt
                 ancu_out[a, :] = ua
                 S[BS + a, :] += aw2 * (ancz_ref[a, :] - ua)
+                if collect:
+                    racc[0] = racc[0] + jnp.sum(aw2 * dlt * dlt)
+            if collect:
+                res_out[st, i] = jnp.sqrt(racc[0])
 
             def matvec_into(src_ref, sb):
                 """A @ src into S rows 0-2; src = src_ref rows sb..sb+2."""
@@ -396,19 +423,19 @@ def _make_cloth_kernel(N, groups, wind_groups, dia_offs, cg_iters, dt, dt2,
     jax.jit,
     static_argnames=(
         "groups_key", "wind_groups", "dia_offs", "cg_iters", "dt", "dt2",
-        "gvec", "wind_dir", "n_iters", "n_steps", "interpret",
+        "gvec", "wind_dir", "n_iters", "n_steps", "interpret", "collect",
     ),
     donate_argnums=(5,),
 )
 def _cloth_call(masks, ancz, dia, x3, v3, u, ancu,
                 groups_key, wind_groups, dia_offs, cg_iters, dt, dt2,
-                gvec, wind_dir, n_iters, n_steps, interpret):
+                gvec, wind_dir, n_iters, n_steps, interpret, collect):
     N = x3.shape[1]
     n_groups = len(groups_key)
     n_phases = 3 * n_groups + 1
     kern = _make_cloth_kernel(
         N, groups_key, wind_groups, dia_offs, cg_iters, dt, dt2, gvec,
-        wind_dir, n_iters,
+        wind_dir, n_iters, collect=collect,
     )
     full = lambda *_: (0, 0)
     f3 = pl.BlockSpec((3, N), full, memory_space=pltpu.VMEM)
@@ -419,17 +446,22 @@ def _cloth_call(masks, ancz, dia, x3, v3, u, ancu,
         kern,
         grid=(n_steps, n_iters, n_phases),
         in_specs=[fm, f3, fd, hbm, hbm, hbm, hbm],
-        out_specs=[f3, f3, hbm, f3],
+        out_specs=[f3, f3, hbm, f3,
+                   pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_shape=[
             jax.ShapeDtypeStruct(x3.shape, x3.dtype),
             jax.ShapeDtypeStruct(v3.shape, v3.dtype),
             jax.ShapeDtypeStruct(u.shape, u.dtype),
             jax.ShapeDtypeStruct(ancu.shape, ancu.dtype),
+            # per-(step, iteration) primal residual (written only when
+            # collect; garbage otherwise — callers discard)
+            jax.ShapeDtypeStruct((n_steps, n_iters), x3.dtype),
         ],
         input_output_aliases={5: 2},
         scratch_shapes=[
             pltpu.VMEM((16, N), x3.dtype),  # packed S (see kernel header)
             pltpu.VMEM((16, N), x3.dtype),  # streamed dual block
+            pltpu.SMEM((1,), x3.dtype),     # primal-residual accumulator
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
@@ -439,7 +471,8 @@ def _cloth_call(masks, ancz, dia, x3, v3, u, ancu,
 
 def cloth_rollout(masks, ancz, dia, x3, v3, u, ancu, *,
                   groups, wind_groups, dia_offs, cg_iters, dt, gravity,
-                  wind_dir, n_iters, n_steps, interpret=None):
+                  wind_dir, n_iters, n_steps, interpret=None,
+                  collect_residuals=False):
     """n_steps whole cloth timesteps in ONE kernel call.
 
     x3/v3/ancz/ancu: (3,N); masks: (3+n_mask_rows, N) with rows
@@ -451,7 +484,7 @@ def cloth_rollout(masks, ancz, dia, x3, v3, u, ancu, *,
     the hashable tuples built by core/cloth.ClothStepper."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    return _cloth_call(
+    out = _cloth_call(
         masks, ancz, dia, x3, v3, u, ancu,
         groups_key=groups, wind_groups=wind_groups,
         dia_offs=tuple(int(o) for o in dia_offs),
@@ -461,4 +494,6 @@ def cloth_rollout(masks, ancz, dia, x3, v3, u, ancu, *,
         wind_dir=tuple(float(q) for q in wind_dir),
         n_iters=int(n_iters), n_steps=int(n_steps),
         interpret=bool(interpret),
+        collect=bool(collect_residuals),
     )
+    return out if collect_residuals else out[:4]

@@ -156,7 +156,7 @@ def build_delaunay100k(dtype, admm_iters=10, fast_path=True):
     return sys, len(tets)
 
 
-def build_cloth100k(dtype, admm_iters=10, fast_path=True):
+def build_cloth100k(dtype, admm_iters=10, fast_path=True, residuals=False):
     """Large-cloth workload: ~100k triangle-strain elements + bend hinges
     (windyflag physics at production scale). Default config: the cloth
     whole-timestep kernel (core/cloth.py) — one pallas_call per rollout
@@ -186,6 +186,8 @@ def build_cloth100k(dtype, admm_iters=10, fast_path=True):
         timestep_s=0.04, admm_iters=admm_iters, verbose=0, dtype=dtype,
         global_solver="dia", cg_fixed_iters=25, cg_backend="fused",
         lattice_fast_path=fast_path,
+        collect_residuals=(("primal" if fast_path else True)
+                           if residuals else False),
     ))
     sys.add_nodes(mesh.vertices, np.full(n, 0.5 / n))
     sys.add_force(LimitedTriangleStrain(mesh.faces, 100.0, 0.95, 1.05,
@@ -503,7 +505,8 @@ def main():
             )
         )
     elif args.preset == "cloth100k":
-        sys_, n_tris = build_cloth100k(dtype, fast_path=args.lattice)
+        sys_, n_tris = build_cloth100k(dtype, fast_path=args.lattice,
+                                       residuals=args.residuals)
         ms = bench_system(sys_, args.steps) * 1e3
         iters_per_s = sys_.settings.admm_iters / (ms / 1e3)
         print(

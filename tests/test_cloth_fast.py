@@ -142,6 +142,42 @@ def test_cloth_fast_path_adversarial_params():
     assert np.isfinite(pe.x).all()
 
 
+def test_cloth_in_kernel_primal_residuals():
+    """collect_residuals='primal' keeps the cloth fast path engaged and
+    emits per-iteration primal residuals matching the general path's
+    instrumentation (triangle + bend + anchor pieces)."""
+
+    def build(fast, collect):
+        mesh = make_plane_grid(6, 5)
+        n = mesh.n_vertices
+        s = System(Settings(
+            timestep_s=0.04, admm_iters=8, verbose=0, dtype=jnp.float64,
+            global_solver="dia", cg_fixed_iters=30, lattice_fast_path=fast,
+            collect_residuals=collect,
+        ))
+        s.add_nodes(mesh.vertices, np.full(n, 0.5 / n))
+        s.add_force(LimitedTriangleStrain(mesh.faces, 100.0, 0.95, 1.05,
+                                          backend="pallas"))
+        s.add_force(Bend(extract_hinges(mesh.faces), 20.0))
+        top = np.flatnonzero(np.abs(mesh.vertices[:, 1] - 1.0) < 1e-9)
+        s.add_force(StaticAnchor(top[:4]))
+        s.add_explicit_force(ExplicitForce(direction=(0, -9.8, 0)))
+        s.add_explicit_force(WindForce(mesh.faces, direction=(1.5, 0, 0.4)))
+        assert s.initialize()
+        return s
+
+    ref = build(False, True)
+    fast = build(True, "primal")
+    assert fast._lattice is not None and fast._lattice.model == "cloth"
+    for _ in range(5):
+        ref.step()
+        fast.step()
+        rp_ref = np.asarray(ref.last_aux["primal_residual"])
+        rp_fast = np.asarray(fast.last_aux["primal_residual"])
+        np.testing.assert_allclose(rp_fast, rp_ref, rtol=1e-6, atol=1e-10)
+        assert rp_ref[-1] < rp_ref[0]
+
+
 def test_cloth_rollout_matches_stepping():
     """run(n) (whole-rollout kernel windows) == n x step()."""
     a = _cloth_system(True, nx=6, ny=5)
