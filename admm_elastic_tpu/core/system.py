@@ -64,8 +64,13 @@ class Settings:
     cg_tol: float = 1e-10
     cg_max_iters: int = 250
     #: when set, CG runs exactly this many iterations with no residual test
-    #: (static control flow; fastest on TPU with warm starts)
-    cg_fixed_iters: int | None = None
+    #: (static control flow; fastest on TPU with warm starts). A tuple
+    #: (first, rest) gives ADMM iteration 0 — whose warm start is stale by
+    #: the whole explicit kick x̄ = x + dt·v — a deeper solve than the
+    #: remaining iterations, whose warm starts drift only by the local
+    #: step's z−u updates; matched-residual evidence on unstructured
+    #: meshes needs the uneven schedule (tools/residual_match.py)
+    cg_fixed_iters: int | tuple | None = None
     #: default backend for constraint batches built by the scene layer:
     #: 'xla' or 'pallas' (fused kernels; tet types)
     local_backend: str = "xla"
@@ -79,6 +84,13 @@ class Settings:
     #: (x += A^{-1}(b - A x) via the sparse ELL matvec) — recovers accuracy
     #: lost to the f32 stored inverse at ~5 ms/step cost
     dense_refine_steps: int = 0
+    #: global-step PCG preconditioner: 'jacobi' (diagonal) or 'amg'
+    #: (aggregation-AMG V-cycle, core/amg.py; ell mode + xla backend).
+    #: A_hat is stiffness-dominated, so Jacobi-PCG needs O(mesh diameter)
+    #: iterations for a matched-residual solve on large unstructured
+    #: meshes; the V-cycle removes the diameter dependence — use it when
+    #: residual-exact trajectories matter more than per-iteration cost
+    preconditioner: str = "jacobi"
     #: compute per-iteration residuals (Eq. 22-23 noted at
     #: System.cpp:64-65 but never computed by the reference): True =
     #: primal + dual (general path), "primal" = primal only — emitted
@@ -303,6 +315,23 @@ class System:
         elif mode != "cg":
             raise ValueError(f"unknown global_solver {mode!r}")
 
+        self._amg_meta = None
+        if s.preconditioner == "amg":
+            if mode != "ell" or s.cg_backend != "xla":
+                raise ValueError(
+                    "preconditioner='amg' needs global_solver='ell' with "
+                    "cg_backend='xla' (the V-cycle wraps the generic PCG)"
+                )
+            from .amg import build_amg
+            from .solver import _assemble_A_hat_csr
+
+            A = _assemble_A_hat_csr(n, self._mi, dt, cparams)
+            amg_arrays, self._amg_meta = build_amg(A)
+            params["_solver"]["amg"] = amg_arrays
+            if s.verbose:
+                sizes = " -> ".join(str(m["n"]) for m in self._amg_meta)
+                print(f"Solver: AMG hierarchy {sizes}")
+
         self.params = _cast_tree(params, dtype)
         self.state = {
             "x": jnp.asarray(self._xi, dtype),
@@ -363,6 +392,27 @@ class System:
         cg_iters = self.settings.cg_max_iters
         early_tol = self.settings.residual_tol
         cg_fixed = self.settings.cg_fixed_iters
+        cg_sched = None
+        if isinstance(cg_fixed, (tuple, list)):
+            cg_sched = (int(cg_fixed[0]), int(cg_fixed[1]))
+            cg_fixed = cg_sched[0]
+        amg_vcycle = None
+        if getattr(self, "_amg_meta", None) is not None:
+            from .amg import make_vcycle
+
+            amg_vcycle = make_vcycle(self._amg_meta)
+
+        def sched_solve(i, solve_k):
+            """solve_k(static_iter_count) -> x; per-ADMM-iteration budget.
+            Both cond branches are cheap retraces of the same fori_loop
+            solve — only ONE executes per iteration."""
+            if cg_sched is None:
+                return solve_k(cg_fixed)
+            return jax.lax.cond(
+                i == 0,
+                lambda: solve_k(cg_sched[0]),
+                lambda: solve_k(cg_sched[1]),
+            )
         dense_refine = self.settings.dense_refine_steps
         cg_fused = self.settings.cg_backend == "fused"
         cg_kernel = self.settings.cg_backend == "kernel"
@@ -499,33 +549,53 @@ class System:
                     from ..ops.pallas.cg_dia import cg_dia_solve
 
                     sv = params["_solver"]
-                    new_x = cg_dia_solve(
+                    new_x = sched_solve(i, lambda k: cg_dia_solve(
                         b, curr_x, diag, sv["dia_vals"], dia_offsets,
-                        cg_fixed if cg_fixed is not None else 25,
-                    )
+                        k if cg_fixed is not None else 25,
+                    ))
                 elif mode == "ell" and cg_fixed is not None and cg_kernel:
                     from ..ops.pallas.cg_ell import cg_ell_solve
 
                     sv = params["_solver"]
-                    new_x = cg_ell_solve(
-                        b, curr_x, diag, sv["ell_idx"], sv["ell_vals"], cg_fixed
-                    )
+                    new_x = sched_solve(i, lambda k: cg_ell_solve(
+                        b, curr_x, diag, sv["ell_idx"], sv["ell_vals"], k
+                    ))
                 elif mode == "ell" and cg_fixed is not None and cg_fused:
                     from ..ops.pallas.cg_step import pcg_solve_fixed_fused
 
                     sv = params["_solver"]
-                    new_x = pcg_solve_fixed_fused(
+                    new_x = sched_solve(i, lambda k: pcg_solve_fixed_fused(
                         lambda y: ell_apply(y, sv["ell_idx"], sv["ell_vals"]),
-                        b, curr_x, diag, cg_fixed,
-                    )
+                        b, curr_x, diag, k,
+                    ))
                 else:
                     if mode == "ell":
                         sv = params["_solver"]
                         A_op = lambda y: ell_apply(y, sv["ell_idx"], sv["ell_vals"])
                     else:
                         A_op = lambda y: A_hat_apply(y, masses, dt2, cparams)
-                    if cg_fixed is not None:
-                        new_x, _ = pcg_solve_fixed(A_op, b, curr_x, diag, cg_fixed)
+                    if amg_vcycle is not None:
+                        from .amg import (
+                            pcg_solve_fixed_precond,
+                            pcg_solve_precond,
+                        )
+
+                        levels = params["_solver"]["amg"]
+                        M_op = lambda r: amg_vcycle(levels, r)
+                        if cg_fixed is not None:
+                            new_x = sched_solve(
+                                i,
+                                lambda k: pcg_solve_fixed_precond(
+                                    A_op, M_op, b, curr_x, k
+                                ),
+                            )
+                        else:
+                            new_x, _ = pcg_solve_precond(
+                                A_op, M_op, b, curr_x, cg_tol, cg_iters
+                            )
+                    elif cg_fixed is not None:
+                        new_x = sched_solve(i, lambda k: pcg_solve_fixed(
+                            A_op, b, curr_x, diag, k)[0])
                     else:
                         new_x, _ = pcg_solve(
                             A_op, b, curr_x, diag, cg_tol, cg_iters
@@ -694,12 +764,25 @@ class System:
                 ell_idx, ell_vals, diag = assemble_A_hat_ell(
                     self.n_nodes, self._mi, self.settings.timestep_s, cparams
                 )
+                amg_old = self.params["_solver"].get("amg")
                 self.params["_solver"] = {
                     "ell_idx": jnp.asarray(ell_idx),
                     "ell_vals": jnp.asarray(ell_vals, dt_),
                     "diag": jnp.asarray(diag, dt_),
                     "inc_idx": inc,
                 }
+                if amg_old is not None:
+                    from .amg import rebuild_amg_values
+                    from .solver import _assemble_A_hat_csr
+
+                    A = _assemble_A_hat_csr(
+                        self.n_nodes, self._mi, self.settings.timestep_s,
+                        cparams,
+                    )
+                    host = jax.tree_util.tree_map(np.asarray, amg_old)
+                    self.params["_solver"]["amg"] = _cast_tree(
+                        rebuild_amg_values(A, host, self._amg_meta), dt_
+                    )
 
     # -------------------------------------------------------- checkpoints
 

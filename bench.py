@@ -71,8 +71,12 @@ def build_tet100k(dtype, admm_iters=10, local_backend="xla", global_solver="dia"
         verbose=0,
         dtype=dtype,
         global_solver=global_solver,
-        # 25 fixed CG iterations holds the ADMM primal residual at 0.97-1.00x
-        # of an exact solve across steps (tools/residual_match.py); 15 drifts
+        # fixed 25-iteration CG budget: converges each step's primal
+        # residual to ~0.1% of its start. NOT exact-solve-matched at this
+        # scale (the floor grows with mesh diameter — worst ratio 13.5x vs
+        # a 1e-13 solve, docs/PERFORMANCE.md "Matched-residual solves");
+        # the matched configuration is the general path with
+        # preconditioner='amg' at cg_fixed_iters=8 (ratio 1.000)
         cg_fixed_iters=25,
         cg_backend=cg_backend,
         # whole-timestep single-kernel path via the plain System API

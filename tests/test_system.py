@@ -776,3 +776,37 @@ def test_grid_cloth_dia_matches_ell():
     assert d._solver_mode == "dia"
     e = run("ell")
     np.testing.assert_allclose(d.x, e.x, atol=1e-8)
+
+
+def test_cg_schedule_tuple_runs_all_fixed_paths():
+    """cg_fixed_iters=(first, rest): ADMM iteration 0 gets a deeper CG
+    solve (its warm start is stale by the whole explicit kick). The
+    schedule must produce the same trajectory as a flat budget when both
+    are converged, in every fixed-CG solver branch."""
+    from admm_elastic_tpu.geometry import make_beam_tets
+
+    beam = make_beam_tets(5, 4, 3)
+    n = beam.n_vertices
+
+    def build(solver, cg, backend="xla"):
+        s = System(_settings(timestep_s=0.04, admm_iters=6,
+                             global_solver=solver, cg_fixed_iters=cg,
+                             cg_backend=backend))
+        s.add_nodes(beam.vertices, np.full(n, 1.0 / n))
+        s.add_force(StaticAnchor(np.flatnonzero(beam.vertices[:, 0] < 1e-12)))
+        s.add_force(LinearTetStrain(beam.tets, stiffness=1e4))
+        s.add_explicit_force(ExplicitForce(direction=(0, -9.8, 0)))
+        assert s.initialize()
+        for _ in range(3):
+            s.step()
+        return np.asarray(s.x)
+
+    for solver, backend in (("ell", "xla"), ("ell", "fused"), ("dia", "xla")):
+        flat = build(solver, 120, backend)
+        sched = build(solver, (120, 110), backend)
+        np.testing.assert_allclose(sched, flat, rtol=0, atol=1e-9,
+                                   err_msg=f"{solver}/{backend}")
+        # an actually-uneven schedule stays close to converged
+        uneven = build(solver, (120, 40), backend)
+        np.testing.assert_allclose(uneven, flat, rtol=0, atol=1e-6,
+                                   err_msg=f"{solver}/{backend} uneven")
