@@ -38,7 +38,7 @@ def _load_baseline():
 
 def build_tet100k(dtype, admm_iters=10, local_backend="xla", global_solver="dia",
                   cg_backend="xla", lattice=False, scramble=False,
-                  residuals=False, jitter=0.0):
+                  residuals=False, jitter=0.0, amg=False, cg_iters=None):
     import jax.numpy as jnp
 
     from admm_elastic_tpu import Settings, System
@@ -65,6 +65,12 @@ def build_tet100k(dtype, admm_iters=10, local_backend="xla", global_solver="dia"
         inv = np.empty_like(perm)
         inv[perm] = np.arange(len(perm))
         verts, tets = verts[perm], inv[tets]
+    if amg:
+        # --amg: the EXACT-SOLVE-MATCHED configuration (worst residual
+        # ratio 1.000 vs a 1e-13 solve, docs/PERFORMANCE.md
+        # "Matched-residual solves") — general path, ell + AMG-PCG at 8
+        # fixed iterations
+        global_solver, cg_backend, lattice = "ell", "xla", False
     settings = Settings(
         timestep_s=0.04,
         admm_iters=admm_iters,
@@ -75,9 +81,10 @@ def build_tet100k(dtype, admm_iters=10, local_backend="xla", global_solver="dia"
         # residual to ~0.1% of its start. NOT exact-solve-matched at this
         # scale (the floor grows with mesh diameter — worst ratio 13.5x vs
         # a 1e-13 solve, docs/PERFORMANCE.md "Matched-residual solves");
-        # the matched configuration is the general path with
-        # preconditioner='amg' at cg_fixed_iters=8 (ratio 1.000)
-        cg_fixed_iters=25,
+        # the matched configuration is --amg (general path) or
+        # --cg-iters 100 (in-kernel, worst ratio 1.003)
+        cg_fixed_iters=cg_iters if cg_iters else (8 if amg else 25),
+        preconditioner="amg" if amg else "jacobi",
         cg_backend=cg_backend,
         # whole-timestep single-kernel path via the plain System API
         lattice_fast_path=lattice,
@@ -106,7 +113,7 @@ def build_tet100k(dtype, admm_iters=10, local_backend="xla", global_solver="dia"
     return sys, beam.n_tets
 
 
-def build_delaunay100k(dtype, admm_iters=10, fast_path=True):
+def build_delaunay100k(dtype, admm_iters=10, fast_path=True, amg=False):
     """Genuinely UNSTRUCTURED workload: ~100k-tet Delaunay
     tetrahedralization of jittered grid points. A_hat has thousands of
     distinct diagonals in any numbering — no lattice stencil, no dia
@@ -137,8 +144,10 @@ def build_delaunay100k(dtype, admm_iters=10, fast_path=True):
 
     settings = Settings(
         timestep_s=0.04, admm_iters=admm_iters, verbose=1, dtype=dtype,
-        global_solver="ell", cg_fixed_iters=25,
-        lattice_fast_path=fast_path,
+        global_solver="ell",
+        cg_fixed_iters=8 if amg else 25,
+        preconditioner="amg" if amg else "jacobi",
+        lattice_fast_path=False if amg else fast_path,
     )
     sys = System(settings)
     sys.add_nodes(pts, np.full(n, 50.0 / n))
@@ -149,7 +158,7 @@ def build_delaunay100k(dtype, admm_iters=10, fast_path=True):
                                   model="nh"))
     sys.add_explicit_force(ExplicitForce(direction=(0, -9.8, 0)))
     assert sys.initialize()
-    if fast_path:
+    if fast_path and not amg:
         from admm_elastic_tpu.core.banded import BandedStepper
 
         assert isinstance(sys._lattice, BandedStepper), (
@@ -435,6 +444,16 @@ def main():
                     help="tet100k: randomly renumber the mesh vertices "
                          "(adversarial input; exercises lattice detection / "
                          "grid renumbering)")
+    ap.add_argument("--cg-iters", type=int, default=None,
+                    help="override the fixed CG budget (e.g. 100: the "
+                         "banded kernel's exact-solve-MATCHED budget at "
+                         "100k-beam scale — worst ratio 1.003 vs 13.5x "
+                         "at the default 25)")
+    ap.add_argument("--amg", action="store_true",
+                    help="tet100k/delaunay100k: the exact-solve-MATCHED "
+                         "configuration — general path, AMG-PCG at 8 fixed "
+                         "iterations (residual ratio 1.00 vs a 1e-13 solve; "
+                         "overrides --lattice/--global-solver/--cg-backend)")
     args = ap.parse_args()
 
     if args.preset == "sharded" and "force_host_platform" not in os.environ.get(
@@ -471,8 +490,10 @@ def main():
             residuals=(("primal" if args.lattice else True)
                        if args.residuals else False),
             jitter=jitter,
+            amg=args.amg,
+            cg_iters=args.cg_iters,
         )
-        if args.preset == "banded100k":
+        if args.preset == "banded100k" and not args.amg:
             from admm_elastic_tpu.core.banded import BandedStepper
 
             assert isinstance(sys_._lattice, BandedStepper), (
@@ -529,7 +550,8 @@ def main():
             )
         )
     elif args.preset == "delaunay100k":
-        sys_, n_tets = build_delaunay100k(dtype, fast_path=args.lattice)
+        sys_, n_tets = build_delaunay100k(dtype, fast_path=args.lattice,
+                                          amg=args.amg)
         ms = bench_system(sys_, args.steps) * 1e3
         iters_per_s = sys_.settings.admm_iters / (ms / 1e3)
         baseline = _load_baseline()
