@@ -113,7 +113,8 @@ def build_tet100k(dtype, admm_iters=10, local_backend="xla", global_solver="dia"
     return sys, beam.n_tets
 
 
-def build_delaunay100k(dtype, admm_iters=10, fast_path=True, amg=False):
+def build_delaunay100k(dtype, admm_iters=10, fast_path=True, amg=False,
+                       cg_iters=None):
     """Genuinely UNSTRUCTURED workload: ~100k-tet Delaunay
     tetrahedralization of jittered grid points. A_hat has thousands of
     distinct diagonals in any numbering — no lattice stencil, no dia
@@ -145,7 +146,7 @@ def build_delaunay100k(dtype, admm_iters=10, fast_path=True, amg=False):
     settings = Settings(
         timestep_s=0.04, admm_iters=admm_iters, verbose=1, dtype=dtype,
         global_solver="ell",
-        cg_fixed_iters=8 if amg else 25,
+        cg_fixed_iters=cg_iters if cg_iters else (8 if amg else 25),
         preconditioner="amg" if amg else "jacobi",
         lattice_fast_path=False if amg else fast_path,
     )
@@ -551,7 +552,8 @@ def main():
         )
     elif args.preset == "delaunay100k":
         sys_, n_tets = build_delaunay100k(dtype, fast_path=args.lattice,
-                                          amg=args.amg)
+                                          amg=args.amg,
+                                          cg_iters=args.cg_iters)
         ms = bench_system(sys_, args.steps) * 1e3
         iters_per_s = sys_.settings.admm_iters / (ms / 1e3)
         baseline = _load_baseline()
