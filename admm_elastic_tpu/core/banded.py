@@ -151,7 +151,8 @@ class BandedStepper:
                  cg_iters=25, dtype=jnp.float32,
                  floor_y=None, floor_w2=0.0,
                  coll_shapes=None, coll_w2=None,
-                 positions=None, uell=None, collect_residuals=False):
+                 positions=None, uell=None, collect_residuals=False,
+                 mg=None):
         v = np.asarray(vertices, np.float64)
         n = len(v)
         E = len(tet_idx)
@@ -351,6 +352,38 @@ class BandedStepper:
                     np.concatenate(ccs, 0), jnp.int32
                 )
 
+        # ---- in-kernel geometric multigrid preconditioner planes
+        # (core/mg.build_grid_mg package; dia mode only)
+        self._mg_meta_static = None
+        self._mgf = self._mgi = self._a2b = None
+        if mg is not None:
+            assert uell is None, "in-kernel MG: dia mode only"
+            mgp, mgm = mg
+
+            def pl2d(flat):
+                return np.asarray(flat, np.float64).reshape(-1, LANES)
+
+            self._mgf = jnp.asarray(np.concatenate([
+                pl2d(mgp["l1_vals"]),
+                pl2d(mgp["om_invd0"]),
+                pl2d(mgp["om_invd1"]),
+                pl2d(mgp["t0_masks"]),
+                pl2d(mgp["t1_masks"]),
+                mgp["pack_mask"].reshape(-1, LANES),
+                mgp["unpack_mask"].reshape(-1, LANES),
+            ], 0), dtype)
+            self._mgi = jnp.asarray(np.concatenate([
+                mgp["pack_idx"].reshape(-1, LANES),
+                mgp["unpack_idx"].reshape(-1, LANES),
+            ], 0).astype(np.int32))
+            self._a2b = jnp.asarray(
+                mgp["a2inv_blocks"].reshape(-1, LANES), dtype
+            )
+            self._mg_meta_static = (
+                tuple(mgm["l1_offs"]), tuple(mgm["t0_offs"]),
+                tuple(mgm["t1_offs"]), tuple(mgm["q_list"]),
+            )
+
         def state3(arr):
             arr = np.asarray(arr, np.float64)
             return jnp.asarray(
@@ -426,6 +459,11 @@ class BandedStepper:
                     uell_slot_qs=self._uell_slot_qs,
                     uell_fold_qs=self._uell_fold_qs,
                     uell_packed=self._uell_packed,
+                )
+            if self._mg_meta_static is not None:
+                kw.update(
+                    mgf=self._mgf, mgi=self._mgi, a2b=self._a2b,
+                    mg_meta_static=self._mg_meta_static,
                 )
 
             def roll(state):
@@ -567,13 +605,39 @@ def banded_from_system(system, _pack_vals=None):
                   if anchors else np.zeros((0, 3)))
 
     sv = system.params["_solver"]
+    mg = None
     if system._solver_mode == "dia":
         dia_offs = system._dia_offsets
         dia_vals = np.asarray(sv["dia_vals"], np.float64)
         diag = np.asarray(sv["diag"], np.float64)
         positions = None
         packed = None
+        if s.preconditioner == "amg":
+            # in-kernel geometric multigrid: exact-solve-MATCHED ADMM at
+            # a small fixed budget (core/mg.py; docs/PERFORMANCE.md
+            # "Matched-residual solves")
+            from .mg import build_grid_mg
+            from .solver import _assemble_A_hat_csr
+
+            cparams = {
+                k: {kk: np.asarray(jax.device_get(vv))
+                    for kk, vv in system.params[k].items()}
+                for k in system._constraint_names
+            }
+            A = _assemble_A_hat_csr(
+                system.n_nodes, system._mi, s.timestep_s, cparams
+            )
+            n_pad = -(-system.n_nodes // (8 * LANES)) * (8 * LANES)
+            mg = build_grid_mg(A, system._xi, n_pad, min_nodes=0)
+            if mg is None:
+                return None  # initialize() raises a config error
+            if s.verbose:
+                lv = mg[1]["levels"]
+                print("Solver: in-kernel multigrid engaged "
+                      f"({lv[0]} -> {lv[1]} -> {lv[2]})")
     else:
+        if s.preconditioner == "amg":
+            return None  # in-kernel MG is dia-mode only; initialize raises
         # unstructured numbering: no diagonal structure exists — pack
         # A_hat into per-row-offset ELL slots over a spatially-ordered,
         # diluted vertex layout (core/uell.py)
@@ -639,6 +703,7 @@ def banded_from_system(system, _pack_vals=None):
                      if floor is not None else 0.0),
             positions=positions, uell=packed,
             collect_residuals=s.collect_residuals == "primal",
+            mg=mg,
         )
     except ValueError:
         return None

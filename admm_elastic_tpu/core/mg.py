@@ -1,0 +1,384 @@
+"""Host-side builder for the IN-KERNEL geometric multigrid preconditioner
+(banded whole-timestep kernel, dia mode, grid meshes).
+
+The reference's global step is an exact prefactored LDLT
+(/root/reference/deps/admm-elastic-sca/src/system/System.cpp:140). The
+banded kernel's fixed-budget Jacobi-PCG needs ~100 in-kernel iterations to
+match that exact solve at 100k-tet scale (docs/PERFORMANCE.md
+"Matched-residual solves"). This module builds a two-coarse-level geometric
+multigrid whose EVERY device operation is one the kernel already performs:
+
+  level matvec   — masked sparse-diagonal planes (static flat-index shifts)
+  restriction    — R = sum_c M_c . shift(+c) over the 8 block corners
+                   (per-corner 0/1 masks handle grid boundaries)
+  prolongation   — P = R^T = sum_c shift(M_c . , -c)  (same masks: SPD)
+  coarsest solve — L2 dofs packed to a (4,128) plane by per-q lane gathers
+                   (static row slices; ~tiny ops), then an exact dense
+                   inverse applied as 16 (1,128)@(128,128) MXU matmuls
+
+Coarse operators are Galerkin (P^T A P over 2x2x2 vertex blocks): for a
+grid NUMBERING the coarse stencil offsets are 2x / 4x the fine strides, so
+each coarse matvec is the same masked static-shift form as the fine dia
+matvec. V(1,1) damped-Jacobi smoothing keeps the cycle symmetric (a valid
+SPD CG preconditioner). Convergence on the 100k-tet beam A_hat: 1e-8 in
+~25 PCG iterations vs ~300 Jacobi (prototyped host-side); the matched
+ADMM budget drops from cg100 to ~mg8.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+LANES = 128
+NP2_ROWS = 4          # packed coarsest vector: (4, 128) = up to 512 dofs
+
+
+def _grid_coords_and_strides(vertices, flat_tol=1e-6):
+    """ijk integer grid coords per INTERNAL vertex id, plus the numbering
+    strides (s_i, s_j, s_k) such that id == ijk @ s (a nested axis order —
+    any of the 6). Returns (ijk (n,3), strides (3,), dims (3,)) or None."""
+    v = np.asarray(vertices, np.float64)
+    n = len(v)
+    if n < 27:
+        return None
+    mins = v.min(axis=0)
+    span = v.max(axis=0) - mins
+    tol = flat_tol * max(span.max(), 1.0)
+    axes = []
+    for a in range(3):
+        vals = np.sort(np.unique(np.round(v[:, a] / max(tol, 1e-300))))
+        vals = vals * tol
+        keep = [vals[0]]
+        for q in vals[1:]:
+            if q - keep[-1] > tol * 4:
+                keep.append(q)
+        axes.append(np.asarray(keep))
+    dims = np.array([len(a) for a in axes])
+    if dims.prod() != n or (dims < 2).sum() > 1:
+        return None
+    sizes = []
+    for a in range(3):
+        d = np.diff(axes[a])
+        if d.size == 0:
+            sizes.append(1.0)
+            continue
+        if np.abs(d - d[0]).max() > tol * 8:
+            return None
+        sizes.append(d[0])
+    ijk = np.round((v - mins) / np.asarray(sizes)).astype(np.int64)
+    if (ijk < 0).any() or (ijk >= dims).any():
+        return None
+    # solve id = ijk @ s + off: pick unit steps from the (0,0,0) corner
+    strides = np.zeros(3, np.int64)
+    ids = np.arange(n)
+    lut = {t: i for i, t in enumerate(map(tuple, ijk))}
+    base_ijk = ijk[int(np.argmin(ijk.sum(1)))]
+    base = lut[tuple(base_ijk)]
+    for a in range(3):
+        if dims[a] == 1:
+            strides[a] = 0
+            continue
+        t = base_ijk.copy()
+        t[a] += 1
+        nb = lut.get(tuple(t))
+        if nb is None:
+            return None
+        strides[a] = nb - base
+    off = ids - ijk @ strides
+    if not (off == off[0]).all():
+        return None
+    return ijk, strides, dims
+
+
+def _level_reps(ijk, dims, st):
+    """Mask of representative vertices for stride `st` blocks."""
+    return ((ijk[:, 0] % st == 0) & (ijk[:, 1] % st == 0)
+            & (ijk[:, 2] % st == 0))
+
+
+def _galerkin(A, ijk, dims, st):
+    """A_coarse = P^T A P over st-blocks (0/1 P); also the coarse block
+    grid dims and, per fine vertex, its coarse block id."""
+    import scipy.sparse as sp
+
+    cd = (dims + st - 1) // st
+    blk = (ijk[:, 0] // st) + cd[0] * (ijk[:, 1] // st) \
+        + cd[0] * cd[1] * (ijk[:, 2] // st)
+    n = A.shape[0]
+    P = sp.csr_matrix((np.ones(n), (np.arange(n), blk)),
+                      shape=(n, int(cd.prod())))
+    Ac = (P.T @ A @ P).tocsr()
+    Ac.sum_duplicates()
+    return Ac, cd, blk
+
+
+def _masked_dia(Ac, pos_of_dof, n_pad):
+    """Coarse matrix as masked dia planes in the FINE flat layout:
+    entry (i,j) lives at fine position pos_of_dof[i], offset
+    pos_of_dof[j]-pos_of_dof[i]. Returns (offsets tuple, values (D,n_pad))."""
+    Acoo = Ac.tocoo()
+    pi = pos_of_dof[Acoo.row]
+    pj = pos_of_dof[Acoo.col]
+    offs = pj - pi
+    uoffs = np.unique(offs)
+    vals = np.zeros((len(uoffs), n_pad))
+    for d, o in enumerate(uoffs):
+        m = offs == o
+        vals[d, pi[m]] = Acoo.data[m]
+    return tuple(int(o) for o in uoffs), vals
+
+
+def _corner_masks(ijk, strides, dims, st_f, n_pad, rep_c):
+    """8 corner masks M_c for R = sum_c M_c . shift(+c): M_c[p] = 1 iff p
+    is a stride-2*st_f rep and p + c is a stride-st_f rep inside p's
+    block. Corner offsets c are in FINE FLAT INDEX units."""
+    n = len(ijk)
+    pos = np.arange(n)
+    out = []
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                d = np.array([dx, dy, dz]) * st_f
+                c = int(d @ strides)
+                child = ijk + d
+                ok = rep_c & (child < dims).all(1)
+                m = np.zeros(n_pad)
+                m[pos[ok]] = 1.0
+                # the child must itself be a fine-level rep (it is, by
+                # construction: rep coords are multiples of st_f)
+                out.append((c, m))
+    return out
+
+
+def _pack_plan(rep_pos, n_pad):
+    """Pack plan for the coarsest level: dofs ordered by position (rank).
+    Returns per-q groups of (q, pack_idx (4,128), pack_mask, unpack_idx,
+    unpack_mask) with q = source_row - target_row such that packed row tr
+    reads fine rows q+tr."""
+    c_ids = np.arange(len(rep_pos))
+    p_row, p_lane = rep_pos // LANES, rep_pos % LANES
+    c_row, c_lane = c_ids // LANES, c_ids % LANES
+    q_all = p_row - c_row
+    plans = []
+    for q in np.unique(q_all):
+        m = q_all == q
+        pidx = np.zeros((NP2_ROWS, LANES), np.int32)
+        pmask = np.zeros((NP2_ROWS, LANES))
+        pidx[c_row[m], c_lane[m]] = p_lane[m]
+        pmask[c_row[m], c_lane[m]] = 1.0
+        # unpack: fine[p_row, p_lane] += packed[c_row, c_lane]; target rows
+        # p_row = q + c_row -> rows tr (=c_row) of the (4,128) source feed
+        # fine rows q+tr; per fine lane, gather the source lane
+        uidx = np.zeros((NP2_ROWS, LANES), np.int32)
+        umask = np.zeros((NP2_ROWS, LANES))
+        uidx[c_row[m], p_lane[m]] = c_lane[m]
+        umask[c_row[m], p_lane[m]] = 1.0
+        plans.append((int(q), pidx, pmask, uidx, umask))
+    return plans
+
+
+def _rho_dinv_a(A, iters=10, seed=0):
+    d = A.diagonal()
+    d = np.where(d > 0, d, 1.0)
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal(A.shape[0])
+    lam = 1.0
+    for _ in range(iters):
+        y = (A @ x) / d
+        lam = float(np.linalg.norm(y))
+        if lam == 0:
+            return 1.0
+        x = y / lam
+    return lam
+
+
+def build_grid_mg(A, vertices, n_pad, min_nodes=4096):
+    """Build the in-kernel MG package for CSR A_hat on a grid mesh whose
+    INTERNAL numbering is a nested grid order. Returns (planes, meta) or
+    None when the mesh does not qualify (not a full grid / nested order /
+    coarsest too large).
+
+    planes (numpy, all (rows, 128)-reshapeable to n_pad flat):
+      l1_vals (d1, n_pad), l2_vals (d2, n_pad), om_invd0/om_invd1 (n_pad,),
+      t0/t1 corner masks (8, n_pad), pack planes (nq, 4, 128) x4,
+      a2inv_blocks (16, 128, 128)
+    meta (static): offsets/corners/q lists + sizes."""
+    got = _grid_coords_and_strides(vertices)
+    if got is None:
+        return None
+    ijk, strides, dims = got
+    n = A.shape[0]
+    if n < min_nodes:
+        return None  # Jacobi-CG is already exact-matched this small
+
+    A1, cd1, _ = _galerkin(A, ijk, dims, 2)
+    A2, cd2, _ = _galerkin(A, ijk, dims, 4)
+    if A2.shape[0] > NP2_ROWS * LANES:
+        return None  # coarsest exceeds the packed (4,128) plane
+
+    rep1 = _level_reps(ijk, dims, 2)
+    rep2 = _level_reps(ijk, dims, 4)
+    pos = np.arange(n)
+
+    # level-dof -> fine position (nested-order coarse dof numbering)
+    def pos_of(rep, st, cd):
+        rp = pos[rep]
+        li = ijk[rp] // st
+        dof = li[:, 0] + cd[0] * li[:, 1] + cd[0] * cd[1] * li[:, 2]
+        out = np.zeros(int(cd.prod()), np.int64)
+        out[dof] = rp
+        return out
+
+    pod1 = pos_of(rep1, 2, cd1)
+    pod2 = pos_of(rep2, 4, cd2)
+
+    l1_offs, l1_vals = _masked_dia(A1, pod1, n_pad)
+    # no L2 matvec planes: the coarsest level is solved EXACTLY (packed
+    # dense inverse), never smoothed
+
+    om0 = 4.0 / (3.0 * _rho_dinv_a(A))
+    om1 = 4.0 / (3.0 * _rho_dinv_a(A1))
+    d0 = A.diagonal()
+    om_invd0 = np.zeros(n_pad)
+    om_invd0[:n] = om0 / np.where(d0 > 0, d0, 1.0)
+    d1full = np.zeros(n_pad)
+    d1v = A1.diagonal()
+    d1full[pod1] = np.where(d1v > 0, d1v, 1.0)
+    om_invd1 = np.where(d1full > 0, om1 / np.where(d1full > 0, d1full, 1), 0.0)
+
+    t0 = _corner_masks(ijk, strides, dims, 1, n_pad, rep1)
+    t1 = _corner_masks(ijk, strides, dims, 2, n_pad, rep2)
+
+    # coarsest: rank-ordered dofs (ascending fine position) for the pack
+    rp2 = np.sort(pos[rep2])
+    # A2 is numbered in nested coarse order; permute to rank order
+    perm = np.argsort(pod2)          # dofs sorted by fine position
+    import scipy.sparse as sp
+    Pp = sp.csr_matrix(
+        (np.ones(len(perm)), (perm, np.arange(len(perm)))),
+        shape=(len(perm), len(perm)),
+    )
+    A2r = (Pp.T @ A2 @ Pp).toarray()
+    a2inv = np.linalg.inv(A2r)
+    nc2 = A2.shape[0]
+    npad2 = NP2_ROWS * LANES
+    a2inv_pad = np.zeros((npad2, npad2))
+    a2inv_pad[:nc2, :nc2] = a2inv
+    # 16 (128,128) MXU blocks: z[tr] = sum_sr r[sr] @ B[sr*4+tr]
+    # with B[sr*4+tr][sl, tl] = a2inv[tr*128+tl, sr*128+sl]
+    blocks = np.zeros((16, LANES, LANES))
+    for sr in range(NP2_ROWS):
+        for tr in range(NP2_ROWS):
+            blocks[sr * 4 + tr] = a2inv_pad[
+                tr * LANES:(tr + 1) * LANES, sr * LANES:(sr + 1) * LANES
+            ].T
+    plans = _pack_plan(rp2, n_pad)
+
+    planes = {
+        "l1_vals": l1_vals,
+        "om_invd0": om_invd0,
+        "om_invd1": om_invd1,
+        "t0_masks": np.stack([m for _, m in t0]),
+        "t1_masks": np.stack([m for _, m in t1]),
+        "pack_idx": np.stack([p[1] for p in plans]),
+        "pack_mask": np.stack([p[2] for p in plans]),
+        "unpack_idx": np.stack([p[3] for p in plans]),
+        "unpack_mask": np.stack([p[4] for p in plans]),
+        "a2inv_blocks": blocks,
+    }
+    meta = {
+        "l1_offs": l1_offs,
+        "t0_offs": tuple(c for c, _ in t0),
+        "t1_offs": tuple(c for c, _ in t1),
+        "q_list": tuple(p[0] for p in plans),
+        "nc2": int(nc2),
+        "levels": (int(n), int(A1.shape[0]), int(nc2)),
+    }
+    return planes, meta
+
+
+# ----------------------------------------------------------------- numpy ref
+
+def _shift_np(a, off):
+    out = np.zeros_like(a)
+    if off >= 0:
+        out[: len(a) - off or None] = a[off:]
+    else:
+        out[-off:] = a[: len(a) + off]
+    return out
+
+
+def vcycle_np(planes, meta, fine_offs, fine_vals, r):
+    """Numpy reference of the EXACT op sequence the kernel runs (for
+    tests): r (n_pad,) -> z (n_pad,). fine_offs/fine_vals are the kernel's
+    own dia planes (values padded to n_pad)."""
+    def matvec(offs, vals, x):
+        out = np.zeros_like(x)
+        for d, o in enumerate(offs):
+            out += vals[d] * _shift_np(x, o)
+        return out
+
+    def restrict(offs, masks, x):
+        out = np.zeros_like(x)
+        for c, m in zip(offs, masks):
+            out += m * _shift_np(x, c)
+        return out
+
+    def prolong(offs, masks, x):
+        out = np.zeros_like(x)
+        for c, m in zip(offs, masks):
+            out += _shift_np(m * x, -c)
+        return out
+
+    def pack(x):
+        out = np.zeros((NP2_ROWS, LANES))
+        for qi, q in enumerate(meta["q_list"]):
+            src = np.zeros((NP2_ROWS, LANES))
+            flat = np.arange(NP2_ROWS * LANES)
+            sp_ = (flat // LANES + q) * LANES + flat % LANES
+            npad = len(x)
+            valid = (sp_ >= 0) & (sp_ < npad)
+            src_rows = np.zeros(NP2_ROWS * LANES)
+            src_rows[valid] = x[sp_[valid]]
+            src = src_rows.reshape(NP2_ROWS, LANES)
+            out += planes["pack_mask"][qi] * np.take_along_axis(
+                src, planes["pack_idx"][qi].astype(np.int64), axis=1
+            )
+        return out
+
+    def unpack(zp, npad):
+        out = np.zeros(npad)
+        for qi, q in enumerate(meta["q_list"]):
+            g = planes["unpack_mask"][qi] * np.take_along_axis(
+                zp, planes["unpack_idx"][qi].astype(np.int64), axis=1
+            )
+            for tr in range(NP2_ROWS):
+                row = q + tr
+                if 0 <= row < npad // LANES:
+                    out[row * LANES:(row + 1) * LANES] += g[tr]
+        return out
+
+    def coarse_solve(rp):
+        z = np.zeros_like(rp)
+        B = planes["a2inv_blocks"]
+        for sr in range(NP2_ROWS):
+            for tr in range(NP2_ROWS):
+                z[tr] += rp[sr] @ B[sr * 4 + tr]
+        return z
+
+    t0o, t1o = meta["t0_offs"], meta["t1_offs"]
+    t0m, t1m = planes["t0_masks"], planes["t1_masks"]
+    l1o, l1v = meta["l1_offs"], planes["l1_vals"]
+
+    z = planes["om_invd0"] * r
+    res = r - matvec(fine_offs, fine_vals, z)
+    r1 = restrict(t0o, t0m, res)
+    z1 = planes["om_invd1"] * r1
+    res1 = r1 - matvec(l1o, l1v, z1)
+    r2 = restrict(t1o, t1m, res1)
+    z2 = unpack(coarse_solve(pack(r2)), len(r))
+    z1 = z1 + prolong(t1o, t1m, z2)
+    z1 = z1 + planes["om_invd1"] * (r1 - matvec(l1o, l1v, z1))
+    z = z + prolong(t0o, t0m, z1)
+    z = z + planes["om_invd0"] * (r - matvec(fine_offs, fine_vals, z))
+    return z

@@ -317,20 +317,31 @@ class System:
 
         self._amg_meta = None
         if s.preconditioner == "amg":
-            if mode != "ell" or s.cg_backend != "xla":
+            # two homes: the general path (ell + xla PCG, the f64
+            # validation/oracle configuration) or the banded
+            # whole-timestep kernel's IN-KERNEL geometric multigrid
+            # (dia mode + lattice_fast_path, the production matched
+            # configuration — core/mg.py)
+            in_kernel = mode == "dia" and s.lattice_fast_path
+            if not in_kernel and (mode != "ell" or s.cg_backend != "xla"):
                 raise ValueError(
                     "preconditioner='amg' needs global_solver='ell' with "
-                    "cg_backend='xla' (the V-cycle wraps the generic PCG)"
+                    "cg_backend='xla' (general path), or global_solver="
+                    "'dia' with lattice_fast_path=True (in-kernel "
+                    "multigrid on grid meshes)"
                 )
-            from .amg import build_amg
-            from .solver import _assemble_A_hat_csr
+            if not in_kernel:
+                from .amg import build_amg
+                from .solver import _assemble_A_hat_csr
 
-            A = _assemble_A_hat_csr(n, self._mi, dt, cparams)
-            amg_arrays, self._amg_meta = build_amg(A)
-            params["_solver"]["amg"] = amg_arrays
-            if s.verbose:
-                sizes = " -> ".join(str(m["n"]) for m in self._amg_meta)
-                print(f"Solver: AMG hierarchy {sizes}")
+                A = _assemble_A_hat_csr(n, self._mi, dt, cparams)
+                amg_arrays, self._amg_meta = build_amg(A)
+                params["_solver"]["amg"] = amg_arrays
+                if s.verbose:
+                    sizes = " -> ".join(
+                        str(m["n"]) for m in self._amg_meta
+                    )
+                    print(f"Solver: AMG hierarchy {sizes}")
 
         self.params = _cast_tree(params, dtype)
         self.state = {
@@ -344,7 +355,10 @@ class System:
         self._step_fn = jax.jit(self._make_step(), donate_argnums=(0,))
 
         self._lattice = None
-        if s.lattice_fast_path:
+        # when the GENERAL-path AMG engaged, the (Jacobi-budget) lattice/
+        # cloth/uell steppers would silently undo the matched-residual
+        # guarantee — only the dia banded route (in-kernel MG) qualifies
+        if s.lattice_fast_path and self._amg_meta is None:
             from .banded import banded_from_system
             from .cloth import cloth_from_system
             from .lattice import lattice_from_system
@@ -356,6 +370,14 @@ class System:
             # kernel remains as fallback for meshes the banded window
             # rejects, and the cloth kernel handles triangle grids
             out = banded_from_system(self)
+            if out is None and s.preconditioner == "amg" and mode == "dia":
+                raise ValueError(
+                    "preconditioner='amg' with global_solver='dia' needs "
+                    "the banded whole-timestep kernel on a full grid mesh "
+                    "in nested numbering (in-kernel multigrid, core/mg.py)"
+                    " — the scene did not qualify; use global_solver='ell'"
+                    " for the general-path AMG instead"
+                )
             if out is None:
                 out = lattice_from_system(self)
             if out is None:

@@ -143,7 +143,7 @@ def _shifted(xp, off, Nr, interpret):
 def _make_banded_kernel(Nr, Wr, n_chunks, n_iters, dia_offs, model,
                         newton_iters, cg_iters, dt, dt2, gvec,
                         coll_shapes, coll_w2, halves, interpret, uell_meta,
-                        sweep=False, collect=False):
+                        sweep=False, collect=False, mg_meta=None):
     has_coll = len(coll_shapes) > 0
     SOLVE = n_chunks
     # Row-half chunking of the local-step body: Mosaic stack-allocates
@@ -164,10 +164,18 @@ def _make_banded_kernel(Nr, Wr, n_chunks, n_iters, dia_offs, model,
     def hrows(plane, h):
         return slice(plane * SUB + h * HS, plane * SUB + (h + 1) * HS)
 
-    def kernel(p2d_ref, dia_ref, ucc_ref, rbase_ref,
-               fblk_hbm, matv_ref, x0_hbm, v0_hbm, au0_hbm, cu0_hbm, d_hbm,
-               x_out, v_out, d_out, au_out, cu_out, res_out,
-               ST, FB, DB, BW, racc, sem):
+    NP2 = 4  # packed coarsest-vector rows (core/mg.NP2_ROWS)
+
+    def kernel(*refs):
+        (p2d_ref, dia_ref, ucc_ref, rbase_ref,
+         fblk_hbm, matv_ref, x0_hbm, v0_hbm, au0_hbm, cu0_hbm,
+         d_hbm) = refs[:11]
+        k = 11
+        if mg_meta is not None:
+            mgf_ref, mgi_ref, a2b_ref = refs[11:14]
+            k = 14
+        (x_out, v_out, d_out, au_out, cu_out, res_out) = refs[k:k + 6]
+        ST, FB, DB, BW, racc, sem = refs[k + 6:]
         # sweep mode: a leading SCENARIO grid axis — every scenario runs
         # the identical single-scenario program against its own state/
         # material/matrix planes (p2d/dia2d/matv/x0.../d are per-scenario;
@@ -530,6 +538,124 @@ def _make_banded_kernel(Nr, Wr, n_chunks, n_iters, dia_offs, model,
                             acc = term if acc is None else acc + term
                         ST[srows(SAP + a)] = acc
 
+            if mg_meta is not None:
+                # ---- in-kernel geometric multigrid preconditioner
+                # (core/mg.py builds the planes; vcycle_np is the tested
+                # numpy reference of this exact op sequence). All ops are
+                # the kernel's own primitives: masked static-shift
+                # matvecs, per-corner-mask transfers, one packed dense
+                # MXU solve at the coarsest level. SV planes are dead
+                # during ADMM iterations (the epilogue overwrites them),
+                # so they hold z = M(r).
+                l1_offs = mg_meta["l1_offs"]
+                t0_offs = mg_meta["t0_offs"]
+                t1_offs = mg_meta["t1_offs"]
+                q_list = mg_meta["q_list"]
+                d1 = len(l1_offs)
+                nq = len(q_list)
+                R_OM0 = d1 * Nr
+                R_OM1 = R_OM0 + Nr
+                R_T0 = R_OM1 + Nr
+                R_T1 = R_T0 + 8 * Nr
+                R_PM = R_T1 + 8 * Nr          # pack masks (nq x NP2 rows)
+                R_UM = R_PM + nq * NP2        # unpack masks
+
+                def mgrow(base, ki, rows=Nr):
+                    return slice(base + ki * rows, base + (ki + 1) * rows)
+
+                def mv_fine(z):
+                    acc = None
+                    for dd, off in enumerate(dia_offs):
+                        t = plane(dia_ref, dd) * _shifted(
+                            z, off, Nr, interpret
+                        )
+                        acc = t if acc is None else acc + t
+                    return acc
+
+                def mv_l1(z):
+                    acc = None
+                    for dd, off in enumerate(l1_offs):
+                        t = mgf_ref[mgrow(0, dd)] * _shifted(
+                            z, off, Nr, interpret
+                        )
+                        acc = t if acc is None else acc + t
+                    return acc
+
+                def mg_restrict(x, base, offs):
+                    acc = None
+                    for ci, c in enumerate(offs):
+                        t = mgf_ref[mgrow(base, ci)] * _shifted(
+                            x, c, Nr, interpret
+                        )
+                        acc = t if acc is None else acc + t
+                    return acc
+
+                def mg_prolong(x, base, offs):
+                    acc = None
+                    for ci, c in enumerate(offs):
+                        t = _shifted(
+                            mgf_ref[mgrow(base, ci)] * x, -c, Nr, interpret
+                        )
+                        acc = t if acc is None else acc + t
+                    return acc
+
+                def vcycle(r):
+                    om0 = mgf_ref[mgrow(R_OM0, 0)]
+                    om1 = mgf_ref[mgrow(R_OM1, 0)]
+                    z = om0 * r
+                    r1 = mg_restrict(r - mv_fine(z), R_T0, t0_offs)
+                    z1 = om1 * r1
+                    r2 = mg_restrict(r1 - mv_l1(z1), R_T1, t1_offs)
+                    # pack the coarsest residual to (NP2, 128): per-q
+                    # static row slices + lane gathers
+                    r2p = jnp.concatenate(
+                        [r2, jnp.zeros((NP2, LANES), r2.dtype)], 0
+                    )
+                    rp = jnp.zeros((NP2, LANES), r2.dtype)
+                    for qi, q in enumerate(q_list):
+                        g = jnp.take_along_axis(
+                            r2p[q:q + NP2, :],
+                            mgi_ref[mgrow(0, qi, NP2)], axis=1,
+                        )
+                        rp = rp + mgf_ref[mgrow(R_PM, qi, NP2)] * g
+                    # exact coarse solve: 16 (1,128)@(128,128) MXU blocks
+                    zrows = []
+                    for tr in range(NP2):
+                        acc = None
+                        for sr in range(NP2):
+                            blk = a2b_ref[
+                                (sr * 4 + tr) * LANES:
+                                (sr * 4 + tr + 1) * LANES, :
+                            ]
+                            t = jnp.dot(
+                                rp[sr:sr + 1, :], blk,
+                                preferred_element_type=r2.dtype,
+                            )
+                            acc = t if acc is None else acc + t
+                        zrows.append(acc)
+                    zp = jnp.concatenate(zrows, 0)
+                    # unpack: place each q-group at fine rows q..q+NP2-1
+                    z2 = None
+                    for qi, q in enumerate(q_list):
+                        g = mgf_ref[mgrow(R_UM, qi, NP2)] * \
+                            jnp.take_along_axis(
+                                zp, mgi_ref[mgrow(0, nq + qi, NP2)], axis=1
+                            )
+                        gp = jnp.concatenate(
+                            [g, jnp.zeros((Nr - NP2, LANES), g.dtype)], 0
+                        )
+                        t = _row_shift_down(gp, q, Nr)
+                        z2 = t if z2 is None else z2 + t
+                    z1 = z1 + mg_prolong(z2, R_T1, t1_offs)
+                    z1 = z1 + om1 * (r1 - mv_l1(z1))
+                    z = z + mg_prolong(z1, R_T0, t0_offs)
+                    z = z + om0 * (r - mv_fine(z))
+                    return z
+
+                def apply_M():
+                    for a in range(3):
+                        ST[srows(SV + a)] = vcycle(ST[srows(SB + a)])
+
             matvec(SX)
             for a in range(3):
                 r_ = (
@@ -537,11 +663,21 @@ def _make_banded_kernel(Nr, Wr, n_chunks, n_iters, dia_offs, model,
                     - ST[srows(SAP + a)]
                 )
                 ST[srows(SB + a)] = r_  # b is dead; reuse as CG residual
-                ST[srows(SP_ + a)] = invd * r_
-            rz0 = sum(
-                jnp.sum(ST[srows(SB + a)] * ST[srows(SP_ + a)])
-                for a in range(3)
-            )
+                if mg_meta is None:
+                    ST[srows(SP_ + a)] = invd * r_
+            if mg_meta is not None:
+                apply_M()
+                for a in range(3):
+                    ST[srows(SP_ + a)] = ST[srows(SV + a)]
+                rz0 = sum(
+                    jnp.sum(ST[srows(SB + a)] * ST[srows(SV + a)])
+                    for a in range(3)
+                )
+            else:
+                rz0 = sum(
+                    jnp.sum(ST[srows(SB + a)] * ST[srows(SP_ + a)])
+                    for a in range(3)
+                )
 
             def body(_, rz):
                 matvec(SP_)
@@ -553,6 +689,18 @@ def _make_banded_kernel(Nr, Wr, n_chunks, n_iters, dia_offs, model,
                 for a in range(3):
                     ST[srows(SX + a)] += alpha * ST[srows(SP_ + a)]
                     ST[srows(SB + a)] -= alpha * ST[srows(SAP + a)]
+                if mg_meta is not None:
+                    apply_M()
+                    rz_new = sum(
+                        jnp.sum(ST[srows(SB + a)] * ST[srows(SV + a)])
+                        for a in range(3)
+                    )
+                    beta = rz_new / jnp.where(rz > 0, rz, 1.0)
+                    for a in range(3):
+                        ST[srows(SP_ + a)] = (
+                            ST[srows(SV + a)] + beta * ST[srows(SP_ + a)]
+                        )
+                    return rz_new
                 rz_new = sum(
                     jnp.sum(ST[srows(SB + a)] * invd * ST[srows(SB + a)])
                     for a in range(3)
@@ -586,13 +734,16 @@ def _make_banded_kernel(Nr, Wr, n_chunks, n_iters, dia_offs, model,
         "dia_offs", "model", "newton_iters", "cg_iters", "dt", "dt2",
         "gvec", "n_iters", "n_steps", "Wr", "coll_shapes", "coll_w2",
         "halves", "interpret", "uell_meta_static", "n_scen", "collect",
+        "mg_meta_static",
     ),
     donate_argnums=(10,),
 )
 def _banded_call(p2d, dia2d, ucc2d, rbase, fblk, matv, x0, v0, au0, cu0, d,
+                 mgf, mgi, a2b,
                  dia_offs, model, newton_iters, cg_iters, dt, dt2, gvec,
                  n_iters, n_steps, Wr, coll_shapes, coll_w2, halves,
-                 interpret, uell_meta_static, n_scen, collect):
+                 interpret, uell_meta_static, n_scen, collect,
+                 mg_meta_static):
     sweep = n_scen is not None
     if sweep and collect:
         raise NotImplementedError("sweep mode does not collect residuals")
@@ -604,10 +755,21 @@ def _banded_call(p2d, dia2d, ucc2d, rbase, fblk, matv, x0, v0, au0, cu0, d,
         uell_meta = {
             "slot_qs": slot_qs, "fold_qs": fold_qs, "packed": packed,
         }
+    mg_meta = None
+    if mg_meta_static is not None:
+        if sweep or uell_meta is not None:
+            raise NotImplementedError(
+                "in-kernel multigrid: dia mode, non-sweep only"
+            )
+        l1_offs, t0_offs, t1_offs, q_list = mg_meta_static
+        mg_meta = {
+            "l1_offs": l1_offs, "t0_offs": t0_offs,
+            "t1_offs": t1_offs, "q_list": q_list,
+        }
     kern = _make_banded_kernel(
         Nr, Wr, n_chunks, n_iters, dia_offs, model, newton_iters,
         cg_iters, dt, dt2, gvec, coll_shapes, coll_w2, halves, interpret,
-        uell_meta, sweep=sweep, collect=collect,
+        uell_meta, sweep=sweep, collect=collect, mg_meta=mg_meta,
     )
     vm = pl.BlockSpec(memory_space=pltpu.VMEM)
     sm = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -634,6 +796,11 @@ def _banded_call(p2d, dia2d, ucc2d, rbase, fblk, matv, x0, v0, au0, cu0, d,
         grid = (n_steps, n_iters, n_chunks + 1)
         in_specs = [vm, vm, vm, sm, hbm, vm, hbm, hbm, hbm, hbm, hbm]
         out_specs = [vm, vm, hbm, vm, vm]
+    operands = (p2d, dia2d, ucc2d, rbase, fblk, matv,
+                x0, v0, au0, cu0, d)
+    if mg_meta is not None:
+        in_specs = in_specs + [vm, vm, vm]
+        operands = operands + (mgf, mgi, a2b)
     out = pl.pallas_call(
         kern,
         grid=grid,
@@ -666,7 +833,7 @@ def _banded_call(p2d, dia2d, ucc2d, rbase, fblk, matv, x0, v0, au0, cu0, d,
             vmem_limit_bytes=100 * 2**20,
         ),
         interpret=interpret,
-    )(p2d, dia2d, ucc2d, rbase, fblk, matv, x0, v0, au0, cu0, d)
+    )(*operands)
     return out
 
 
@@ -677,7 +844,8 @@ def banded_rollout(p2d, dia2d, rbase, fblk, x0, v0, au0, cu0, d, *,
                    halves=None, interpret=None, ucc2d=None,
                    uell_slot_qs=None, uell_fold_qs=None,
                    uell_packed=False, matv=None, n_scen=None,
-                   collect_residuals=False):
+                   collect_residuals=False,
+                   mgf=None, mgi=None, a2b=None, mg_meta_static=None):
     """n_steps whole timesteps in ONE kernel call.
 
     collect_residuals: also return the per-(step, iteration) PRIMAL
@@ -734,8 +902,13 @@ def banded_rollout(p2d, dia2d, rbase, fblk, x0, v0, au0, cu0, d, *,
         matv = jnp.zeros((8, LANES), x0.dtype)  # unused dummy
     elif matv is None:
         raise ValueError("sweep mode (n_scen) requires matv planes")
+    if mg_meta_static is None:
+        mgf = jnp.zeros((8, LANES), x0.dtype)
+        mgi = jnp.zeros((8, LANES), jnp.int32)
+        a2b = jnp.zeros((8, LANES), x0.dtype)
     out = _banded_call(
         p2d, dia2d, ucc2d, rbase, fblk, matv, x0, v0, au0, cu0, d,
+        mgf, mgi, a2b,
         dia_offs=tuple(int(o) for o in dia_offs), model=str(model),
         newton_iters=int(newton_iters), cg_iters=int(cg_iters),
         dt=float(dt), dt2=float(dt) ** 2,
@@ -746,5 +919,6 @@ def banded_rollout(p2d, dia2d, rbase, fblk, x0, v0, au0, cu0, d, *,
         interpret=bool(interpret), uell_meta_static=uell_meta_static,
         n_scen=None if n_scen is None else int(n_scen),
         collect=bool(collect_residuals),
+        mg_meta_static=mg_meta_static,
     )
     return out if collect_residuals else out[:5]

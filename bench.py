@@ -67,10 +67,11 @@ def build_tet100k(dtype, admm_iters=10, local_backend="xla", global_solver="dia"
         verts, tets = verts[perm], inv[tets]
     if amg:
         # --amg: the EXACT-SOLVE-MATCHED configuration (worst residual
-        # ratio 1.000 vs a 1e-13 solve, docs/PERFORMANCE.md
-        # "Matched-residual solves") — general path, ell + AMG-PCG at 8
-        # fixed iterations
-        global_solver, cg_backend, lattice = "ell", "xla", False
+        # ratio <=1.05 vs a 1e-13 solve, docs/PERFORMANCE.md
+        # "Matched-residual solves") — the banded whole-timestep kernel
+        # with the IN-KERNEL geometric multigrid (core/mg.py) at 8 fixed
+        # PCG iterations
+        global_solver, lattice = "dia", True
     settings = Settings(
         timestep_s=0.04,
         admm_iters=admm_iters,
@@ -452,9 +453,11 @@ def main():
                          "at the default 25)")
     ap.add_argument("--amg", action="store_true",
                     help="tet100k/delaunay100k: the exact-solve-MATCHED "
-                         "configuration — general path, AMG-PCG at 8 fixed "
-                         "iterations (residual ratio 1.00 vs a 1e-13 solve; "
-                         "overrides --lattice/--global-solver/--cg-backend)")
+                         "configuration at 8 fixed PCG iterations "
+                         "(residual ratio <=1.05 vs a 1e-13 solve). "
+                         "tet100k: IN-KERNEL geometric multigrid (banded "
+                         "kernel); delaunay100k: general-path AMG-PCG. "
+                         "Overrides --lattice/--global-solver")
     args = ap.parse_args()
 
     if args.preset == "sharded" and "force_host_platform" not in os.environ.get(
