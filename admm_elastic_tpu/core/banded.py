@@ -381,7 +381,8 @@ class BandedStepper:
             )
             self._mg_meta_static = (
                 tuple(mgm["l1_offs"]), tuple(mgm["t0_offs"]),
-                tuple(mgm["t1_offs"]), tuple(mgm["q_list"]),
+                tuple(mgm["t1_offs"]),
+                tuple(mgm["rangesA"]), tuple(mgm["rangesB"]),
             )
 
         def state3(arr):

@@ -151,30 +151,69 @@ def _corner_masks(ijk, strides, dims, st_f, n_pad, rep_c):
 
 
 def _pack_plan(rep_pos, n_pad):
-    """Pack plan for the coarsest level: dofs ordered by position (rank).
-    Returns per-q groups of (q, pack_idx (4,128), pack_mask, unpack_idx,
-    unpack_mask) with q = source_row - target_row such that packed row tr
-    reads fine rows q+tr."""
+    """Pack plan for the coarsest level: dofs ordered by position (rank),
+    so the coarse row c_row = c//128 is NON-DECREASING across fine rows —
+    at most TWO distinct c_rows touch any fine row. Pack/unpack therefore
+    need only two full-plane lane-gathers each (assignment A = the lower
+    c_row per fine row, B = the upper), plus 4 static row-range reductions
+    (pack) / 4 static row-range broadcasts (unpack).
+
+    Returns dict with (Nr,128) planes pack_idx/pack_mask/unpack_idx/
+    unpack_mask for A and B, and static meta: per-assignment, for each
+    coarse row cr, the fine-row range [start, stop) it owns."""
+    Nr = n_pad // LANES
     c_ids = np.arange(len(rep_pos))
     p_row, p_lane = rep_pos // LANES, rep_pos % LANES
     c_row, c_lane = c_ids // LANES, c_ids % LANES
-    q_all = p_row - c_row
-    plans = []
-    for q in np.unique(q_all):
-        m = q_all == q
-        pidx = np.zeros((NP2_ROWS, LANES), np.int32)
-        pmask = np.zeros((NP2_ROWS, LANES))
-        pidx[c_row[m], c_lane[m]] = p_lane[m]
-        pmask[c_row[m], c_lane[m]] = 1.0
-        # unpack: fine[p_row, p_lane] += packed[c_row, c_lane]; target rows
-        # p_row = q + c_row -> rows tr (=c_row) of the (4,128) source feed
-        # fine rows q+tr; per fine lane, gather the source lane
-        uidx = np.zeros((NP2_ROWS, LANES), np.int32)
-        umask = np.zeros((NP2_ROWS, LANES))
-        uidx[c_row[m], p_lane[m]] = c_lane[m]
-        umask[c_row[m], p_lane[m]] = 1.0
-        plans.append((int(q), pidx, pmask, uidx, umask))
-    return plans
+
+    crow_lo = np.zeros(Nr, np.int64)
+    crow_hi = np.zeros(Nr, np.int64)
+    prev = 0
+    for r in range(Nr):
+        m = p_row == r
+        if m.any():
+            crow_lo[r] = int(c_row[m].min())
+            crow_hi[r] = int(c_row[m].max())
+            prev = crow_hi[r]
+        else:
+            crow_lo[r] = crow_hi[r] = prev
+
+    def assignment(which):
+        own = crow_lo if which == "A" else crow_hi
+        sel = c_row == own[p_row]
+        if which == "B":
+            sel &= crow_hi[p_row] != crow_lo[p_row]
+        pidx = np.zeros((Nr, LANES), np.int32)
+        pmask = np.zeros((Nr, LANES))
+        pidx[p_row[sel], c_lane[sel]] = p_lane[sel]
+        pmask[p_row[sel], c_lane[sel]] = 1.0
+        uidx = np.zeros((Nr, LANES), np.int32)
+        umask = np.zeros((Nr, LANES))
+        uidx[p_row[sel], p_lane[sel]] = c_lane[sel]
+        umask[p_row[sel], p_lane[sel]] = 1.0
+        # contiguous fine-row range owned by each coarse row (only rows
+        # that actually carry entries for B — the boundary rows)
+        ranges = []
+        for cr in range(NP2_ROWS):
+            rows = np.flatnonzero((own == cr) & pmask.any(1)) \
+                if which == "B" else np.flatnonzero(own == cr)
+            if len(rows):
+                assert (np.diff(rows) == 1).all() or which == "B"
+                ranges.append((int(rows.min()), int(rows.max()) + 1))
+            else:
+                ranges.append((0, 0))
+        return pidx, pmask, uidx, umask, tuple(ranges)
+
+    pA = assignment("A")
+    pB = assignment("B")
+    return {
+        "pack_idx": np.stack([pA[0], pB[0]]),
+        "pack_mask": np.stack([pA[1], pB[1]]),
+        "unpack_idx": np.stack([pA[2], pB[2]]),
+        "unpack_mask": np.stack([pA[3], pB[3]]),
+        "rangesA": pA[4],
+        "rangesB": pB[4],
+    }
 
 
 def _rho_dinv_a(A, iters=10, seed=0):
@@ -272,7 +311,7 @@ def build_grid_mg(A, vertices, n_pad, min_nodes=4096):
             blocks[sr * 4 + tr] = a2inv_pad[
                 tr * LANES:(tr + 1) * LANES, sr * LANES:(sr + 1) * LANES
             ].T
-    plans = _pack_plan(rp2, n_pad)
+    plan = _pack_plan(rp2, n_pad)
 
     planes = {
         "l1_vals": l1_vals,
@@ -280,17 +319,18 @@ def build_grid_mg(A, vertices, n_pad, min_nodes=4096):
         "om_invd1": om_invd1,
         "t0_masks": np.stack([m for _, m in t0]),
         "t1_masks": np.stack([m for _, m in t1]),
-        "pack_idx": np.stack([p[1] for p in plans]),
-        "pack_mask": np.stack([p[2] for p in plans]),
-        "unpack_idx": np.stack([p[3] for p in plans]),
-        "unpack_mask": np.stack([p[4] for p in plans]),
+        "pack_idx": plan["pack_idx"],
+        "pack_mask": plan["pack_mask"],
+        "unpack_idx": plan["unpack_idx"],
+        "unpack_mask": plan["unpack_mask"],
         "a2inv_blocks": blocks,
     }
     meta = {
         "l1_offs": l1_offs,
         "t0_offs": tuple(c for c, _ in t0),
         "t1_offs": tuple(c for c, _ in t1),
-        "q_list": tuple(p[0] for p in plans),
+        "rangesA": plan["rangesA"],
+        "rangesB": plan["rangesB"],
         "nc2": int(nc2),
         "levels": (int(n), int(A1.shape[0]), int(nc2)),
     }
@@ -331,32 +371,31 @@ def vcycle_np(planes, meta, fine_offs, fine_vals, r):
         return out
 
     def pack(x):
+        """Two full-plane lane-gathers + static row-range sums."""
+        x2 = x.reshape(-1, LANES)
         out = np.zeros((NP2_ROWS, LANES))
-        for qi, q in enumerate(meta["q_list"]):
-            src = np.zeros((NP2_ROWS, LANES))
-            flat = np.arange(NP2_ROWS * LANES)
-            sp_ = (flat // LANES + q) * LANES + flat % LANES
-            npad = len(x)
-            valid = (sp_ >= 0) & (sp_ < npad)
-            src_rows = np.zeros(NP2_ROWS * LANES)
-            src_rows[valid] = x[sp_[valid]]
-            src = src_rows.reshape(NP2_ROWS, LANES)
-            out += planes["pack_mask"][qi] * np.take_along_axis(
-                src, planes["pack_idx"][qi].astype(np.int64), axis=1
+        for w, ranges in ((0, meta["rangesA"]), (1, meta["rangesB"])):
+            g = planes["pack_mask"][w] * np.take_along_axis(
+                x2, planes["pack_idx"][w].astype(np.int64), axis=1
             )
+            for cr, (lo, hi) in enumerate(ranges):
+                if hi > lo:
+                    out[cr] += g[lo:hi].sum(0)
         return out
 
     def unpack(zp, npad):
-        out = np.zeros(npad)
-        for qi, q in enumerate(meta["q_list"]):
-            g = planes["unpack_mask"][qi] * np.take_along_axis(
-                zp, planes["unpack_idx"][qi].astype(np.int64), axis=1
+        """Two static row-range broadcasts + full-plane lane-gathers."""
+        Nrl = npad // LANES
+        out = np.zeros((Nrl, LANES))
+        for w, ranges in ((0, meta["rangesA"]), (1, meta["rangesB"])):
+            exp = np.zeros((Nrl, LANES))
+            for cr, (lo, hi) in enumerate(ranges):
+                if hi > lo:
+                    exp[lo:hi] = zp[cr]
+            out += planes["unpack_mask"][w] * np.take_along_axis(
+                exp, planes["unpack_idx"][w].astype(np.int64), axis=1
             )
-            for tr in range(NP2_ROWS):
-                row = q + tr
-                if 0 <= row < npad // LANES:
-                    out[row * LANES:(row + 1) * LANES] += g[tr]
-        return out
+        return out.ravel()
 
     def coarse_solve(rp):
         z = np.zeros_like(rp)

@@ -550,15 +550,14 @@ def _make_banded_kernel(Nr, Wr, n_chunks, n_iters, dia_offs, model,
                 l1_offs = mg_meta["l1_offs"]
                 t0_offs = mg_meta["t0_offs"]
                 t1_offs = mg_meta["t1_offs"]
-                q_list = mg_meta["q_list"]
+                ranges = (mg_meta["rangesA"], mg_meta["rangesB"])
                 d1 = len(l1_offs)
-                nq = len(q_list)
                 R_OM0 = d1 * Nr
                 R_OM1 = R_OM0 + Nr
                 R_T0 = R_OM1 + Nr
                 R_T1 = R_T0 + 8 * Nr
-                R_PM = R_T1 + 8 * Nr          # pack masks (nq x NP2 rows)
-                R_UM = R_PM + nq * NP2        # unpack masks
+                R_PM = R_T1 + 8 * Nr          # pack masks (2 x Nr rows)
+                R_UM = R_PM + 2 * Nr          # unpack masks (2 x Nr rows)
 
                 def mgrow(base, ki, rows=Nr):
                     return slice(base + ki * rows, base + (ki + 1) * rows)
@@ -606,18 +605,27 @@ def _make_banded_kernel(Nr, Wr, n_chunks, n_iters, dia_offs, model,
                     r1 = mg_restrict(r - mv_fine(z), R_T0, t0_offs)
                     z1 = om1 * r1
                     r2 = mg_restrict(r1 - mv_l1(z1), R_T1, t1_offs)
-                    # pack the coarsest residual to (NP2, 128): per-q
-                    # static row slices + lane gathers
-                    r2p = jnp.concatenate(
-                        [r2, jnp.zeros((NP2, LANES), r2.dtype)], 0
-                    )
-                    rp = jnp.zeros((NP2, LANES), r2.dtype)
-                    for qi, q in enumerate(q_list):
-                        g = jnp.take_along_axis(
-                            r2p[q:q + NP2, :],
-                            mgi_ref[mgrow(0, qi, NP2)], axis=1,
+                    # pack the coarsest residual to (NP2, 128): the
+                    # rank-ordered coarse numbering makes c_row
+                    # non-decreasing across fine rows, so TWO full-plane
+                    # lane-gathers (assignments A/B) + static row-range
+                    # sums suffice
+                    rp_rows = [
+                        jnp.zeros((1, LANES), r2.dtype)
+                        for _ in range(NP2)
+                    ]
+                    for w in range(2):
+                        if all(hi <= lo for lo, hi in ranges[w]):
+                            continue  # no B-assignment rows (small nc2)
+                        g = mgf_ref[mgrow(R_PM, w)] * jnp.take_along_axis(
+                            r2, mgi_ref[mgrow(0, w)], axis=1
                         )
-                        rp = rp + mgf_ref[mgrow(R_PM, qi, NP2)] * g
+                        for cr, (lo, hi) in enumerate(ranges[w]):
+                            if hi > lo:
+                                rp_rows[cr] = rp_rows[cr] + jnp.sum(
+                                    g[lo:hi, :], axis=0, keepdims=True
+                                )
+                    rp = jnp.concatenate(rp_rows, 0)
                     # exact coarse solve: 16 (1,128)@(128,128) MXU blocks
                     zrows = []
                     for tr in range(NP2):
@@ -634,17 +642,32 @@ def _make_banded_kernel(Nr, Wr, n_chunks, n_iters, dia_offs, model,
                             acc = t if acc is None else acc + t
                         zrows.append(acc)
                     zp = jnp.concatenate(zrows, 0)
-                    # unpack: place each q-group at fine rows q..q+NP2-1
+                    # unpack: static row-range broadcasts + two
+                    # full-plane lane-gathers (transpose of pack)
                     z2 = None
-                    for qi, q in enumerate(q_list):
-                        g = mgf_ref[mgrow(R_UM, qi, NP2)] * \
-                            jnp.take_along_axis(
-                                zp, mgi_ref[mgrow(0, nq + qi, NP2)], axis=1
-                            )
-                        gp = jnp.concatenate(
-                            [g, jnp.zeros((Nr - NP2, LANES), g.dtype)], 0
+                    for w in range(2):
+                        if all(hi <= lo for lo, hi in ranges[w]):
+                            continue
+                        segs = []
+                        row = 0
+                        for cr, (lo, hi) in enumerate(ranges[w]):
+                            if hi > lo:
+                                if lo > row:
+                                    segs.append(jnp.zeros(
+                                        (lo - row, LANES), zp.dtype
+                                    ))
+                                segs.append(jnp.broadcast_to(
+                                    zp[cr:cr + 1, :], (hi - lo, LANES)
+                                ))
+                                row = hi
+                        if row < Nr:
+                            segs.append(jnp.zeros(
+                                (Nr - row, LANES), zp.dtype
+                            ))
+                        exp = jnp.concatenate(segs, 0)
+                        t = mgf_ref[mgrow(R_UM, w)] * jnp.take_along_axis(
+                            exp, mgi_ref[mgrow(0, 2 + w)], axis=1
                         )
-                        t = _row_shift_down(gp, q, Nr)
                         z2 = t if z2 is None else z2 + t
                     z1 = z1 + mg_prolong(z2, R_T1, t1_offs)
                     z1 = z1 + om1 * (r1 - mv_l1(z1))
@@ -761,10 +784,10 @@ def _banded_call(p2d, dia2d, ucc2d, rbase, fblk, matv, x0, v0, au0, cu0, d,
             raise NotImplementedError(
                 "in-kernel multigrid: dia mode, non-sweep only"
             )
-        l1_offs, t0_offs, t1_offs, q_list = mg_meta_static
+        l1_offs, t0_offs, t1_offs, rangesA, rangesB = mg_meta_static
         mg_meta = {
             "l1_offs": l1_offs, "t0_offs": t0_offs,
-            "t1_offs": t1_offs, "q_list": q_list,
+            "t1_offs": t1_offs, "rangesA": rangesA, "rangesB": rangesB,
         }
     kern = _make_banded_kernel(
         Nr, Wr, n_chunks, n_iters, dia_offs, model, newton_iters,
