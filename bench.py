@@ -67,10 +67,10 @@ def build_tet100k(dtype, admm_iters=10, local_backend="xla", global_solver="dia"
         verts, tets = verts[perm], inv[tets]
     if amg:
         # --amg: the EXACT-SOLVE-MATCHED configuration (worst residual
-        # ratio <=1.05 vs a 1e-13 solve, docs/PERFORMANCE.md
-        # "Matched-residual solves") — the banded whole-timestep kernel
-        # with the IN-KERNEL geometric multigrid (core/mg.py) at 8 fixed
-        # PCG iterations
+        # ratio 1.005 vs a 1e-13 solve at the default 6 iterations,
+        # docs/PERFORMANCE.md "Matched-residual solves") — the banded
+        # whole-timestep kernel with the IN-KERNEL geometric multigrid
+        # (core/mg.py)
         global_solver, lattice = "dia", True
     settings = Settings(
         timestep_s=0.04,
@@ -82,9 +82,9 @@ def build_tet100k(dtype, admm_iters=10, local_backend="xla", global_solver="dia"
         # residual to ~0.1% of its start. NOT exact-solve-matched at this
         # scale (the floor grows with mesh diameter — worst ratio 13.5x vs
         # a 1e-13 solve, docs/PERFORMANCE.md "Matched-residual solves");
-        # the matched configuration is --amg (general path) or
-        # --cg-iters 100 (in-kernel, worst ratio 1.003)
-        cg_fixed_iters=cg_iters if cg_iters else (8 if amg else 25),
+        # matched configurations: --cg-iters 100 (8.5 ms, ratio 1.003) or
+        # --amg (in-kernel multigrid, 10.6 ms, scale-robust)
+        cg_fixed_iters=cg_iters if cg_iters else (6 if amg else 25),
         preconditioner="amg" if amg else "jacobi",
         cg_backend=cg_backend,
         # whole-timestep single-kernel path via the plain System API

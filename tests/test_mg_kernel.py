@@ -176,3 +176,37 @@ def test_mg_grid_mesh_but_uell_raises():
     s = _beam_system(global_solver="ell", lattice_fast_path=True,
                      preconditioner="amg", cg_fixed_iters=8)
     assert s._lattice is None and s._amg_meta is not None
+
+
+def test_mg_kernel_with_floor_collision():
+    """The V-cycle composes with the solve phase's in-kernel collision
+    projection (plinko-class scenes stay matched)."""
+    from admm_elastic_tpu.models import Collision, Floor
+
+    def build(**kw):
+        beam = make_beam_tets(8, 6, 5, size=0.05)
+        n = beam.n_vertices
+        s = System(Settings(timestep_s=0.04, admm_iters=6, verbose=0,
+                            dtype=jnp.float64, **kw))
+        # drop the beam onto a floor (no anchors)
+        s.add_nodes(beam.vertices + np.array([0, 0.08, 0]),
+                    np.full(n, 50.0 / n))
+        s.add_force(HyperElasticTet(beam.tets, mu=1e5, lam=1e5,
+                                    max_iters=5, model="nh"))
+        s.add_force(Collision([Floor(center=(0.0, 0.0, 0.0))], n))
+        s.add_explicit_force(ExplicitForce(direction=(0, -9.8, 0)))
+        assert s.initialize()
+        return s
+
+    mg = build(global_solver="dia", lattice_fast_path=True,
+               preconditioner="amg", cg_fixed_iters=8)
+    assert mg._lattice is not None
+    assert mg._lattice._mg_meta_static is not None
+    exact = build(global_solver="ell", cg_tol=1e-13, cg_max_iters=4000)
+    for _ in range(6):
+        mg.step()
+        exact.step()
+    dx = np.abs(np.asarray(mg.x) - np.asarray(exact.x)).max()
+    assert dx < 5e-5, dx
+    # the floor held
+    assert np.asarray(mg.x)[:, 1].min() > -1e-6
