@@ -30,6 +30,13 @@ MAX_GROUPS = 8
 MAX_WIND_GROUPS = 3  # f9 staging capacity in the kernel (3 planes/group)
 MAX_DIAGONALS = 24  # VMEM budget for the symmetric dia planes
 
+# in-kernel geometric multigrid stride ladders, tried in preference
+# order (tools/cloth_mg_study.py: PCG-to-1e-10 on the 226x226 cloth
+# A_hat — (2,4) 32 iters but its coarsest only fits small grids;
+# (2,8) 41 iters; (4,8) 45; (4,16) 58 — vs 600+ for plain Jacobi)
+MG_LADDERS = ((2, 4), (2, 8), (4, 8), (4, 16))
+MG_MAX_NP2 = 8  # coarsest packed size cap: np2 * 128 dofs
+
 
 def group_constant_offsets(indices):
     """Group elements by their vertex-offset stencil.
@@ -80,7 +87,8 @@ class ClothStepper:
     def __init__(self, vertices, masses, tri_force, bend_force, anchor_idx,
                  anchor_weight=1000.0, gravity=(0.0, -9.8, 0.0),
                  wind=None, dt=0.04, admm_iters=10, cg_iters=25,
-                 dtype=jnp.float32, collect_residuals=False):
+                 dtype=jnp.float32, collect_residuals=False,
+                 multigrid=False):
         from ..models.anchor import StaticAnchor
 
         # in-kernel per-iteration PRIMAL residual emission (see
@@ -212,6 +220,69 @@ class ClothStepper:
         )
         self._ancz = jnp.asarray(padp(v.T), dtype)
 
+        # ---- in-kernel 2D geometric multigrid preconditioner planes
+        # (core/mg.py package in the cloth kernel's flat-lane layout;
+        # the exact-solve-MATCHED configuration — the Jacobi budget
+        # needed to match grows with grid diameter, docs/PERFORMANCE.md
+        # "Matched-residual solves")
+        self._mg_meta_static = None
+        self._mgf = self._mgi = self._a2b = None
+        if multigrid:
+            from .mg import LANES, build_grid_mg
+            from .solver import _assemble_A_hat_csr
+
+            A = _assemble_A_hat_csr(n, masses, self.dt, fp).tocsr()
+            mg = None
+            for ladder in MG_LADDERS:
+                got = build_grid_mg(A, v, self.N, min_nodes=0,
+                                    level_strides=ladder,
+                                    np2_rows=MG_MAX_NP2)
+                if got is None:
+                    continue
+                planes, meta = got
+                np2 = -(-meta["nc2"] // LANES)
+                if np2 < MG_MAX_NP2:
+                    # rebuild with the tight pack width (fewer MXU
+                    # blocks in the coarsest solve)
+                    planes, meta = build_grid_mg(
+                        A, v, self.N, min_nodes=0, level_strides=ladder,
+                        np2_rows=max(1, np2),
+                    )
+                mg = (planes, meta)
+                break
+            if mg is None:
+                raise ValueError(
+                    "in-kernel multigrid: no stride ladder fits this "
+                    "grid (not a full grid in nested numbering?)"
+                )
+            mgp, mgm = mg
+
+            def pl2d(flat):
+                return np.asarray(flat, np.float64).reshape(-1, LANES)
+
+            self._mgf = jnp.asarray(np.concatenate([
+                pl2d(mgp["l1_vals"]),
+                pl2d(mgp["om_invd0"]),
+                pl2d(mgp["om_invd1"]),
+                pl2d(mgp["t0_masks"]),
+                pl2d(mgp["t1_masks"]),
+                mgp["pack_mask"].reshape(-1, LANES),
+                mgp["unpack_mask"].reshape(-1, LANES),
+            ], 0), dtype)
+            self._mgi = jnp.asarray(np.concatenate([
+                mgp["pack_idx"].reshape(-1, LANES),
+                mgp["unpack_idx"].reshape(-1, LANES),
+            ], 0).astype(np.int32))
+            self._a2b = jnp.asarray(
+                mgp["a2inv_blocks"].reshape(-1, LANES), dtype
+            )
+            self._mg_meta_static = (
+                tuple(mgm["l1_offs"]), tuple(mgm["t0_offs"]),
+                tuple(mgm["t1_offs"]), tuple(mgm["rangesA"]),
+                tuple(mgm["rangesB"]), int(mgm["np2_rows"]),
+            )
+            self.mg_levels = mgm["levels"]
+
         self.state = {
             "x": jnp.asarray(np.pad(v.T, ((0, 0), (0, pad))), dtype),
             "v": jnp.zeros((3, self.N), dtype),
@@ -243,6 +314,8 @@ class ClothStepper:
                 dia_offs=self.dia_offs, cg_iters=self.cg_iters, dt=dt,
                 gravity=self.gravity, wind_dir=self.wind_dir,
                 n_iters=self.admm_iters, collect_residuals=collect,
+                mgf=self._mgf, mgi=self._mgi, a2b=self._a2b,
+                mg_meta_static=self._mg_meta_static,
             )
 
             def roll(state):
@@ -373,15 +446,18 @@ def cloth_from_system(system):
                   if bend is not None else None)
         wind_arg = ((np.asarray(wind.direction, np.float64),
                      remap(wind.tris)) if wind is not None else None)
+        mg = s.preconditioner == "amg"
         try:
             stepper = ClothStepper(
                 vv, mm, tri_r, bend_r, remap(anchor_idx),
                 anchor_weight=anchor_weight, gravity=tuple(gravity),
                 wind=wind_arg, dt=s.timestep_s, admm_iters=s.admm_iters,
                 cg_iters=(s.cg_fixed_iters
-                          if s.cg_fixed_iters is not None else 25),
+                          if s.cg_fixed_iters is not None
+                          else (10 if mg else 25)),
                 dtype=s.dtype,
                 collect_residuals=s.collect_residuals == "primal",
+                multigrid=mg,
             )
         except ValueError:
             return None

@@ -128,16 +128,22 @@ def _masked_dia(Ac, pos_of_dof, n_pad):
     return tuple(int(o) for o in uoffs), vals
 
 
-def _corner_masks(ijk, strides, dims, st_f, n_pad, rep_c):
-    """8 corner masks M_c for R = sum_c M_c . shift(+c): M_c[p] = 1 iff p
-    is a stride-2*st_f rep and p + c is a stride-st_f rep inside p's
-    block. Corner offsets c are in FINE FLAT INDEX units."""
+def _corner_masks(ijk, strides, dims, st_f, st_c, n_pad, rep_c):
+    """Corner masks M_c for R = sum_c M_c . shift(+c) from the stride-st_f
+    level onto the stride-st_c level: M_c[p] = 1 iff p is a stride-st_c
+    rep and p + c is a stride-st_f rep inside p's block. Corner offsets c
+    are in FINE FLAT INDEX units. The block ratio st_c//st_f may differ
+    from 2 (aggressive coarsening for large 2D grids); flat axes
+    (dims == 1) contribute no corners."""
     n = len(ijk)
     pos = np.arange(n)
+    ratio = st_c // st_f
+    assert st_c % st_f == 0
     out = []
-    for dz in (0, 1):
-        for dy in (0, 1):
-            for dx in (0, 1):
+    rng = [range(ratio) if dims[a] > 1 else range(1) for a in range(3)]
+    for dz in rng[2]:
+        for dy in rng[1]:
+            for dx in rng[0]:
                 d = np.array([dx, dy, dz]) * st_f
                 c = int(d @ strides)
                 child = ijk + d
@@ -150,7 +156,7 @@ def _corner_masks(ijk, strides, dims, st_f, n_pad, rep_c):
     return out
 
 
-def _pack_plan(rep_pos, n_pad):
+def _pack_plan(rep_pos, n_pad, np2_rows=NP2_ROWS):
     """Pack plan for the coarsest level: dofs ordered by position (rank),
     so the coarse row c_row = c//128 is NON-DECREASING across fine rows —
     at most TWO distinct c_rows touch any fine row. Pack/unpack therefore
@@ -194,7 +200,7 @@ def _pack_plan(rep_pos, n_pad):
         # contiguous fine-row range owned by each coarse row (only rows
         # that actually carry entries for B — the boundary rows)
         ranges = []
-        for cr in range(NP2_ROWS):
+        for cr in range(np2_rows):
             rows = np.flatnonzero((own == cr) & pmask.any(1)) \
                 if which == "B" else np.flatnonzero(own == cr)
             if len(rows):
@@ -231,17 +237,24 @@ def _rho_dinv_a(A, iters=10, seed=0):
     return lam
 
 
-def build_grid_mg(A, vertices, n_pad, min_nodes=4096):
+def build_grid_mg(A, vertices, n_pad, min_nodes=4096, level_strides=(2, 4),
+                  np2_rows=NP2_ROWS):
     """Build the in-kernel MG package for CSR A_hat on a grid mesh whose
     INTERNAL numbering is a nested grid order. Returns (planes, meta) or
     None when the mesh does not qualify (not a full grid / nested order /
     coarsest too large).
 
+    level_strides = (st1, st2): block strides of the two coarse levels
+    (st2 % st1 == 0). The default (2, 4) is the 3D banded-kernel
+    hierarchy; large 2D grids (cloth) use aggressive ladders like (2, 8)
+    so the coarsest level still fits the packed dense solve
+    (np2_rows * 128 dofs).
+
     planes (numpy, all (rows, 128)-reshapeable to n_pad flat):
-      l1_vals (d1, n_pad), l2_vals (d2, n_pad), om_invd0/om_invd1 (n_pad,),
-      t0/t1 corner masks (8, n_pad), pack planes (nq, 4, 128) x4,
-      a2inv_blocks (16, 128, 128)
-    meta (static): offsets/corners/q lists + sizes."""
+      l1_vals (d1, n_pad), om_invd0/om_invd1 (n_pad,),
+      t0/t1 corner masks (c0/c1, n_pad), pack planes (2, Nr, 128) x4,
+      a2inv_blocks (np2^2, 128, 128)
+    meta (static): offsets/corners/range lists + sizes."""
     got = _grid_coords_and_strides(vertices)
     if got is None:
         return None
@@ -250,13 +263,14 @@ def build_grid_mg(A, vertices, n_pad, min_nodes=4096):
     if n < min_nodes:
         return None  # Jacobi-CG is already exact-matched this small
 
-    A1, cd1, _ = _galerkin(A, ijk, dims, 2)
-    A2, cd2, _ = _galerkin(A, ijk, dims, 4)
-    if A2.shape[0] > NP2_ROWS * LANES:
-        return None  # coarsest exceeds the packed (4,128) plane
+    st1, st2 = level_strides
+    A1, cd1, _ = _galerkin(A, ijk, dims, st1)
+    A2, cd2, _ = _galerkin(A, ijk, dims, st2)
+    if A2.shape[0] > np2_rows * LANES:
+        return None  # coarsest exceeds the packed (np2_rows,128) plane
 
-    rep1 = _level_reps(ijk, dims, 2)
-    rep2 = _level_reps(ijk, dims, 4)
+    rep1 = _level_reps(ijk, dims, st1)
+    rep2 = _level_reps(ijk, dims, st2)
     pos = np.arange(n)
 
     # level-dof -> fine position (nested-order coarse dof numbering)
@@ -268,8 +282,8 @@ def build_grid_mg(A, vertices, n_pad, min_nodes=4096):
         out[dof] = rp
         return out
 
-    pod1 = pos_of(rep1, 2, cd1)
-    pod2 = pos_of(rep2, 4, cd2)
+    pod1 = pos_of(rep1, st1, cd1)
+    pod2 = pos_of(rep2, st2, cd2)
 
     l1_offs, l1_vals = _masked_dia(A1, pod1, n_pad)
     # no L2 matvec planes: the coarsest level is solved EXACTLY (packed
@@ -285,8 +299,8 @@ def build_grid_mg(A, vertices, n_pad, min_nodes=4096):
     d1full[pod1] = np.where(d1v > 0, d1v, 1.0)
     om_invd1 = np.where(d1full > 0, om1 / np.where(d1full > 0, d1full, 1), 0.0)
 
-    t0 = _corner_masks(ijk, strides, dims, 1, n_pad, rep1)
-    t1 = _corner_masks(ijk, strides, dims, 2, n_pad, rep2)
+    t0 = _corner_masks(ijk, strides, dims, 1, st1, n_pad, rep1)
+    t1 = _corner_masks(ijk, strides, dims, st1, st2, n_pad, rep2)
 
     # coarsest: rank-ordered dofs (ascending fine position) for the pack
     rp2 = np.sort(pos[rep2])
@@ -300,18 +314,18 @@ def build_grid_mg(A, vertices, n_pad, min_nodes=4096):
     A2r = (Pp.T @ A2 @ Pp).toarray()
     a2inv = np.linalg.inv(A2r)
     nc2 = A2.shape[0]
-    npad2 = NP2_ROWS * LANES
+    npad2 = np2_rows * LANES
     a2inv_pad = np.zeros((npad2, npad2))
     a2inv_pad[:nc2, :nc2] = a2inv
-    # 16 (128,128) MXU blocks: z[tr] = sum_sr r[sr] @ B[sr*4+tr]
-    # with B[sr*4+tr][sl, tl] = a2inv[tr*128+tl, sr*128+sl]
-    blocks = np.zeros((16, LANES, LANES))
-    for sr in range(NP2_ROWS):
-        for tr in range(NP2_ROWS):
-            blocks[sr * 4 + tr] = a2inv_pad[
+    # np2^2 (128,128) MXU blocks: z[tr] = sum_sr r[sr] @ B[sr*np2+tr]
+    # with B[sr*np2+tr][sl, tl] = a2inv[tr*128+tl, sr*128+sl]
+    blocks = np.zeros((np2_rows * np2_rows, LANES, LANES))
+    for sr in range(np2_rows):
+        for tr in range(np2_rows):
+            blocks[sr * np2_rows + tr] = a2inv_pad[
                 tr * LANES:(tr + 1) * LANES, sr * LANES:(sr + 1) * LANES
             ].T
-    plan = _pack_plan(rp2, n_pad)
+    plan = _pack_plan(rp2, n_pad, np2_rows)
 
     planes = {
         "l1_vals": l1_vals,
@@ -332,6 +346,8 @@ def build_grid_mg(A, vertices, n_pad, min_nodes=4096):
         "rangesA": plan["rangesA"],
         "rangesB": plan["rangesB"],
         "nc2": int(nc2),
+        "np2_rows": int(np2_rows),
+        "level_strides": (int(st1), int(st2)),
         "levels": (int(n), int(A1.shape[0]), int(nc2)),
     }
     return planes, meta
@@ -370,10 +386,12 @@ def vcycle_np(planes, meta, fine_offs, fine_vals, r):
             out += _shift_np(m * x, -c)
         return out
 
+    np2 = meta.get("np2_rows", NP2_ROWS)
+
     def pack(x):
         """Two full-plane lane-gathers + static row-range sums."""
         x2 = x.reshape(-1, LANES)
-        out = np.zeros((NP2_ROWS, LANES))
+        out = np.zeros((np2, LANES))
         for w, ranges in ((0, meta["rangesA"]), (1, meta["rangesB"])):
             g = planes["pack_mask"][w] * np.take_along_axis(
                 x2, planes["pack_idx"][w].astype(np.int64), axis=1
@@ -400,9 +418,9 @@ def vcycle_np(planes, meta, fine_offs, fine_vals, r):
     def coarse_solve(rp):
         z = np.zeros_like(rp)
         B = planes["a2inv_blocks"]
-        for sr in range(NP2_ROWS):
-            for tr in range(NP2_ROWS):
-                z[tr] += rp[sr] @ B[sr * 4 + tr]
+        for sr in range(np2):
+            for tr in range(np2):
+                z[tr] += rp[sr] @ B[sr * np2 + tr]
         return z
 
     t0o, t1o = meta["t0_offs"], meta["t1_offs"]

@@ -370,18 +370,26 @@ class System:
             # kernel remains as fallback for meshes the banded window
             # rejects, and the cloth kernel handles triangle grids
             out = banded_from_system(self)
+            if out is None and s.preconditioner != "amg":
+                # the lattice kernel has no multigrid mode — engaging it
+                # under preconditioner='amg' would silently undo the
+                # matched-residual guarantee
+                out = lattice_from_system(self)
+            if out is None:
+                # the cloth kernel supports the in-kernel 2D multigrid
+                # (ClothStepper(multigrid=True)); returns None if the
+                # grid does not qualify
+                out = cloth_from_system(self)
             if out is None and s.preconditioner == "amg" and mode == "dia":
                 raise ValueError(
                     "preconditioner='amg' with global_solver='dia' needs "
-                    "the banded whole-timestep kernel on a full grid mesh "
-                    "in nested numbering (in-kernel multigrid, core/mg.py)"
-                    " — the scene did not qualify; use global_solver='ell'"
-                    " for the general-path AMG instead"
+                    "a whole-timestep kernel with in-kernel multigrid — "
+                    "the banded kernel on a full tet grid, or the cloth "
+                    "kernel on a full triangle grid, both in nested "
+                    "numbering (core/mg.py) — and the scene did not "
+                    "qualify; use global_solver='ell' for the "
+                    "general-path AMG instead"
                 )
-            if out is None:
-                out = lattice_from_system(self)
-            if out is None:
-                out = cloth_from_system(self)
             if out is not None:
                 self._lattice, self._to_canon = out
                 if s.verbose >= 1:

@@ -42,6 +42,18 @@ Restrictions: constant-offset groupable faces/hinges (regular-grid cloth in
 any vertex numbering via detect_grid_numbering), uniform per-group
 constraint constants, all-node gravity kicks, at most one WindForce over
 groupable triangles, residual collection off.
+
+With mg_meta (ClothStepper(multigrid=True) / Settings.preconditioner=
+'amg'), the CG phase runs vcycle-PCG instead of Jacobi-PCG: a two-
+coarse-level 2D geometric multigrid (core/mg.py package — masked
+static-shift coarse matvecs, corner-mask transfers, packed dense MXU
+coarsest solve) executed in the (Nr,128) row-major view of the kernel's
+flat lane vectors, reusing banded_step's _shifted. This is the
+exact-solve-MATCHED configuration: the Jacobi budget needed to match the
+reference's prefactored-LDLT trajectory
+(/root/reference/deps/admm-elastic-sca/src/system/System.cpp:140) grows
+with grid diameter (~cg300 at 225x225), the vcycle budget does not
+(8 fixed iterations, ratio 1.000 at 40x30 AND 80x60 in f64).
 """
 
 from __future__ import annotations
@@ -53,6 +65,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .banded_step import LANES, _shifted
 from .tri_local import _tri_body
 
 # masks row 0 is the anchor w2 plane; group/wind mask rows follow
@@ -60,13 +73,17 @@ ANCHOR_ROW = 0
 
 
 def _make_cloth_kernel(N, groups, wind_groups, dia_offs, cg_iters, dt, dt2,
-                       gvec, wind_dir, n_iters, collect=False):
+                       gvec, wind_dir, n_iters, collect=False, mg_meta=None,
+                       interpret=False):
     """groups: tuple of
          ('tri', offs(3), cp6(6), w2, k, lmin, lmax, mask_row, limiting)
        | ('bend', offs(4), arow(3), w2, k, mask_row).
     wind_groups: tuple of (offs(3), mask_row) — empty disables wind.
     dia_offs: non-negative offsets of the symmetric A_hat diagonals
-    (vals[d, i] = A[i, i+off])."""
+    (vals[d, i] = A[i, i+off]).
+    mg_meta: static metadata of the in-kernel geometric multigrid
+    preconditioner (core/mg.py 2D package; adds mgf/mgi/a2b input refs
+    and turns the Jacobi-PCG solve into vcycle-PCG)."""
     n_groups = len(groups)
     CG_PHASE = 3 * n_groups
     XS, BS = 9, 12  # packed-scratch row bases: live x / b accumulator
@@ -80,9 +97,12 @@ def _make_cloth_kernel(N, groups, wind_groups, dia_offs, cg_iters, dt, dt2,
     NC = N // NCH
 
     def kernel(masks_ref, ancz_ref, dia_ref,
-               x3_hbm, v3_hbm, u_hbm, ancu_hbm,
-               x_out, v_out, u_hbm_out, ancu_out, res_out,
-               S, u_blk, racc, sem):
+               x3_hbm, v3_hbm, u_hbm, ancu_hbm, *rest):
+        if mg_meta is not None:
+            mgf_ref, mgi_ref, a2b_ref = rest[:3]
+            rest = rest[3:]
+        (x_out, v_out, u_hbm_out, ancu_out, res_out,
+         S, u_blk, racc, sem) = rest
         # masks_ref rows: 0 = anchor w2 plane, 1 = vertex masses,
         # 2 = 1/diag (Jacobi preconditioner), 3+ = group validity planes.
         # S is ONE packed 16-row scratch: rows 0-8 = F planes / wind
@@ -375,6 +395,146 @@ def _make_cloth_kernel(N, groups, wind_groups, dia_offs, cg_iters, dt, dt2,
                             S[a, : N - off] += w * src_ref[sb + a, off:]
                             S[a, off:] += w * src_ref[sb + a, : N - off]
 
+            if mg_meta is not None:
+                # ---- in-kernel 2D geometric multigrid preconditioner
+                # (core/mg.py planes; vcycle_np is the tested numpy
+                # reference of this exact op sequence). The vcycle runs
+                # in the (Nr,128) row-major view of the kernel's flat
+                # lane vectors (reshape is a no-op relayout; probed on
+                # chip) so flat-index shifts reuse banded_step._shifted.
+                Nr = N // LANES
+                l1_offs = mg_meta["l1_offs"]
+                t0_offs = mg_meta["t0_offs"]
+                t1_offs = mg_meta["t1_offs"]
+                np2 = mg_meta["np2_rows"]
+                ranges = (mg_meta["rangesA"], mg_meta["rangesB"])
+                d1 = len(l1_offs)
+                R_OM0 = d1 * Nr
+                R_OM1 = R_OM0 + Nr
+                R_T0 = R_OM1 + Nr
+                R_T1 = R_T0 + len(t0_offs) * Nr
+                R_PM = R_T1 + len(t1_offs) * Nr
+                R_UM = R_PM + 2 * Nr
+
+                def mgrow(base, ki, rows=Nr):
+                    return slice(base + ki * rows, base + (ki + 1) * rows)
+
+                def mv_fine(z):
+                    # symmetric-dia matvec in the 2D view: only offs >= 0
+                    # are stored; the transpose contribution of each
+                    # off > 0 diagonal is shift(vals*z, -off)
+                    acc = None
+                    for dd, off in enumerate(dia_offs):
+                        v2 = dia_ref[dd, :].reshape(Nr, LANES)
+                        t = v2 * _shifted(z, off, Nr, interpret)
+                        if off != 0:
+                            t = t + _shifted(v2 * z, -off, Nr, interpret)
+                        acc = t if acc is None else acc + t
+                    return acc
+
+                def mv_l1(z):
+                    acc = None
+                    for dd, off in enumerate(l1_offs):
+                        t = mgf_ref[mgrow(0, dd)] * _shifted(
+                            z, off, Nr, interpret
+                        )
+                        acc = t if acc is None else acc + t
+                    return acc
+
+                def mg_restrict(x, base, offs):
+                    acc = None
+                    for ci, c in enumerate(offs):
+                        t = mgf_ref[mgrow(base, ci)] * _shifted(
+                            x, c, Nr, interpret
+                        )
+                        acc = t if acc is None else acc + t
+                    return acc
+
+                def mg_prolong(x, base, offs):
+                    acc = None
+                    for ci, c in enumerate(offs):
+                        t = _shifted(
+                            mgf_ref[mgrow(base, ci)] * x, -c, Nr,
+                            interpret,
+                        )
+                        acc = t if acc is None else acc + t
+                    return acc
+
+                def vcycle(r):
+                    om0 = mgf_ref[mgrow(R_OM0, 0)]
+                    om1 = mgf_ref[mgrow(R_OM1, 0)]
+                    z = om0 * r
+                    r1 = mg_restrict(r - mv_fine(z), R_T0, t0_offs)
+                    z1 = om1 * r1
+                    r2 = mg_restrict(r1 - mv_l1(z1), R_T1, t1_offs)
+                    # pack the coarsest residual to (np2, 128): two
+                    # full-plane lane-gathers + static row-range sums
+                    rp_rows = [
+                        jnp.zeros((1, LANES), r2.dtype)
+                        for _ in range(np2)
+                    ]
+                    for w in range(2):
+                        if all(hi <= lo for lo, hi in ranges[w]):
+                            continue
+                        g = mgf_ref[mgrow(R_PM, w)] * jnp.take_along_axis(
+                            r2, mgi_ref[mgrow(0, w)], axis=1
+                        )
+                        for cr, (lo, hi) in enumerate(ranges[w]):
+                            if hi > lo:
+                                rp_rows[cr] = rp_rows[cr] + jnp.sum(
+                                    g[lo:hi, :], axis=0, keepdims=True
+                                )
+                    rp = jnp.concatenate(rp_rows, 0)
+                    # exact coarse solve: np2^2 (1,128)@(128,128) MXU
+                    # blocks
+                    zrows = []
+                    for tr in range(np2):
+                        acc = None
+                        for sr in range(np2):
+                            blk = a2b_ref[
+                                (sr * np2 + tr) * LANES:
+                                (sr * np2 + tr + 1) * LANES, :
+                            ]
+                            t = jnp.dot(
+                                rp[sr:sr + 1, :], blk,
+                                preferred_element_type=r2.dtype,
+                            )
+                            acc = t if acc is None else acc + t
+                        zrows.append(acc)
+                    zp = jnp.concatenate(zrows, 0)
+                    # unpack: static row-range broadcasts + two
+                    # full-plane lane-gathers (transpose of pack)
+                    z2 = None
+                    for w in range(2):
+                        if all(hi <= lo for lo, hi in ranges[w]):
+                            continue
+                        segs = []
+                        row = 0
+                        for cr, (lo, hi) in enumerate(ranges[w]):
+                            if hi > lo:
+                                if lo > row:
+                                    segs.append(jnp.zeros(
+                                        (lo - row, LANES), zp.dtype
+                                    ))
+                                segs.append(jnp.broadcast_to(
+                                    zp[cr:cr + 1, :], (hi - lo, LANES)
+                                ))
+                                row = hi
+                        if row < Nr:
+                            segs.append(jnp.zeros(
+                                (Nr - row, LANES), zp.dtype
+                            ))
+                        exp = jnp.concatenate(segs, 0)
+                        t = mgf_ref[mgrow(R_UM, w)] * jnp.take_along_axis(
+                            exp, mgi_ref[mgrow(0, 2 + w)], axis=1
+                        )
+                        z2 = t if z2 is None else z2 + t
+                    z1 = z1 + mg_prolong(z2, R_T1, t1_offs)
+                    z1 = z1 + om1 * (r1 - mv_l1(z1))
+                    z = z + mg_prolong(z1, R_T0, t0_offs)
+                    z = z + om0 * (r - mv_fine(z))
+                    return z
+
             # r = M xbar + dt^2 b - A x, with M xbar recomputed from the
             # parked pre-step x (x_out) and the kicked v (v_out) — folding
             # b into r in place saves two (3,N) VMEM planes
@@ -384,8 +544,21 @@ def _make_cloth_kernel(N, groups, wind_groups, dia_offs, cg_iters, dt, dt2,
                 S[BS + a, :] = (
                     masks_ref[1, :] * xbar + dt2 * S[BS + a, :] - S[a, :]
                 )
-                S[3 + a, :] = masks_ref[2, :] * S[BS + a, :]
-            rz0 = sum(jnp.sum(S[BS + a, :] * S[3 + a, :]) for a in range(3))
+                if mg_meta is None:
+                    S[3 + a, :] = masks_ref[2, :] * S[BS + a, :]
+            if mg_meta is not None:
+                # p0 = z0 = M(r0); z staged through the (Nr,128) view
+                rz0 = jnp.asarray(0.0, S.dtype)
+                for a in range(3):
+                    z = vcycle(S[BS + a, :].reshape(Nr, LANES))
+                    rz0 = rz0 + jnp.sum(
+                        S[BS + a, :].reshape(Nr, LANES) * z
+                    )
+                    S[3 + a, :] = z.reshape(N)
+            else:
+                rz0 = sum(
+                    jnp.sum(S[BS + a, :] * S[3 + a, :]) for a in range(3)
+                )
 
             def body(_, rz):
                 matvec_into(S, 3)
@@ -396,6 +569,19 @@ def _make_cloth_kernel(N, groups, wind_groups, dia_offs, cg_iters, dt, dt2,
                 for a in range(3):
                     S[XS + a, :] += alpha * S[3 + a, :]
                     S[BS + a, :] -= alpha * S[a, :]
+                if mg_meta is not None:
+                    zs = []
+                    rz_new = jnp.asarray(0.0, S.dtype)
+                    for a in range(3):
+                        z = vcycle(S[BS + a, :].reshape(Nr, LANES))
+                        rz_new = rz_new + jnp.sum(
+                            S[BS + a, :].reshape(Nr, LANES) * z
+                        )
+                        zs.append(z.reshape(N))
+                    beta = rz_new / jnp.where(rz > 0, rz, 1.0)
+                    for a in range(3):
+                        S[3 + a, :] = zs[a] + beta * S[3 + a, :]
+                    return rz_new
                 rz_new = sum(
                     jnp.sum(S[BS + a, :] * masks_ref[2, :] * S[BS + a, :])
                     for a in range(3)
@@ -424,28 +610,51 @@ def _make_cloth_kernel(N, groups, wind_groups, dia_offs, cg_iters, dt, dt2,
     static_argnames=(
         "groups_key", "wind_groups", "dia_offs", "cg_iters", "dt", "dt2",
         "gvec", "wind_dir", "n_iters", "n_steps", "interpret", "collect",
+        "mg_meta_static",
     ),
     donate_argnums=(5,),
 )
-def _cloth_call(masks, ancz, dia, x3, v3, u, ancu,
+def _cloth_call(masks, ancz, dia, x3, v3, u, ancu, mgf, mgi, a2b,
                 groups_key, wind_groups, dia_offs, cg_iters, dt, dt2,
-                gvec, wind_dir, n_iters, n_steps, interpret, collect):
+                gvec, wind_dir, n_iters, n_steps, interpret, collect,
+                mg_meta_static):
     N = x3.shape[1]
     n_groups = len(groups_key)
     n_phases = 3 * n_groups + 1
+    mg_meta = None
+    if mg_meta_static is not None:
+        l1_offs, t0_offs, t1_offs, rangesA, rangesB, np2 = mg_meta_static
+        mg_meta = {
+            "l1_offs": l1_offs, "t0_offs": t0_offs, "t1_offs": t1_offs,
+            "rangesA": rangesA, "rangesB": rangesB, "np2_rows": np2,
+        }
     kern = _make_cloth_kernel(
         N, groups_key, wind_groups, dia_offs, cg_iters, dt, dt2, gvec,
-        wind_dir, n_iters, collect=collect,
+        wind_dir, n_iters, collect=collect, mg_meta=mg_meta,
+        interpret=interpret,
     )
     full = lambda *_: (0, 0)
     f3 = pl.BlockSpec((3, N), full, memory_space=pltpu.VMEM)
     fm = pl.BlockSpec(masks.shape, full, memory_space=pltpu.VMEM)
     fd = pl.BlockSpec(dia.shape, full, memory_space=pltpu.VMEM)
     hbm = pl.BlockSpec(memory_space=pl.ANY)
+    vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+    in_specs = [fm, f3, fd, hbm, hbm, hbm, hbm]
+    operands = (masks, ancz, dia, x3, v3, u, ancu)
+    kwargs = {}
+    if mg_meta is not None:
+        in_specs = in_specs + [vm, vm, vm]
+        operands = operands + (mgf, mgi, a2b)
+        # the MG planes push past the 16 MB scoped-VMEM pipelining
+        # default (v5e has 128 MB/core); the non-MG config keeps the
+        # default so its benchmarked schedule is unperturbed
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20,
+        )
     out = pl.pallas_call(
         kern,
         grid=(n_steps, n_iters, n_phases),
-        in_specs=[fm, f3, fd, hbm, hbm, hbm, hbm],
+        in_specs=in_specs,
         out_specs=[f3, f3, hbm, f3,
                    pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_shape=[
@@ -465,14 +674,16 @@ def _cloth_call(masks, ancz, dia, x3, v3, u, ancu,
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(masks, ancz, dia, x3, v3, u, ancu)
+        **kwargs,
+    )(*operands)
     return out
 
 
 def cloth_rollout(masks, ancz, dia, x3, v3, u, ancu, *,
                   groups, wind_groups, dia_offs, cg_iters, dt, gravity,
                   wind_dir, n_iters, n_steps, interpret=None,
-                  collect_residuals=False):
+                  collect_residuals=False,
+                  mgf=None, mgi=None, a2b=None, mg_meta_static=None):
     """n_steps whole cloth timesteps in ONE kernel call.
 
     x3/v3/ancz/ancu: (3,N); masks: (3+n_mask_rows, N) with rows
@@ -484,8 +695,12 @@ def cloth_rollout(masks, ancz, dia, x3, v3, u, ancu, *,
     the hashable tuples built by core/cloth.ClothStepper."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if mg_meta_static is None:
+        mgf = jnp.zeros((8, LANES), x3.dtype)
+        mgi = jnp.zeros((8, LANES), jnp.int32)
+        a2b = jnp.zeros((8, LANES), x3.dtype)
     out = _cloth_call(
-        masks, ancz, dia, x3, v3, u, ancu,
+        masks, ancz, dia, x3, v3, u, ancu, mgf, mgi, a2b,
         groups_key=groups, wind_groups=wind_groups,
         dia_offs=tuple(int(o) for o in dia_offs),
         cg_iters=int(cg_iters), dt=float(dt),
@@ -495,5 +710,6 @@ def cloth_rollout(masks, ancz, dia, x3, v3, u, ancu, *,
         n_iters=int(n_iters), n_steps=int(n_steps),
         interpret=bool(interpret),
         collect=bool(collect_residuals),
+        mg_meta_static=mg_meta_static,
     )
     return out if collect_residuals else out[:4]

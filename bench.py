@@ -171,7 +171,8 @@ def build_delaunay100k(dtype, admm_iters=10, fast_path=True, amg=False,
     return sys, len(tets)
 
 
-def build_cloth100k(dtype, admm_iters=10, fast_path=True, residuals=False):
+def build_cloth100k(dtype, admm_iters=10, fast_path=True, residuals=False,
+                    cg_iters=None, amg=False):
     """Large-cloth workload: ~100k triangle-strain elements + bend hinges
     (windyflag physics at production scale). Default config: the cloth
     whole-timestep kernel (core/cloth.py) — one pallas_call per rollout
@@ -199,7 +200,10 @@ def build_cloth100k(dtype, admm_iters=10, fast_path=True, residuals=False):
     n = mesh.n_vertices
     sys = System(Settings(
         timestep_s=0.04, admm_iters=admm_iters, verbose=0, dtype=dtype,
-        global_solver="dia", cg_fixed_iters=25, cg_backend="fused",
+        global_solver="dia",
+        cg_fixed_iters=(cg_iters or (10 if amg else 25)),
+        cg_backend="fused",
+        preconditioner=("amg" if amg else "jacobi"),
         lattice_fast_path=fast_path,
         collect_residuals=(("primal" if fast_path else True)
                            if residuals else False),
@@ -452,9 +456,11 @@ def main():
                          "100k-beam scale — worst ratio 1.003 vs 13.5x "
                          "at the default 25)")
     ap.add_argument("--amg", action="store_true",
-                    help="tet100k/delaunay100k: the exact-solve-MATCHED "
-                         "configuration at 8 fixed PCG iterations "
+                    help="tet100k/cloth100k/delaunay100k: the "
+                         "exact-solve-MATCHED configuration at a small "
+                         "fixed PCG budget "
                          "(residual ratio <=1.05 vs a 1e-13 solve). "
+                         "cloth100k: IN-KERNEL 2D geometric multigrid; "
                          "tet100k: IN-KERNEL geometric multigrid (banded "
                          "kernel); delaunay100k: general-path AMG-PCG. "
                          "Overrides --lattice/--global-solver")
@@ -535,7 +541,9 @@ def main():
         )
     elif args.preset == "cloth100k":
         sys_, n_tris = build_cloth100k(dtype, fast_path=args.lattice,
-                                       residuals=args.residuals)
+                                       residuals=args.residuals,
+                                       cg_iters=args.cg_iters,
+                                       amg=args.amg)
         ms = bench_system(sys_, args.steps) * 1e3
         iters_per_s = sys_.settings.admm_iters / (ms / 1e3)
         print(
