@@ -75,7 +75,8 @@ def _group_ranks(t, q):
 
 
 def pack_uell(rows, cols, vals, positions, n_pos, cap_quantile=0.99,
-              dilute=8, max_slots=160, max_fold_layers=4):
+              dilute=8, max_slots=160, max_fold_layers=4,
+              spare_pool=4096):
     """Pack a symmetric sparse matrix (COO over vertex ids) into per-q ELL
     slots + fold layers.
 
@@ -103,7 +104,10 @@ def pack_uell(rows, cols, vals, positions, n_pos, cap_quantile=0.99,
     s = positions[cols]
     v = vals.copy()
 
-    cap_total = n_pos + 4096
+    # spare positions appended past the diluted numbering for hub-copy
+    # overflow; small levels (core/uamg.py coarse operators) pass a small
+    # pool so the plane row count tracks the level size
+    cap_total = n_pos + int(spare_pool)
     free_mask = np.ones(cap_total, bool)
     free_mask[t] = False
     free_mask[s] = False

@@ -1,0 +1,207 @@
+"""Unit tests for the unstructured in-kernel multigrid builder
+(core/uamg.py): transfer-op invariants, Galerkin coarse operator
+equivalence, and preconditioner quality on a Delaunay-class matrix.
+
+All numpy/scipy (the kernel-integration trajectory tests live in
+tests/test_banded.py::*uamg*).
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from admm_elastic_tpu.core import uamg
+from admm_elastic_tpu.core.uell import pack_uell_auto, uell_matvec_np
+
+LANES = 128
+
+
+@pytest.fixture(scope="module")
+def problem():
+    """Jittered-grid Delaunay graph matrix (A_hat-like: SPD, mass +
+    stiffness, negative off-diagonals) + its uell fine packing."""
+    from scipy.spatial import Delaunay
+
+    rng = np.random.default_rng(0)
+    nx, ny, nz = 14, 9, 8
+    g = np.meshgrid(np.arange(nx), np.arange(ny), np.arange(nz),
+                    indexing="ij")
+    pts = np.stack(g, -1).reshape(-1, 3).astype(np.float64)
+    pts += rng.uniform(-0.3, 0.3, pts.shape)
+    tets = Delaunay(pts).simplices
+    pp = pts[tets]
+    emax = np.linalg.norm(pp[:, :, None, :] - pp[:, None, :, :],
+                          axis=-1).max(axis=(1, 2))
+    tets = tets[emax < 2.2]
+    n = len(pts)
+    edges = np.concatenate(
+        [tets[:, [a, b]] for a in range(4) for b in range(a + 1, 4)]
+    )
+    w = np.abs(rng.normal(1.0, 0.2, len(edges))) * 1e3
+    i, j = edges[:, 0], edges[:, 1]
+    L = sp.coo_matrix(
+        (np.r_[w, w, -w, -w], (np.r_[i, j, i, j], np.r_[i, j, j, i])),
+        shape=(n, n),
+    ).tocsr()
+    A = (L + sp.eye(n) * 0.05).tocsr()
+    A.sum_duplicates()
+    Ac = A.tocoo()
+    packed, positions = pack_uell_auto(Ac.row, Ac.col, Ac.data, pts)
+    planes, meta = uamg.build_uamg(A, positions, packed["n_pad"])
+    return dict(A=A, pts=pts, packed=packed, positions=positions,
+                planes=planes, meta=meta, n=n)
+
+
+def _fine_mv(problem):
+    packed = problem["packed"]
+    n_pad = packed["n_pad"]
+    Nf = n_pad // LANES
+    vmask = np.zeros(n_pad)
+    vmask[problem["positions"]] = 1.0
+    vmask2 = vmask.reshape(Nf, LANES)
+
+    def mv(x2):
+        return vmask2 * uell_matvec_np(packed, x2.ravel()).reshape(
+            Nf, LANES
+        )
+
+    return mv, Nf
+
+
+def _ops_of(problem, which):
+    planes, meta = problem["planes"], problem["meta"]
+    segs = meta["segs0" if which[1] == "0" else "segs1"]
+    return [
+        {"idx_r": planes[f"{which}_idx"][k],
+         "mask_r": planes[f"{which}_mask"][k],
+         "idx_p": planes[f"{which}_idx"][k],
+         "mask_p": planes[f"{which}_mask"][k],
+         "segments": segs[k]}
+        for k in range(planes[f"{which}_idx"].shape[0])
+    ]
+
+
+def test_transfers_are_exact_transposes(problem):
+    rng = np.random.default_rng(1)
+    mv, Nf = _fine_mv(problem)
+    Nc = problem["meta"]["nc_rows"]
+    xf = rng.normal(size=(Nf, LANES))
+    yc = rng.normal(size=(Nc, LANES))
+    lhs = np.vdot(uamg.apply_R_np(_ops_of(problem, "r0"), xf, Nc), yc)
+    rhs = np.vdot(xf, uamg.apply_P_np(_ops_of(problem, "p0"), yc, Nf))
+    assert abs(lhs - rhs) <= 1e-12 * abs(lhs)
+    np2 = problem["meta"]["np2"]
+    xc = rng.normal(size=(Nc, LANES))
+    y2 = rng.normal(size=(np2, LANES))
+    lhs = np.vdot(uamg.apply_R_np(_ops_of(problem, "r1"), xc, np2), y2)
+    rhs = np.vdot(xc, uamg.apply_P_np(_ops_of(problem, "p1"), y2, Nc))
+    assert abs(lhs - rhs) <= 1e-12 * max(abs(lhs), 1e-30)
+
+
+def test_restriction_covers_every_fine_dof_once(problem):
+    mv, Nf = _fine_mv(problem)
+    Nc = problem["meta"]["nc_rows"]
+    ones = np.zeros(Nf * LANES)
+    ones[problem["positions"]] = 1.0
+    sizes = uamg.apply_R_np(
+        _ops_of(problem, "r0"), ones.reshape(Nf, LANES), Nc
+    )
+    assert sizes.sum() == problem["n"]
+    # cap: no aggregate exceeds 8 members
+    assert sizes.max() <= 8
+
+
+def test_l1_matvec_is_galerkin(problem):
+    """The packed L1 operator equals R A P applied through the transfer
+    ops (Galerkin consistency of the whole device op sequence)."""
+    rng = np.random.default_rng(2)
+    mv, Nf = _fine_mv(problem)
+    planes, meta = problem["planes"], problem["meta"]
+    Nc = meta["nc_rows"]
+    xc = rng.normal(size=(Nc, LANES)) * planes["vmask1"]
+    Px = uamg.apply_P_np(_ops_of(problem, "p0"), xc, Nf)
+    RAPx = uamg.apply_R_np(_ops_of(problem, "r0"), mv(Px), Nc)
+    got = uamg._l1_matvec_np(planes, meta, xc)
+    scale = np.abs(RAPx).max()
+    assert np.abs(got - RAPx).max() <= 1e-12 * scale
+
+
+def test_vcycle_preconditions_pcg(problem):
+    """PCG with the uamg V-cycle converges in far fewer iterations than
+    Jacobi (the whole point: diameter-insensitive matched solves)."""
+    rng = np.random.default_rng(3)
+    mv, Nf = _fine_mv(problem)
+    planes, meta = problem["planes"], problem["meta"]
+    A = problem["A"]
+    n_pad = Nf * LANES
+    invd = np.zeros(n_pad)
+    invd[problem["positions"]] = 1.0 / A.diagonal()
+    invd2 = invd.reshape(Nf, LANES)
+
+    def pcg(precond, maxit=400):
+        b = np.zeros(n_pad)
+        b[problem["positions"]] = rng.normal(size=problem["n"])
+        b2 = b.reshape(Nf, LANES)
+        x2 = np.zeros_like(b2)
+        r = b2.copy()
+        z = precond(r)
+        p = z.copy()
+        rz = np.vdot(r, z)
+        bn = np.linalg.norm(b2)
+        for it in range(maxit):
+            Ap = mv(p)
+            alpha = rz / np.vdot(p, Ap)
+            x2 += alpha * p
+            r -= alpha * Ap
+            if np.linalg.norm(r) <= 1e-10 * bn:
+                return it + 1
+            z = precond(r)
+            rz_new = np.vdot(r, z)
+            p = z + rz_new / rz * p
+            rz = rz_new
+        return maxit
+
+    it_j = pcg(lambda r: invd2 * r)
+    it_mg = pcg(lambda r: uamg.vcycle_np(planes, meta, mv, r))
+    assert it_mg < it_j / 3
+    assert it_mg <= 35
+
+
+def test_vcycle_is_spd(problem):
+    """The V-cycle operator M^{-1} is symmetric positive definite (valid
+    CG preconditioner): <Mx, y> == <x, My> and <Mx, x> > 0."""
+    rng = np.random.default_rng(4)
+    mv, Nf = _fine_mv(problem)
+    planes, meta = problem["planes"], problem["meta"]
+    vm = np.zeros(Nf * LANES)
+    vm[problem["positions"]] = 1.0
+    vm2 = vm.reshape(Nf, LANES)
+    for _ in range(3):
+        x = rng.normal(size=(Nf, LANES)) * vm2
+        y = rng.normal(size=(Nf, LANES)) * vm2
+        Mx = uamg.vcycle_np(planes, meta, mv, x)
+        My = uamg.vcycle_np(planes, meta, mv, y)
+        sxy = np.vdot(Mx, y)
+        syx = np.vdot(x, My)
+        assert abs(sxy - syx) <= 1e-10 * max(abs(sxy), 1e-30)
+        assert np.vdot(Mx, x) > 0
+
+
+def test_schedule_transfers_invariants():
+    """Direct invariants of the greedy schedule on an adversarial
+    (non-monotone) entry set."""
+    rng = np.random.default_rng(5)
+    n_src, n_tgt = 1000, 160
+    agg = rng.integers(0, n_tgt, n_src)
+    # scatter source positions widely (breaks monotonicity)
+    s_pos = rng.permutation(4 * n_src)[:n_src]
+    t_pos = agg * 2  # diluted-ish target positions
+    Ns = (int(s_pos.max()) // LANES) + 1
+    Nt = (int(t_pos.max()) // LANES) + 1
+    ops = uamg.schedule_transfers(t_pos, s_pos, Ns, Nt, max_ops=200)
+    x = rng.normal(size=(Ns, LANES))
+    got = uamg.apply_R_np(ops, x, Nt)
+    ref = np.zeros((Nt, LANES))
+    for tp, spos in zip(t_pos, s_pos):
+        ref[tp // LANES, tp % LANES] += x[spos // LANES, spos % LANES]
+    assert np.abs(got - ref).max() <= 1e-12 * max(np.abs(ref).max(), 1.0)
