@@ -152,7 +152,7 @@ class BandedStepper:
                  floor_y=None, floor_w2=0.0,
                  coll_shapes=None, coll_w2=None,
                  positions=None, uell=None, collect_residuals=False,
-                 mg=None):
+                 mg=None, uamg=None):
         v = np.asarray(vertices, np.float64)
         n = len(v)
         E = len(tet_idx)
@@ -352,10 +352,42 @@ class BandedStepper:
                     np.concatenate(ccs, 0), jnp.int32
                 )
 
-        # ---- in-kernel geometric multigrid preconditioner planes
-        # (core/mg.build_grid_mg package; dia mode only)
+        # ---- in-kernel multigrid preconditioner planes: geometric
+        # (core/mg.build_grid_mg; dia mode) or algebraic
+        # (core/uamg.build_uamg; uell mode)
         self._mg_meta_static = None
+        self._uamg_meta_static = None
         self._mgf = self._mgi = self._a2b = None
+        if uamg is not None:
+            assert uell is not None, "in-kernel algebraic MG: uell mode"
+            assert mg is None
+            up, um = uamg
+            self._mgf = jnp.asarray(np.concatenate([
+                up["om_invd0"],
+                up["r0_mask"].reshape(-1, LANES),
+                up["p0_mask"].reshape(-1, LANES),
+                up["om_invd1"],
+                up["vmask1"],
+                up["r1_mask"].reshape(-1, LANES),
+                up["p1_mask"].reshape(-1, LANES),
+                up["l1_vals"].reshape(-1, LANES),
+            ], 0), dtype)
+            self._mgi = jnp.asarray(np.concatenate([
+                up["r0_idx"].reshape(-1, LANES),
+                up["p0_idx"].reshape(-1, LANES),
+                up["r1_idx"].reshape(-1, LANES),
+                up["p1_idx"].reshape(-1, LANES),
+                up["l1_cc"].reshape(-1, LANES),
+            ], 0).astype(np.int32))
+            self._a2b = jnp.asarray(
+                up["a2inv_blocks"].reshape(-1, LANES), dtype
+            )
+            self._uamg_meta_static = (
+                tuple(um["segs0"]), tuple(um["segs1"]),
+                tuple(um["l1_slot_qs"]),
+                tuple(tuple(l) for l in um["l1_fold_qs"]),
+                int(um["np2"]), int(um["nc_rows"]),
+            )
         if mg is not None:
             assert uell is None, "in-kernel MG: dia mode only"
             mgp, mgm = mg
@@ -465,6 +497,11 @@ class BandedStepper:
                 kw.update(
                     mgf=self._mgf, mgi=self._mgi, a2b=self._a2b,
                     mg_meta_static=self._mg_meta_static,
+                )
+            if self._uamg_meta_static is not None:
+                kw.update(
+                    mgf=self._mgf, mgi=self._mgi, a2b=self._a2b,
+                    uamg_meta_static=self._uamg_meta_static,
                 )
 
             def roll(state):
@@ -607,6 +644,7 @@ def banded_from_system(system, _pack_vals=None):
 
     sv = system.params["_solver"]
     mg = None
+    uamg = None
     if system._solver_mode == "dia":
         dia_offs = system._dia_offsets
         dia_vals = np.asarray(sv["dia_vals"], np.float64)
@@ -637,8 +675,6 @@ def banded_from_system(system, _pack_vals=None):
                 print("Solver: in-kernel multigrid engaged "
                       f"({lv[0]} -> {lv[1]} -> {lv[2]})")
     else:
-        if s.preconditioner == "amg":
-            return None  # in-kernel MG is dia-mode only; initialize raises
         # unstructured numbering: no diagonal structure exists — pack
         # A_hat into per-row-offset ELL slots over a spatially-ordered,
         # diluted vertex layout (core/uell.py)
@@ -663,6 +699,22 @@ def banded_from_system(system, _pack_vals=None):
             return None
         dia_offs = ()
         dia_vals = np.zeros((0, n))
+        if s.preconditioner == "amg":
+            # in-kernel ALGEBRAIC multigrid: exact-solve-MATCHED ADMM on
+            # ARBITRARY topology at a small fixed budget (core/uamg.py;
+            # docs/PERFORMANCE.md "Matched-residual solves")
+            from .uamg import build_uamg
+
+            try:
+                uamg = build_uamg(A, positions, packed["n_pad"])
+            except ValueError:
+                return None  # caller falls back to the general-path AMG
+            if s.verbose:
+                lv = uamg[1]["levels"]
+                print("Solver: in-kernel algebraic multigrid engaged "
+                      f"({lv[0]} -> {lv[1]} -> {lv[2]}, "
+                      f"{uamg[1]['n_ops'][0]}+{uamg[1]['n_ops'][1]} "
+                      "transfer ops)")
         # VMEM budget estimate (plus ~45 planes of state/element scratch
         # and stack); reject and fall back to the general path rather
         # than fault the chip. The kernel raises the compiler's scoped
@@ -672,6 +724,11 @@ def banded_from_system(system, _pack_vals=None):
         nr = packed["n_pad"] // 128
         a_bytes = nr * 128 * (4 * n_planes + 4 * (-(-n_planes // 4)))
         vmem = a_bytes + 45 * nr * 128 * 4
+        if uamg is not None:
+            up = uamg[0]
+            vmem += sum(
+                int(np.asarray(v_).size) * 4 for v_ in up.values()
+            )
         if vmem > 85 * 2**20:
             if s.verbose:
                 print(
@@ -689,7 +746,8 @@ def banded_from_system(system, _pack_vals=None):
             gravity=tuple(gravity), dt=s.timestep_s,
             admm_iters=s.admm_iters,
             cg_iters=(s.cg_fixed_iters
-                      if s.cg_fixed_iters is not None else 25),
+                      if s.cg_fixed_iters is not None
+                      else (8 if s.preconditioner == "amg" else 25)),
             dtype=s.dtype,
             coll_shapes=tuple(
                 ("floor", (float(s_.center[1]),)) if isinstance(s_, Floor)
@@ -704,7 +762,7 @@ def banded_from_system(system, _pack_vals=None):
                      if floor is not None else 0.0),
             positions=positions, uell=packed,
             collect_residuals=s.collect_residuals == "primal",
-            mg=mg,
+            mg=mg, uamg=uamg,
         )
     except ValueError:
         return None

@@ -317,18 +317,21 @@ class System:
 
         self._amg_meta = None
         if s.preconditioner == "amg":
-            # two homes: the general path (ell + xla PCG, the f64
-            # validation/oracle configuration) or the banded
-            # whole-timestep kernel's IN-KERNEL geometric multigrid
-            # (dia mode + lattice_fast_path, the production matched
-            # configuration — core/mg.py)
-            in_kernel = mode == "dia" and s.lattice_fast_path
+            # three homes: the banded whole-timestep kernel's IN-KERNEL
+            # geometric multigrid (dia mode + lattice_fast_path, grid
+            # meshes — core/mg.py), its IN-KERNEL algebraic multigrid
+            # (ell mode + lattice_fast_path, ARBITRARY topology via the
+            # uell planes — core/uamg.py), or the general path (ell +
+            # xla PCG, the f64 validation/oracle configuration and the
+            # fallback when no kernel qualifies)
+            in_kernel = s.lattice_fast_path and mode in ("dia", "ell")
             if not in_kernel and (mode != "ell" or s.cg_backend != "xla"):
                 raise ValueError(
                     "preconditioner='amg' needs global_solver='ell' with "
-                    "cg_backend='xla' (general path), or global_solver="
-                    "'dia' with lattice_fast_path=True (in-kernel "
-                    "multigrid on grid meshes)"
+                    "cg_backend='xla' (general path), or "
+                    "lattice_fast_path=True with global_solver='dia' "
+                    "(in-kernel geometric MG on grid meshes) or 'ell' "
+                    "(in-kernel algebraic MG, any topology)"
                 )
             if not in_kernel:
                 from .amg import build_amg
@@ -398,6 +401,26 @@ class System:
             elif s.verbose >= 1:
                 print("Solver: scene does not qualify for a whole-timestep "
                       "fast path; using the general solver")
+        if (s.preconditioner == "amg" and self._amg_meta is None
+                and self._lattice is None):
+            # in-kernel candidate that did not qualify (ell mode): fall
+            # back to the GENERAL-path AMG so the mode never runs
+            # silently unmatched on a Jacobi budget
+            if s.cg_backend != "xla":
+                raise ValueError(
+                    "preconditioner='amg' fallback needs cg_backend='xla'"
+                )
+            from .amg import build_amg
+            from .solver import _assemble_A_hat_csr
+
+            A = _assemble_A_hat_csr(n, self._mi, dt, cparams)
+            amg_arrays, self._amg_meta = build_amg(A)
+            self.params["_solver"]["amg"] = _cast_tree(amg_arrays, dtype)
+            # the jitted step closed over amg_vcycle=None — rebuild it
+            self._step_fn = jax.jit(self._make_step(), donate_argnums=(0,))
+            if s.verbose:
+                sizes = " -> ".join(str(m["n"]) for m in self._amg_meta)
+                print(f"Solver: general-path AMG fallback {sizes}")
 
         if s.verbose >= 1:
             print(

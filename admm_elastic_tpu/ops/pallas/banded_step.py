@@ -143,9 +143,11 @@ def _shifted(xp, off, Nr, interpret):
 def _make_banded_kernel(Nr, Wr, n_chunks, n_iters, dia_offs, model,
                         newton_iters, cg_iters, dt, dt2, gvec,
                         coll_shapes, coll_w2, halves, interpret, uell_meta,
-                        sweep=False, collect=False, mg_meta=None):
+                        sweep=False, collect=False, mg_meta=None,
+                        uamg_meta=None):
     has_coll = len(coll_shapes) > 0
     SOLVE = n_chunks
+    precond = mg_meta is not None or uamg_meta is not None
     # Row-half chunking of the local-step body: Mosaic stack-allocates
     # scoped VMEM for every live (HS,128) temporary, and the gather +
     # 3x3 SVD + Newton prox + scatter pipeline holds ~100 of them — at
@@ -171,7 +173,7 @@ def _make_banded_kernel(Nr, Wr, n_chunks, n_iters, dia_offs, model,
          fblk_hbm, matv_ref, x0_hbm, v0_hbm, au0_hbm, cu0_hbm,
          d_hbm) = refs[:11]
         k = 11
-        if mg_meta is not None:
+        if precond:
             mgf_ref, mgi_ref, a2b_ref = refs[11:14]
             k = 14
         (x_out, v_out, d_out, au_out, cu_out, res_out) = refs[k:k + 6]
@@ -502,29 +504,33 @@ def _make_banded_kernel(Nr, Wr, n_chunks, n_iters, dia_offs, model,
                     else:
                         q_groups.append((qq, [k]))
 
+                def uell_mv(xv):
+                    """A @ xv via per-row-offset ELL slots + layered fold
+                    ops (core/uell.py format). The valid mask zeroes
+                    copy/spare positions so the CG never sees phantom
+                    dofs."""
+                    acc = None
+                    for qq, ks in q_groups:
+                        sh = rshift(xv, qq)
+                        for k in ks:
+                            term = uval(k) * jnp.take_along_axis(
+                                sh, ucc(k), axis=1
+                            )
+                            acc = term if acc is None else acc + term
+                    kf = len(slot_qs)
+                    for layer in fold_qs:
+                        for qq in layer:
+                            acc = acc + uval(kf) * jnp.take_along_axis(
+                                rshift(acc, qq), ucc(kf), axis=1
+                            )
+                            kf += 1
+                    return acc * vmask_mv
+
                 def matvec(src_plane):
-                    """A @ ST[src..+3] via per-row-offset ELL slots +
-                    layered fold ops (core/uell.py format). The valid
-                    mask zeroes copy/spare positions so the CG never
-                    sees phantom dofs."""
                     for a in range(3):
-                        xv = ST[srows(src_plane + a)]
-                        acc = None
-                        for qq, ks in q_groups:
-                            sh = rshift(xv, qq)
-                            for k in ks:
-                                term = uval(k) * jnp.take_along_axis(
-                                    sh, ucc(k), axis=1
-                                )
-                                acc = term if acc is None else acc + term
-                        kf = len(slot_qs)
-                        for layer in fold_qs:
-                            for qq in layer:
-                                acc = acc + uval(kf) * jnp.take_along_axis(
-                                    rshift(acc, qq), ucc(kf), axis=1
-                                )
-                                kf += 1
-                        ST[srows(SAP + a)] = acc * vmask_mv
+                        ST[srows(SAP + a)] = uell_mv(
+                            ST[srows(src_plane + a)]
+                        )
             else:
                 def matvec(src_plane):
                     """A @ ST[src_plane..+3] into the SAP planes."""
@@ -679,6 +685,153 @@ def _make_banded_kernel(Nr, Wr, n_chunks, n_iters, dia_offs, model,
                     for a in range(3):
                         ST[srows(SV + a)] = vcycle(ST[srows(SB + a)])
 
+            if uamg_meta is not None:
+                # ---- in-kernel ALGEBRAIC multigrid (unstructured / uell
+                # meshes; core/uamg.py builds the planes and vcycle_np is
+                # the tested numpy reference of this exact op sequence).
+                # Fine smoothing/residuals reuse uell_mv; the level-1
+                # Galerkin operator is a second (small) uell packing over
+                # a compact coarse layout; transfers are full-plane
+                # lane-gathers + static row-range sums/broadcasts; the
+                # coarsest level is a packed dense MXU solve.
+                segs0 = uamg_meta["segs0"]
+                segs1 = uamg_meta["segs1"]
+                l1_slot_qs = uamg_meta["l1_slot_qs"]
+                l1_fold_qs = uamg_meta["l1_fold_qs"]
+                NP2u = uamg_meta["np2"]
+                NC = uamg_meta["nc_rows"]
+                O0, O1 = len(segs0), len(segs1)
+                # mgf (float) row layout
+                F_R0M = Nr
+                F_P0M = F_R0M + O0 * Nr
+                F_OM1 = F_P0M + O0 * Nr
+                F_VM1 = F_OM1 + NC
+                F_R1M = F_VM1 + NC
+                F_P1M = F_R1M + O1 * NC
+                F_L1V = F_P1M + O1 * NC
+                # mgi (int32) row layout
+                I_P0 = O0 * Nr
+                I_R1 = 2 * O0 * Nr
+                I_P1 = I_R1 + O1 * NC
+                I_L1 = I_P1 + O1 * NC
+
+                def fsl(base, k, rows):
+                    return slice(base + k * rows, base + (k + 1) * rows)
+
+                def rshift_c(xv, qq):
+                    return (_row_shift_up(xv, qq, NC) if qq >= 0
+                            else _row_shift_down(xv, -qq, NC))
+
+                l1_groups = []
+                for k, qq in enumerate(l1_slot_qs):
+                    if l1_groups and l1_groups[-1][0] == qq:
+                        l1_groups[-1][1].append(k)
+                    else:
+                        l1_groups.append((qq, [k]))
+
+                def l1_mv(xc):
+                    acc = None
+                    for qq, ks in l1_groups:
+                        sh = rshift_c(xc, qq)
+                        for k in ks:
+                            term = mgf_ref[fsl(F_L1V, k, NC)] \
+                                * jnp.take_along_axis(
+                                    sh, mgi_ref[fsl(I_L1, k, NC)], axis=1
+                                )
+                            acc = term if acc is None else acc + term
+                    kf = len(l1_slot_qs)
+                    for layer in l1_fold_qs:
+                        for qq in layer:
+                            acc = acc + mgf_ref[fsl(F_L1V, kf, NC)] \
+                                * jnp.take_along_axis(
+                                    rshift_c(acc, qq),
+                                    mgi_ref[fsl(I_L1, kf, NC)], axis=1
+                                )
+                            kf += 1
+                    return acc * mgf_ref[F_VM1:F_VM1 + NC]
+
+                def apply_Ru(src, mbase, ibase, segs, Ns_rows, Nt):
+                    rows = [
+                        jnp.zeros((1, LANES), src.dtype)
+                        for _ in range(Nt)
+                    ]
+                    for k, seg in enumerate(segs):
+                        g = mgf_ref[fsl(mbase, k, Ns_rows)] \
+                            * jnp.take_along_axis(
+                                src, mgi_ref[fsl(ibase, k, Ns_rows)],
+                                axis=1,
+                            )
+                        for (tr, lo, hi) in seg:
+                            rows[tr] = rows[tr] + jnp.sum(
+                                g[lo:hi], axis=0, keepdims=True
+                            )
+                    return jnp.concatenate(rows, 0)
+
+                def apply_Pu(z, mbase, ibase, segs, Ns_rows):
+                    out = None
+                    for k, seg in enumerate(segs):
+                        pieces, row = [], 0
+                        for (tr, lo, hi) in sorted(
+                                seg, key=lambda t3: t3[1]):
+                            if lo > row:
+                                pieces.append(jnp.zeros(
+                                    (lo - row, LANES), z.dtype
+                                ))
+                            pieces.append(jnp.broadcast_to(
+                                z[tr:tr + 1, :], (hi - lo, LANES)
+                            ))
+                            row = hi
+                        if row < Ns_rows:
+                            pieces.append(jnp.zeros(
+                                (Ns_rows - row, LANES), z.dtype
+                            ))
+                        exp = jnp.concatenate(pieces, 0)
+                        t = mgf_ref[fsl(mbase, k, Ns_rows)] \
+                            * jnp.take_along_axis(
+                                exp, mgi_ref[fsl(ibase, k, Ns_rows)],
+                                axis=1,
+                            )
+                        out = t if out is None else out + t
+                    return out
+
+                def coarse_solve(rp):
+                    zrows = []
+                    for tr in range(NP2u):
+                        acc = None
+                        for sr in range(NP2u):
+                            blk = a2b_ref[
+                                (sr * NP2u + tr) * LANES:
+                                (sr * NP2u + tr + 1) * LANES, :
+                            ]
+                            t = jnp.dot(
+                                rp[sr:sr + 1, :], blk,
+                                preferred_element_type=rp.dtype,
+                            )
+                            acc = t if acc is None else acc + t
+                        zrows.append(acc)
+                    return jnp.concatenate(zrows, 0)
+
+                def vcycle_u(r):
+                    om0 = mgf_ref[0:Nr]
+                    om1 = mgf_ref[F_OM1:F_OM1 + NC]
+                    z = om0 * r
+                    res = r - uell_mv(z)
+                    r1 = apply_Ru(res, F_R0M, 0, segs0, Nr, NC)
+                    z1 = om1 * r1
+                    res1 = r1 - l1_mv(z1)
+                    rp = apply_Ru(res1, F_R1M, I_R1, segs1, NC, NP2u)
+                    z2 = apply_Pu(coarse_solve(rp), F_P1M, I_P1,
+                                  segs1, NC)
+                    z1 = z1 + z2
+                    z1 = z1 + om1 * (r1 - l1_mv(z1))
+                    z = z + apply_Pu(z1, F_P0M, I_P0, segs0, Nr)
+                    z = z + om0 * (r - uell_mv(z))
+                    return z
+
+                def apply_M():
+                    for a in range(3):
+                        ST[srows(SV + a)] = vcycle_u(ST[srows(SB + a)])
+
             matvec(SX)
             for a in range(3):
                 r_ = (
@@ -686,9 +839,9 @@ def _make_banded_kernel(Nr, Wr, n_chunks, n_iters, dia_offs, model,
                     - ST[srows(SAP + a)]
                 )
                 ST[srows(SB + a)] = r_  # b is dead; reuse as CG residual
-                if mg_meta is None:
+                if not precond:
                     ST[srows(SP_ + a)] = invd * r_
-            if mg_meta is not None:
+            if precond:
                 apply_M()
                 for a in range(3):
                     ST[srows(SP_ + a)] = ST[srows(SV + a)]
@@ -712,7 +865,7 @@ def _make_banded_kernel(Nr, Wr, n_chunks, n_iters, dia_offs, model,
                 for a in range(3):
                     ST[srows(SX + a)] += alpha * ST[srows(SP_ + a)]
                     ST[srows(SB + a)] -= alpha * ST[srows(SAP + a)]
-                if mg_meta is not None:
+                if precond:
                     apply_M()
                     rz_new = sum(
                         jnp.sum(ST[srows(SB + a)] * ST[srows(SV + a)])
@@ -757,7 +910,7 @@ def _make_banded_kernel(Nr, Wr, n_chunks, n_iters, dia_offs, model,
         "dia_offs", "model", "newton_iters", "cg_iters", "dt", "dt2",
         "gvec", "n_iters", "n_steps", "Wr", "coll_shapes", "coll_w2",
         "halves", "interpret", "uell_meta_static", "n_scen", "collect",
-        "mg_meta_static",
+        "mg_meta_static", "uamg_meta_static",
     ),
     donate_argnums=(10,),
 )
@@ -766,7 +919,7 @@ def _banded_call(p2d, dia2d, ucc2d, rbase, fblk, matv, x0, v0, au0, cu0, d,
                  dia_offs, model, newton_iters, cg_iters, dt, dt2, gvec,
                  n_iters, n_steps, Wr, coll_shapes, coll_w2, halves,
                  interpret, uell_meta_static, n_scen, collect,
-                 mg_meta_static):
+                 mg_meta_static, uamg_meta_static):
     sweep = n_scen is not None
     if sweep and collect:
         raise NotImplementedError("sweep mode does not collect residuals")
@@ -789,10 +942,23 @@ def _banded_call(p2d, dia2d, ucc2d, rbase, fblk, matv, x0, v0, au0, cu0, d,
             "l1_offs": l1_offs, "t0_offs": t0_offs,
             "t1_offs": t1_offs, "rangesA": rangesA, "rangesB": rangesB,
         }
+    uamg_meta = None
+    if uamg_meta_static is not None:
+        if sweep or uell_meta is None or mg_meta is not None:
+            raise NotImplementedError(
+                "in-kernel algebraic multigrid: uell mode, non-sweep only"
+            )
+        segs0, segs1, l1_slot_qs, l1_fold_qs, np2u, nc_rows = \
+            uamg_meta_static
+        uamg_meta = {
+            "segs0": segs0, "segs1": segs1, "l1_slot_qs": l1_slot_qs,
+            "l1_fold_qs": l1_fold_qs, "np2": np2u, "nc_rows": nc_rows,
+        }
     kern = _make_banded_kernel(
         Nr, Wr, n_chunks, n_iters, dia_offs, model, newton_iters,
         cg_iters, dt, dt2, gvec, coll_shapes, coll_w2, halves, interpret,
         uell_meta, sweep=sweep, collect=collect, mg_meta=mg_meta,
+        uamg_meta=uamg_meta,
     )
     vm = pl.BlockSpec(memory_space=pltpu.VMEM)
     sm = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -821,7 +987,7 @@ def _banded_call(p2d, dia2d, ucc2d, rbase, fblk, matv, x0, v0, au0, cu0, d,
         out_specs = [vm, vm, hbm, vm, vm]
     operands = (p2d, dia2d, ucc2d, rbase, fblk, matv,
                 x0, v0, au0, cu0, d)
-    if mg_meta is not None:
+    if mg_meta is not None or uamg_meta is not None:
         in_specs = in_specs + [vm, vm, vm]
         operands = operands + (mgf, mgi, a2b)
     out = pl.pallas_call(
@@ -868,7 +1034,8 @@ def banded_rollout(p2d, dia2d, rbase, fblk, x0, v0, au0, cu0, d, *,
                    uell_slot_qs=None, uell_fold_qs=None,
                    uell_packed=False, matv=None, n_scen=None,
                    collect_residuals=False,
-                   mgf=None, mgi=None, a2b=None, mg_meta_static=None):
+                   mgf=None, mgi=None, a2b=None, mg_meta_static=None,
+                   uamg_meta_static=None):
     """n_steps whole timesteps in ONE kernel call.
 
     collect_residuals: also return the per-(step, iteration) PRIMAL
@@ -925,7 +1092,7 @@ def banded_rollout(p2d, dia2d, rbase, fblk, x0, v0, au0, cu0, d, *,
         matv = jnp.zeros((8, LANES), x0.dtype)  # unused dummy
     elif matv is None:
         raise ValueError("sweep mode (n_scen) requires matv planes")
-    if mg_meta_static is None:
+    if mg_meta_static is None and uamg_meta_static is None:
         mgf = jnp.zeros((8, LANES), x0.dtype)
         mgi = jnp.zeros((8, LANES), jnp.int32)
         a2b = jnp.zeros((8, LANES), x0.dtype)
@@ -943,5 +1110,6 @@ def banded_rollout(p2d, dia2d, rbase, fblk, x0, v0, au0, cu0, d, *,
         n_scen=None if n_scen is None else int(n_scen),
         collect=bool(collect_residuals),
         mg_meta_static=mg_meta_static,
+        uamg_meta_static=uamg_meta_static,
     )
     return out if collect_residuals else out[:5]

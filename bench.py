@@ -149,7 +149,7 @@ def build_delaunay100k(dtype, admm_iters=10, fast_path=True, amg=False,
         global_solver="ell",
         cg_fixed_iters=cg_iters if cg_iters else (8 if amg else 25),
         preconditioner="amg" if amg else "jacobi",
-        lattice_fast_path=False if amg else fast_path,
+        lattice_fast_path=fast_path,
     )
     sys = System(settings)
     sys.add_nodes(pts, np.full(n, 50.0 / n))
@@ -160,7 +160,7 @@ def build_delaunay100k(dtype, admm_iters=10, fast_path=True, amg=False,
                                   model="nh"))
     sys.add_explicit_force(ExplicitForce(direction=(0, -9.8, 0)))
     assert sys.initialize()
-    if fast_path and not amg:
+    if fast_path:
         from admm_elastic_tpu.core.banded import BandedStepper
 
         assert isinstance(sys._lattice, BandedStepper), (
@@ -168,6 +168,10 @@ def build_delaunay100k(dtype, admm_iters=10, fast_path=True, amg=False,
             f"kernel (uell matvec), got {type(sys._lattice)}"
         )
         assert sys._lattice._uell is not None, "expected uell matvec"
+        if amg:
+            # --amg = the IN-KERNEL algebraic multigrid (core/uamg.py),
+            # the exact-solve-MATCHED configuration for this preset
+            assert sys._lattice._uamg_meta_static is not None
     return sys, len(tets)
 
 

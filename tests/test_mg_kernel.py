@@ -141,10 +141,7 @@ def test_mg_kernel_rollout_matches_stepping():
                                rtol=0, atol=1e-12)
 
 
-def test_mg_non_grid_falls_back_to_general_amg():
-    """A non-grid scene with dia+amg never runs silently unmatched: the
-    dia solver rejects the unstructured numbering, the mode falls back
-    to ell, and the GENERAL-path AMG engages (still exact-matched)."""
+def _delaunay_scene(**kw):
     from scipy.spatial import Delaunay
 
     rng = np.random.default_rng(0)
@@ -153,29 +150,57 @@ def test_mg_non_grid_falls_back_to_general_amg():
     v6 = np.linalg.det(pts[tets][:, 1:] - pts[tets][:, :1])
     tets[v6 < 0] = tets[v6 < 0][:, [0, 2, 1, 3]]
     s = System(Settings(timestep_s=0.04, admm_iters=4, verbose=0,
-                        dtype=jnp.float64, global_solver="dia",
+                        dtype=jnp.float64,
                         lattice_fast_path=True, preconditioner="amg",
-                        reorder="none", cg_fixed_iters=8))
+                        reorder="none", cg_fixed_iters=8, **kw))
     s.add_nodes(pts, np.full(len(pts), 1.0 / len(pts)))
     s.add_force(StaticAnchor([0, 1]))
     s.add_force(HyperElasticTet(tets, mu=1e4, lam=1e4, max_iters=3,
                                 model="nh"))
     s.add_explicit_force(ExplicitForce(direction=(0, -9.8, 0)))
     assert s.initialize()
+    return s
+
+
+def test_mg_non_grid_routes_to_in_kernel_algebraic_mg():
+    """A non-grid scene with dia+amg never runs silently unmatched: the
+    dia solver rejects the unstructured numbering, the mode falls back
+    to ell, and the IN-KERNEL algebraic multigrid engages on the uell
+    kernel (core/uamg.py)."""
+    s = _delaunay_scene(global_solver="dia")
     assert s._solver_mode == "ell"
-    assert s._amg_meta is not None         # general-path AMG engaged
-    assert s._lattice is None              # no silent unmatched kernel
+    assert s._lattice is not None
+    assert s._lattice._uamg_meta_static is not None
+    assert s._amg_meta is None
     s.step()
     assert np.isfinite(np.asarray(s.x)).all()
 
 
-def test_mg_grid_mesh_but_uell_raises():
-    """A grid mesh forced into ell mode with lattice_fast_path + amg must
-    not route onto the (Jacobi-only) uell kernel: the general-path AMG
-    takes it instead."""
+def test_mg_uamg_unbuildable_falls_back_to_general_amg(monkeypatch):
+    """When the algebraic-MG structure does not fit its op budgets the
+    mode still never runs silently unmatched: the GENERAL-path AMG
+    takes the scene instead."""
+    import admm_elastic_tpu.core.uamg as uamg_mod
+
+    def boom(*a, **k):
+        raise ValueError("synthetic budget failure")
+
+    monkeypatch.setattr(uamg_mod, "build_uamg", boom)
+    s = _delaunay_scene(global_solver="ell")
+    assert s._lattice is None
+    assert s._amg_meta is not None         # general-path AMG engaged
+    s.step()
+    assert np.isfinite(np.asarray(s.x)).all()
+
+
+def test_mg_grid_mesh_ell_routes_to_uamg():
+    """A grid mesh forced into ell mode with lattice_fast_path + amg
+    routes onto the uell kernel WITH the in-kernel algebraic multigrid
+    (never the Jacobi-only budget)."""
     s = _beam_system(global_solver="ell", lattice_fast_path=True,
                      preconditioner="amg", cg_fixed_iters=8)
-    assert s._lattice is None and s._amg_meta is not None
+    assert s._lattice is not None
+    assert s._lattice._uamg_meta_static is not None
 
 
 def test_mg_kernel_with_floor_collision():

@@ -26,9 +26,10 @@ from admm_elastic_tpu.models import ExplicitForce, HyperElasticTet, StaticAnchor
 
 def build(**kw):
     beam = make_beam_tets(14, 10, 9, size=0.05)
+    kw.setdefault("collect_residuals", True)
     s = System(
         Settings(timestep_s=0.04, admm_iters=10, verbose=0, dtype=jnp.float64,
-                 collect_residuals=True, **kw)
+                 **kw)
     )
     n = beam.n_vertices
     s.add_nodes(beam.vertices, np.full(n, 50.0 / n))
@@ -60,9 +61,10 @@ def build_delaunay(nx=16, ny=11, nz=10, **kw):
     v6 = np.linalg.det(pts[tets][:, 1:] - pts[tets][:, :1])
     tets[v6 < 0] = tets[v6 < 0][:, [0, 2, 1, 3]]
     n = len(pts)
+    kw.setdefault("collect_residuals", True)
     s = System(
         Settings(timestep_s=0.04, admm_iters=10, verbose=0,
-                 dtype=jnp.float64, collect_residuals=True, **kw)
+                 dtype=jnp.float64, **kw)
     )
     s.add_nodes(pts, np.full(n, 50.0 / n))
     s.add_force(StaticAnchor(
@@ -78,12 +80,23 @@ def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     delaunay = "--delaunay" in sys.argv
     amg = "--amg" in sys.argv
-    fixed_iters = int(args[0]) if args else (8 if amg else 25)
+    uamg = "--uamg" in sys.argv
+    fixed_iters = int(args[0]) if args else (8 if (amg or uamg) else 25)
     steps = int(args[1]) if len(args) > 1 else 5
-    mk = build_delaunay if delaunay else build
+    mk = build_delaunay if (delaunay or uamg) else build
     exact = mk(global_solver="ell", cg_tol=1e-13, cg_max_iters=3000)
-    fixed = mk(global_solver="ell", cg_fixed_iters=fixed_iters,
-               preconditioner="amg" if amg else "jacobi")
+    if uamg:
+        # IN-KERNEL algebraic multigrid (core/uamg.py) through the uell
+        # whole-timestep kernel, f64 interpret mode — the oracle for the
+        # production `--preset delaunay100k --amg` configuration
+        fixed = mk(global_solver="ell", cg_fixed_iters=fixed_iters,
+                   preconditioner="amg", lattice_fast_path=True,
+                   collect_residuals="primal")
+        assert fixed._lattice is not None
+        assert fixed._lattice._uamg_meta_static is not None
+    else:
+        fixed = mk(global_solver="ell", cg_fixed_iters=fixed_iters,
+                   preconditioner="amg" if amg else "jacobi")
     worst = 0.0
     for step in range(steps):
         exact.step()
