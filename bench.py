@@ -239,14 +239,23 @@ def bench_system(sys, steps, warmup=3, rollout=True):
         lat = getattr(sys, "_lattice", None)
         return lat.state["x"] if lat is not None else sys.state["x"]
 
+    def sync():
+        # a small HOST FETCH, not just block_until_ready: on the axon
+        # relay block_until_ready has been observed returning early on
+        # freshly-compiled donated-buffer programs (a 30-step window
+        # "measured" 0.04 ms/step); fetching bytes cannot lie
+        x = live_x()
+        jax.block_until_ready(x)
+        np.asarray(x[:1])
+
     if rollout:
         sys.run(2)  # compile + warm caches
-        jax.block_until_ready(live_x())
+        sync()
         reps = []
         for _ in range(3):
             t0 = time.perf_counter()
             sys.run(steps)
-            jax.block_until_ready(live_x())
+            sync()
             reps.append((time.perf_counter() - t0) / steps)
         assert np.isfinite(sys.x).all(), "benchmark simulation diverged"
         return float(np.median(reps))
@@ -255,7 +264,7 @@ def bench_system(sys, steps, warmup=3, rollout=True):
     for i in range(steps + warmup):
         t0 = time.perf_counter()
         sys.step()
-        jax.block_until_ready(live_x())
+        sync()
         dt = time.perf_counter() - t0
         if i >= warmup:
             times.append(dt)
