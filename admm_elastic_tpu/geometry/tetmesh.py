@@ -169,6 +169,13 @@ def tetrahedralize_surface(vertices, faces, quality=None):
     tri = Delaunay(v)
     tets = tri.simplices.astype(np.int64)
 
+    # drop degenerate slivers: gridded/cospherical point sets make qhull
+    # emit zero-volume simplices, which cannot carry a rest basis
+    q0, q1, q2, q3 = (v[tets[:, i]] for i in range(4))
+    vol6 = np.einsum("ij,ij->i", q1 - q0, np.cross(q2 - q0, q3 - q0))
+    scale = float(np.abs(v).max()) or 1.0
+    tets = tets[np.abs(vol6) > 1e-9 * scale**3]
+
     # keep tets whose centroid is inside the closed surface (odd number of
     # crossings along a fixed ray; BVH closest-hit marched segment by
     # segment)

@@ -34,7 +34,7 @@ from ..geometry.primitives import (
     make_sym_plane,
     make_torus,
 )
-from ..geometry.tetmesh import TetMesh, load_node_ele
+from ..geometry.tetmesh import TetMesh, load_mesh_as_tets, load_node_ele
 from ..geometry.trimesh import TriMesh, load_obj, load_ply
 from ..models import (
     Bend,
@@ -97,7 +97,10 @@ def _build_geometry(obj: Component, base_dir: str):
     if t == "tetmesh":
         fn = obj.get("file").as_str()
         path = fn if os.path.isabs(fn) else os.path.join(base_dir, fn)
-        return load_node_ele(path)
+        # Reference TetMesh::load semantics: a .node/.ele pair loads
+        # directly; a surface file (.ply/.obj) falls back to
+        # tetrahedralization (deps/mclscene/src/TetMesh.cpp:47-64,376-435).
+        return load_mesh_as_tets(path)
     if t in ("trimesh", "mesh"):
         fn = obj.get("file").as_str()
         path = fn if os.path.isabs(fn) else os.path.join(base_dir, fn)

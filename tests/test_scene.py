@@ -111,3 +111,46 @@ def test_export_obj(tmp_path):
     ctx.export_obj(str(tmp_path), 0)
     files = sorted(os.listdir(tmp_path))
     assert "cloth1_00000.obj" in files and "pole_00000.obj" in files
+
+
+def test_tetmesh_object_ply_fallback(tmp_path):
+    """A `<Object type="tetmesh">` whose file is a surface mesh (no
+    .node/.ele pair) is tetrahedralized on load — the reference's
+    TetMesh::load -> make_tetmesh path (TetMesh.cpp:47-64,376-435) reached
+    through the XML builder (DefaultBuilders.hpp:263-276)."""
+    from admm_elastic_tpu.geometry.primitives import make_box
+    from admm_elastic_tpu.geometry.trimesh import TriMesh
+
+    box = make_box(tess=1)
+    TriMesh(vertices=box.vertices, faces=box.faces).save_obj(
+        str(tmp_path / "box.obj"))
+    (tmp_path / "scene.xml").write_text("""
+<mclscene>
+  <Object name="blob" type="tetmesh">
+    <File value="box.obj"/>
+    <Mass value="1.0"/>
+    <Force value="elastic"/>
+  </Object>
+</mclscene>
+<admmelastic>
+  <solver iterations="5" timestep="0.04"/>
+  <Force name="elastic" type="lineartetstrain">
+    <Stiffness value="1000"/>
+  </Force>
+  <Force name="gravity" type="explicitforce">
+    <Direction value="0 -9.8 0"/>
+  </Force>
+</admmelastic>
+""")
+    ctx = SimContext()
+    ctx.load(str(tmp_path / "scene.xml"))
+    blob = ctx.objects_map["blob"]
+    assert blob.is_dynamic and blob.mesh.n_tets >= 5
+    ctx.initialize()
+    y0 = float(np.asarray(ctx.system.x)[:, 1].mean())
+    for _ in range(3):
+        ctx.step()
+    ctx.update()
+    x = np.asarray(ctx.system.x)
+    assert np.isfinite(x).all()
+    assert x[:, 1].mean() < y0  # fell under gravity
