@@ -163,12 +163,19 @@ class BandedStepper:
         self.newton_iters = int(newton_iters)
         self.dtype = dtype
         self.model = str(model)
-        # in-kernel per-iteration PRIMAL residual emission (the dual
-        # residual needs a second scatter pass — general path only)
-        self.collect_residuals = bool(collect_residuals)
+        # in-kernel per-iteration residual emission: "primal" emits the
+        # primal residual (near-free: dual-update identity over planes
+        # already in registers); True additionally emits the DUAL
+        # residual via a second scatter accumulation
+        self.collect_residuals = (
+            collect_residuals if collect_residuals in (True, "primal")
+            else bool(collect_residuals)
+        )
         #: (n_steps, admm_iters) primal residuals of the last step()/run()
         #: window when collect_residuals is on
         self.last_primal = None
+        #: (n_steps, admm_iters) dual residuals (collect_residuals=True)
+        self.last_dual = None
         self.gravity = tuple(float(q) for q in gravity)
         # static analytic collision shapes, declaration-order projected
         # in-kernel (floor/sphere/cylinder); floor_y/floor_w2 are the
@@ -515,6 +522,8 @@ class BandedStepper:
                     "x": x, "v": v, "d": d, "ancu": au, "colu": cu,
                     "t": state["t"] + n_steps * dt,
                 }
+                if collect is True:
+                    return (new, out[5], out[6])
                 return (new, out[5]) if collect else new
 
             self._rollouts[n_steps] = jax.jit(roll, donate_argnums=(0,))
@@ -522,7 +531,9 @@ class BandedStepper:
 
     def _advance(self, n_steps):
         out = self._roll_fn(n_steps)(self.state)
-        if self.collect_residuals:
+        if self.collect_residuals is True:
+            self.state, self.last_primal, self.last_dual = out
+        elif self.collect_residuals:
             self.state, self.last_primal = out
         else:
             self.state = out
@@ -570,10 +581,10 @@ def banded_from_system(system, _pack_vals=None):
     from ..models.tet import HyperElasticTet, LinearTetStrain
 
     s = system.settings
-    # collect_residuals="primal" emits the primal residual in-kernel;
-    # full (primal+dual) collection and residual-driven early exit need
-    # the general path
-    if (s.collect_residuals and s.collect_residuals != "primal") or (
+    # collect_residuals="primal" emits the primal residual in-kernel
+    # near-free; True emits primal AND dual (second in-kernel scatter
+    # accumulation). Residual-driven early exit needs the general path.
+    if s.collect_residuals not in (False, None, True, "primal") or (
             s.residual_tol is not None):
         return None
     if getattr(system, "_solver_mode", None) not in ("dia", "ell"):
@@ -761,7 +772,9 @@ def banded_from_system(system, _pack_vals=None):
             coll_w2=(float(floor.weight_value) ** 2
                      if floor is not None else 0.0),
             positions=positions, uell=packed,
-            collect_residuals=s.collect_residuals == "primal",
+            collect_residuals=(s.collect_residuals
+                               if s.collect_residuals in (True, "primal")
+                               else False),
             mg=mg, uamg=uamg,
         )
     except ValueError:

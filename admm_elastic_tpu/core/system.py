@@ -730,6 +730,9 @@ class System:
                 self.last_aux = {
                     "primal_residual": self._lattice.last_primal[0]
                 }
+                if getattr(self._lattice, "last_dual", None) is not None:
+                    self.last_aux["dual_residual"] = \
+                        self._lattice.last_dual[0]
             self.elapsed_s += self.settings.timestep_s
             return True
         self.state, self.last_aux = self._step_fn(self.state, self.params)
@@ -761,6 +764,8 @@ class System:
                 self.last_aux = {
                     "primal_residual": self._lattice.last_primal
                 }
+                if getattr(self._lattice, "last_dual", None) is not None:
+                    self.last_aux["dual_residual"] = self._lattice.last_dual
             self.elapsed_s += n_steps * self.settings.timestep_s
             return True
         key = ("_rollout", n_steps)

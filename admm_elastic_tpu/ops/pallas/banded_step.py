@@ -143,10 +143,16 @@ def _shifted(xp, off, Nr, interpret):
 def _make_banded_kernel(Nr, Wr, n_chunks, n_iters, dia_offs, model,
                         newton_iters, cg_iters, dt, dt2, gvec,
                         coll_shapes, coll_w2, halves, interpret, uell_meta,
-                        sweep=False, collect=False, mg_meta=None,
-                        uamg_meta=None):
+                        sweep=False, collect=False, collect_dual=False,
+                        mg_meta=None, uamg_meta=None):
     has_coll = len(coll_shapes) > 0
     SOLVE = n_chunks
+    # dual-residual collection: two extra 3-plane vertex accumulators —
+    # SZC = D^T W^2 z of the CURRENT iteration (rebuilt each iteration by
+    # a second scatter accumulation), SZP = the previous iteration's, so
+    # s = dt^2 ||SZC - SZP|| (System.cpp:65). Zeroed per timestep like the
+    # general path's carry.
+    SZC, SZP = 27, 30
     precond = mg_meta is not None or uamg_meta is not None
     # Row-half chunking of the local-step body: Mosaic stack-allocates
     # scoped VMEM for every live (HS,128) temporary, and the gather +
@@ -176,8 +182,14 @@ def _make_banded_kernel(Nr, Wr, n_chunks, n_iters, dia_offs, model,
         if precond:
             mgf_ref, mgi_ref, a2b_ref = refs[11:14]
             k = 14
-        (x_out, v_out, d_out, au_out, cu_out, res_out) = refs[k:k + 6]
-        ST, FB, DB, BW, racc, sem = refs[k + 6:]
+        n_out = 7 if collect_dual else 6
+        rd_out = None
+        if collect_dual:
+            (x_out, v_out, d_out, au_out, cu_out, res_out,
+             rd_out) = refs[k:k + n_out]
+        else:
+            (x_out, v_out, d_out, au_out, cu_out, res_out) = refs[k:k + n_out]
+        ST, FB, DB, BW, racc, sem = refs[k + n_out:]
         # sweep mode: a leading SCENARIO grid axis — every scenario runs
         # the identical single-scenario program against its own state/
         # material/matrix planes (p2d/dia2d/matv/x0.../d are per-scenario;
@@ -248,6 +260,10 @@ def _make_banded_kernel(Nr, Wr, n_chunks, n_iters, dia_offs, model,
             ST[slice(SB * Nr, (SB + 3) * Nr)] = jnp.zeros(
                 (3 * Nr, LANES), ST.dtype
             )
+            if collect_dual:
+                ST[slice(SZC * Nr, (SZC + 3) * Nr)] = jnp.zeros(
+                    (3 * Nr, LANES), ST.dtype
+                )
             if collect:
                 racc[0] = jnp.asarray(0.0, ST.dtype)
 
@@ -282,7 +298,8 @@ def _make_banded_kernel(Nr, Wr, n_chunks, n_iters, dia_offs, model,
             xw = [
                 ST[pl.ds((SX + a) * Nr + rbase, Wr), :] for a in range(3)
             ]
-            BW[:, :] = jnp.zeros((3 * Wr, LANES), BW.dtype)
+            BW[:, :] = jnp.zeros(((6 if collect_dual else 3) * Wr, LANES),
+                                 BW.dtype)
 
             for h in range(halves):
                 # gathered corner positions xg[k][a] (HS,128)
@@ -379,6 +396,9 @@ def _make_banded_kernel(Nr, Wr, n_chunks, n_iters, dia_offs, model,
                 # scatter b += w2 D^T (z - u'); (z - u') = F - 2 u'
                 w2e = matp(0, h)
                 zu = [w2e * (f[p] - 2.0 * up[p]) for p in range(9)]
+                # dual residual needs D^T W^2 z too; z = F - u'
+                zz = ([w2e * (f[p] - up[p]) for p in range(9)]
+                      if collect_dual else None)
                 for k in range(4):
                     Pk = FB[hrows(PP0 + k, h)].astype(jnp.int32)
                     rrp = FB[hrows(RRPP0 + k, h)]
@@ -387,16 +407,33 @@ def _make_banded_kernel(Nr, Wr, n_chunks, n_iters, dia_offs, model,
                         for b in range(1, 3):
                             acc = acc + cp[4 * b + k] * zu[3 * a + b]
                         sp = jnp.take_along_axis(acc, Pk, axis=1)
+                        if collect_dual:
+                            acc2 = cp[4 * 0 + k] * zz[3 * a + 0]
+                            for b in range(1, 3):
+                                acc2 = acc2 + cp[4 * b + k] * zz[3 * a + b]
+                            sp2 = jnp.take_along_axis(acc2, Pk, axis=1)
                         for vr in range(Wr):
+                            m = rrp == float(vr)
                             add = jnp.sum(
-                                jnp.where(rrp == float(vr), sp, 0.0),
+                                jnp.where(m, sp, 0.0),
                                 axis=0, keepdims=True,
                             )
                             BW[a * Wr + vr : a * Wr + vr + 1, :] += add
+                            if collect_dual:
+                                add2 = jnp.sum(
+                                    jnp.where(m, sp2, 0.0),
+                                    axis=0, keepdims=True,
+                                )
+                                BW[(3 + a) * Wr + vr :
+                                   (3 + a) * Wr + vr + 1, :] += add2
             for a in range(3):
                 ST[pl.ds((SB + a) * Nr + rbase, Wr), :] += BW[
                     a * Wr : (a + 1) * Wr, :
                 ]
+                if collect_dual:
+                    ST[pl.ds((SZC + a) * Nr + rbase, Wr), :] += BW[
+                        (3 + a) * Wr : (4 + a) * Wr, :
+                    ]
 
             cd = pltpu.make_async_copy(
                 DB, d_out.at[sc, c] if sweep else d_out.at[c], sem
@@ -415,6 +452,8 @@ def _make_banded_kernel(Nr, Wr, n_chunks, n_iters, dia_offs, model,
                 au = ST[srows(SAU + a)] + dlt
                 ST[srows(SAU + a)] = au
                 ST[srows(SB + a)] += aw2 * (ancz - au)
+                if collect_dual:
+                    ST[srows(SZC + a)] += aw2 * ancz
                 if collect:
                     racc[0] = racc[0] + jnp.sum(aw2 * dlt * dlt)
 
@@ -458,6 +497,8 @@ def _make_banded_kernel(Nr, Wr, n_chunks, n_iters, dia_offs, model,
                     un = ST[srows(SCU + a)] + dlt
                     ST[srows(SCU + a)] = un
                     ST[srows(SB + a)] += coll_w2 * vmask * (zc[a] - un)
+                    if collect_dual:
+                        ST[srows(SZC + a)] += coll_w2 * vmask * zc[a]
                     if collect:
                         racc[0] = racc[0] + jnp.sum(
                             coll_w2 * vmask * dlt * dlt
@@ -832,6 +873,32 @@ def _make_banded_kernel(Nr, Wr, n_chunks, n_iters, dia_offs, model,
                     for a in range(3):
                         ST[srows(SV + a)] = vcycle_u(ST[srows(SB + a)])
 
+            if collect_dual:
+                # s = dt^2 ||D^T W^2 (z - z_prev)|| (System.cpp:65). At
+                # iteration 0 the previous z is the step's z init
+                # z_prev = D x_pre (System.cpp:43), whose transpose image
+                # is recovered algebraically from planes the kernel
+                # already holds: D^T W^2 D x = (A_hat - M) x / dt^2.
+                @pl.when(i == 0)
+                def _seed_zprev():
+                    matvec(SXT)
+                    massp = plane(p2d_ref, PMASS)
+                    for a in range(3):
+                        ST[srows(SZP + a)] = (
+                            ST[srows(SAP + a)]
+                            - massp * ST[srows(SXT + a)]
+                        ) * (1.0 / dt2)
+
+                sd = sum(
+                    jnp.sum(
+                        (ST[srows(SZC + a)] - ST[srows(SZP + a)]) ** 2
+                    )
+                    for a in range(3)
+                )
+                rd_out[st, i] = dt2 * jnp.sqrt(sd)
+                for a in range(3):
+                    ST[srows(SZP + a)] = ST[srows(SZC + a)]
+
             matvec(SX)
             for a in range(3):
                 r_ = (
@@ -923,6 +990,8 @@ def _banded_call(p2d, dia2d, ucc2d, rbase, fblk, matv, x0, v0, au0, cu0, d,
     sweep = n_scen is not None
     if sweep and collect:
         raise NotImplementedError("sweep mode does not collect residuals")
+    collect_dual = collect == "full"
+    collect = bool(collect)
     Nr = x0.shape[-2] // 3
     n_chunks = fblk.shape[0]
     uell_meta = None
@@ -957,8 +1026,8 @@ def _banded_call(p2d, dia2d, ucc2d, rbase, fblk, matv, x0, v0, au0, cu0, d,
     kern = _make_banded_kernel(
         Nr, Wr, n_chunks, n_iters, dia_offs, model, newton_iters,
         cg_iters, dt, dt2, gvec, coll_shapes, coll_w2, halves, interpret,
-        uell_meta, sweep=sweep, collect=collect, mg_meta=mg_meta,
-        uamg_meta=uamg_meta,
+        uell_meta, sweep=sweep, collect=collect, collect_dual=collect_dual,
+        mg_meta=mg_meta, uamg_meta=uamg_meta,
     )
     vm = pl.BlockSpec(memory_space=pltpu.VMEM)
     sm = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -990,27 +1059,37 @@ def _banded_call(p2d, dia2d, ucc2d, rbase, fblk, matv, x0, v0, au0, cu0, d,
     if mg_meta is not None or uamg_meta is not None:
         in_specs = in_specs + [vm, vm, vm]
         operands = operands + (mgf, mgi, a2b)
+    sm_out = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    res_shapes = [
+        # per-(step, ADMM iteration) primal residual; written only
+        # when collect (garbage otherwise — callers discard)
+        jax.ShapeDtypeStruct((n_steps, n_iters), x0.dtype),
+    ]
+    if collect_dual:
+        # per-(step, ADMM iteration) dual residual
+        sm_out = sm_out + [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        res_shapes = res_shapes + [
+            jax.ShapeDtypeStruct((n_steps, n_iters), x0.dtype)
+        ]
     out = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=in_specs,
-        out_specs=out_specs + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=out_specs + sm_out,
         out_shape=[
             jax.ShapeDtypeStruct(x0.shape, x0.dtype),
             jax.ShapeDtypeStruct(v0.shape, v0.dtype),
             jax.ShapeDtypeStruct(d.shape, d.dtype),
             jax.ShapeDtypeStruct(au0.shape, au0.dtype),
             jax.ShapeDtypeStruct(cu0.shape, cu0.dtype),
-            # per-(step, ADMM iteration) primal residual; written only
-            # when collect (garbage otherwise — callers discard)
-            jax.ShapeDtypeStruct((n_steps, n_iters), x0.dtype),
-        ],
+        ] + res_shapes,
         input_output_aliases={10: 2},
         scratch_shapes=[
-            pltpu.VMEM((STATE_PLANES * Nr, LANES), x0.dtype),
+            pltpu.VMEM(((STATE_PLANES + (6 if collect_dual else 0)) * Nr,
+                        LANES), x0.dtype),
             pltpu.VMEM((FB_PLANES * SUB, LANES), x0.dtype),
             pltpu.VMEM((DB_PLANES * SUB, LANES), x0.dtype),
-            pltpu.VMEM((3 * Wr, LANES), x0.dtype),
+            pltpu.VMEM(((6 if collect_dual else 3) * Wr, LANES), x0.dtype),
             pltpu.SMEM((1,), x0.dtype),
             pltpu.SemaphoreType.DMA,
         ],
@@ -1038,10 +1117,14 @@ def banded_rollout(p2d, dia2d, rbase, fblk, x0, v0, au0, cu0, d, *,
                    uamg_meta_static=None):
     """n_steps whole timesteps in ONE kernel call.
 
-    collect_residuals: also return the per-(step, iteration) PRIMAL
-    residual ||W(Dx - z)|| (computed in-kernel via the dual-update
-    identity at ~zero cost); the return gains a (n_steps, n_iters)
-    array. Dual-residual collection needs the general path.
+    collect_residuals: "primal" also returns the per-(step, iteration)
+    PRIMAL residual ||W(Dx - z)|| (computed in-kernel via the
+    dual-update identity at ~zero cost); the return gains a
+    (n_steps, n_iters) array. True additionally returns the DUAL
+    residual ||dt^2 D^T W^2 (z - z_prev)|| (System.cpp:65) as a second
+    (n_steps, n_iters) array — this one costs a second scatter
+    accumulation per iteration (D^T W^2 z into dedicated vertex planes,
+    differenced against the previous iteration's).
 
     p2d: (7*Nr,128) packed vertex planes [aw2, 1/diag, mass, vmask,
     ancz xyz]; dia2d: (D*Nr,128); rbase: (n_chunks,) int32 window base
@@ -1108,7 +1191,8 @@ def banded_rollout(p2d, dia2d, rbase, fblk, x0, v0, au0, cu0, d, *,
         coll_w2=coll_w2, halves=int(halves),
         interpret=bool(interpret), uell_meta_static=uell_meta_static,
         n_scen=None if n_scen is None else int(n_scen),
-        collect=bool(collect_residuals),
+        collect=("full" if collect_residuals is True
+                 else ("primal" if collect_residuals else False)),
         mg_meta_static=mg_meta_static,
         uamg_meta_static=uamg_meta_static,
     )

@@ -507,11 +507,10 @@ def main():
             global_solver=args.global_solver, cg_backend=args.cg_backend,
             lattice=args.lattice,
             scramble=args.scramble,
-            # with the fast path on, residuals collect IN-KERNEL
-            # (primal, the matched-convergence metric); --no-lattice
-            # measures the general path's full primal+dual collection
-            residuals=(("primal" if args.lattice else True)
-                       if args.residuals else False),
+            # residuals collect IN-KERNEL on the fast path since round 3:
+            # FULL primal+dual (the dual costs a second in-kernel scatter
+            # accumulation; "primal" alone stays ~free)
+            residuals=args.residuals,
             jitter=jitter,
             amg=args.amg,
             cg_iters=args.cg_iters,

@@ -350,3 +350,49 @@ def test_place_elements_distinct_lanes():
     flat = flat[flat >= 0]
     for pos, e in enumerate(flat):
         assert rank[e] <= pos + MAX_OPEN * 128
+
+
+def test_banded_in_kernel_dual_residuals():
+    """collect_residuals=True now keeps the banded fast path engaged and
+    emits BOTH residuals in-kernel: the primal ||W(Dx-z)|| and the dual
+    ||dt^2 D^T W^2 (z - z_prev)|| (System.cpp:64-65), matching the
+    general path's instrumented values (tets + anchors + floor all
+    contribute to both accumulations)."""
+    mesh = jittered_beam(seed=23)
+
+    def build(fast):
+        n = mesh.n_vertices
+        s = System(Settings(timestep_s=0.04, admm_iters=6, verbose=0,
+                            dtype=F64, lattice_fast_path=fast,
+                            global_solver="dia", dense_max_nodes=0,
+                            collect_residuals=True))
+        s.add_nodes(mesh.vertices + np.array([0.0, 0.3, 0.0]),
+                    np.full(n, 2.0 / n))
+        s.add_force(HyperElasticTet(mesh.tets, mu=1e4, lam=2.5e4,
+                                    max_iters=4, backend="pallas"))
+        s.add_force(StaticAnchor([0, 1], weight=500.0))
+        s.add_force(Collision([Floor(center=(0.0, 0.0, 0.0))],
+                              n_nodes=n))
+        s.add_explicit_force(ExplicitForce(direction=(0, -9.8, 0)))
+        assert s.initialize()
+        return s
+
+    ref = build(False)
+    fast = build(True)
+    _assert_banded(fast)
+    for k in range(5):
+        ref.step()
+        fast.step()
+        for key in ("primal_residual", "dual_residual"):
+            r_ref = np.asarray(ref.last_aux[key])
+            r_fast = np.asarray(fast.last_aux[key])
+            assert r_fast.shape == r_ref.shape, key
+            np.testing.assert_allclose(r_fast, r_ref, rtol=1e-5,
+                                       atol=1e-9, err_msg=key)
+        # trajectories stay in lockstep too
+        np.testing.assert_allclose(fast.x, ref.x, rtol=1e-6, atol=1e-8)
+
+    fast2 = build(True)
+    fast2.run(4)
+    rd = np.asarray(fast2.last_aux["dual_residual"])
+    assert rd.shape == (1, 6) and np.isfinite(rd).all() and (rd > 0).all()
