@@ -21,6 +21,10 @@ def main(argv=None):
     ap.add_argument("--every", type=int, default=5, help="frame dump interval")
     ap.add_argument("--checkpoint", default=None, help="save final state npz")
     ap.add_argument("--resume", default=None, help="load state npz before run")
+    ap.add_argument("--viewer", default=None,
+                    help="record an interactive HTML viewer (one file, "
+                         "orbit/zoom/play controls; frames every --every "
+                         "steps) instead of the plain stepping loop")
     args, rest = ap.parse_known_args(argv)
 
     from .scene import SimContext
@@ -36,6 +40,15 @@ def main(argv=None):
         ctx.system.state = load_state(
             args.resume, dtype=ctx.system.settings.dtype, like=ctx.system.state
         )
+
+    if args.viewer:
+        from .viewer import record_html_viewer
+
+        n_frames = max(1, args.steps // max(1, args.every))
+        p = record_html_viewer(ctx, args.viewer, n_frames,
+                               steps_per_frame=args.every)
+        print(f"viewer: {p}")
+        return 0
 
     for i in range(args.steps):
         ctx.step()
