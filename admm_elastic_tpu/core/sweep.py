@@ -152,12 +152,13 @@ class SweepStepper:
             dt = b.dt
             n_loc = (self.n_scen if self.mesh is None
                      else self.n_scen // self.mesh.shape[self.data_axis])
+            collect = b.collect_residuals
             kw = dict(
                 dia_offs=b.dia_offs, model=b.model,
                 newton_iters=b.newton_iters, cg_iters=b.cg_iters,
                 dt=dt, gravity=b.gravity, n_iters=b.admm_iters,
                 Wr=b.Wr, coll_shapes=b.coll_shapes, coll_w2=b.coll_w2,
-                n_scen=n_loc,
+                n_scen=n_loc, collect_residuals=collect,
             )
             if b._uell is not None:
                 kw.update(
@@ -168,15 +169,23 @@ class SweepStepper:
                 )
 
             def roll(p2d, dia2d, matv, rbase, fblk, state):
-                x, v, d, au, cu = banded_rollout(
+                out = banded_rollout(
                     p2d, dia2d, rbase, fblk, state["x"], state["v"],
                     state["ancu"], state["colu"], state["d"],
                     matv=matv, n_steps=n_steps, **kw
                 )
-                return {
+                x, v, d, au, cu = out[:5]
+                new = {
                     "x": x, "v": v, "d": d, "ancu": au, "colu": cu,
                     "t": state["t"] + n_steps * dt,
                 }
+                # per-scenario in-kernel residuals ride along in the
+                # state dict so the shard_map specs stay uniform
+                if collect:
+                    new["res_p"] = out[5]
+                    if collect is True:
+                        new["res_d"] = out[6]
+                return new
 
             if self.mesh is not None:
                 # scenarios are embarrassingly parallel: shard the
@@ -193,10 +202,15 @@ class SweepStepper:
                     "x": sp, "v": sp, "d": sp, "ancu": sp, "colu": sp,
                     "t": P(),
                 }
+                out_st_specs = dict(st_specs)
+                if collect:
+                    out_st_specs["res_p"] = sp
+                    if collect is True:
+                        out_st_specs["res_d"] = sp
                 roll = jax.shard_map(
                     roll, mesh=self.mesh,
                     in_specs=(sp, sp, sp, P(), P(), st_specs),
-                    out_specs=st_specs,
+                    out_specs=out_st_specs,
                     # pallas_call out_shapes carry no vma annotation
                     check_vma=False,
                 )
@@ -209,17 +223,25 @@ class SweepStepper:
             )
         return self._rollouts[n_steps]
 
+    def _advance(self, n_steps):
+        out = self._roll_fn(n_steps)(self.state)
+        # residual arrays ride in the dict for spec uniformity; pop
+        # them so the next window's input pytree matches in_specs
+        self.last_primal = out.pop("res_p", None)
+        self.last_dual = out.pop("res_d", None)
+        self.state = out
+
     def step(self):
-        self.state = self._roll_fn(1)(self.state)
+        self._advance(1)
         return True
 
     def run(self, n_steps: int):
         W = self.ROLLOUT_WINDOW
         full, rem = divmod(n_steps, W)
         for _ in range(full):
-            self.state = self._roll_fn(W)(self.state)
+            self._advance(W)
         for _ in range(rem):
-            self.state = self._roll_fn(1)(self.state)
+            self._advance(1)
         return True
 
 

@@ -41,8 +41,10 @@ trajectories match to f32 round-off (tests/test_banded.py).
 Supported: one tet force (NeoHookean/StVK HyperElasticTet or
 LinearTetStrain 'arap') with per-element mu/lam/k/volume, StaticAnchors
 with per-node weights, an optional CollisionForce of analytic shapes
-(floor/sphere/cylinder), gravity-style
-velocity kicks. Residual collection off.
+(floor/sphere/cylinder), gravity-style velocity kicks. Per-iteration
+residuals stream from in-kernel on request ("primal": ~free via the
+dual-update identity; True: primal + dual, the dual via a second
+scatter accumulation) — including per-scenario in sweep mode.
 
 Global solve: two interchangeable matvec forms —
 - sparse-DIAgonal (banded numberings: static shifts + lane rolls), or
@@ -505,7 +507,10 @@ def _make_banded_kernel(Nr, Wr, n_chunks, n_iters, dia_offs, model,
                         )
 
             if collect:
-                res_out[st, i] = jnp.sqrt(racc[0])
+                if sweep:
+                    res_out[sc, st, i] = jnp.sqrt(racc[0])
+                else:
+                    res_out[st, i] = jnp.sqrt(racc[0])
 
             if uell_meta is not None:
                 slot_qs = uell_meta["slot_qs"]
@@ -895,7 +900,10 @@ def _make_banded_kernel(Nr, Wr, n_chunks, n_iters, dia_offs, model,
                     )
                     for a in range(3)
                 )
-                rd_out[st, i] = dt2 * jnp.sqrt(sd)
+                if sweep:
+                    rd_out[sc, st, i] = dt2 * jnp.sqrt(sd)
+                else:
+                    rd_out[st, i] = dt2 * jnp.sqrt(sd)
                 for a in range(3):
                     ST[srows(SZP + a)] = ST[srows(SZC + a)]
 
@@ -988,8 +996,6 @@ def _banded_call(p2d, dia2d, ucc2d, rbase, fblk, matv, x0, v0, au0, cu0, d,
                  interpret, uell_meta_static, n_scen, collect,
                  mg_meta_static, uamg_meta_static):
     sweep = n_scen is not None
-    if sweep and collect:
-        raise NotImplementedError("sweep mode does not collect residuals")
     collect_dual = collect == "full"
     collect = bool(collect)
     Nr = x0.shape[-2] // 3
@@ -1059,17 +1065,20 @@ def _banded_call(p2d, dia2d, ucc2d, rbase, fblk, matv, x0, v0, au0, cu0, d,
     if mg_meta is not None or uamg_meta is not None:
         in_specs = in_specs + [vm, vm, vm]
         operands = operands + (mgf, mgi, a2b)
+    res_dims = ((n_scen, n_steps, n_iters) if sweep
+                else (n_steps, n_iters))
     sm_out = [pl.BlockSpec(memory_space=pltpu.SMEM)]
     res_shapes = [
-        # per-(step, ADMM iteration) primal residual; written only
-        # when collect (garbage otherwise — callers discard)
-        jax.ShapeDtypeStruct((n_steps, n_iters), x0.dtype),
+        # per-(step, ADMM iteration) primal residual (leading scenario
+        # axis in sweep mode); written only when collect (garbage
+        # otherwise — callers discard)
+        jax.ShapeDtypeStruct(res_dims, x0.dtype),
     ]
     if collect_dual:
         # per-(step, ADMM iteration) dual residual
         sm_out = sm_out + [pl.BlockSpec(memory_space=pltpu.SMEM)]
         res_shapes = res_shapes + [
-            jax.ShapeDtypeStruct((n_steps, n_iters), x0.dtype)
+            jax.ShapeDtypeStruct(res_dims, x0.dtype)
         ]
     out = pl.pallas_call(
         kern,

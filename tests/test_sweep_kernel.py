@@ -212,3 +212,47 @@ def test_sweep_per_scenario_initial_state():
             ref.step()
         np.testing.assert_allclose(xs[i], ref.x, rtol=1e-6, atol=1e-8)
     assert isinstance(stepper, SweepStepper)
+
+
+def test_sweep_in_kernel_residuals():
+    """Sweep mode now emits per-scenario in-kernel residuals: each
+    scenario's (steps, iters) primal/dual residual arrays match the
+    general path instrumented per-scenario — production sweeps can watch
+    every scenario's ADMM convergence at kernel speed."""
+    mesh = jittered_beam(seed=5)
+    mus = np.array([5e3, 2e4])
+    base = build_system(mesh, solver="dia", mu=1e4, lam=2.5e4)
+    base.settings.collect_residuals = True
+    sweep = stiffness_sweep(base, mus)
+    out = sweep_from_system(base, sweep, len(mus))
+    assert out is not None
+    stepper, cid = out
+    assert stepper.base.collect_residuals is True
+
+    for k in range(3):
+        stepper.step()
+    rp = np.asarray(stepper.last_primal)
+    rd = np.asarray(stepper.last_dual)
+    assert rp.shape == (2, 1, base.settings.admm_iters)
+    assert rd.shape == rp.shape
+
+    for i, mu in enumerate(mus):
+        n = mesh.n_vertices
+        ref = System(Settings(timestep_s=0.04, admm_iters=6, verbose=0,
+                              dtype=F64, global_solver="dia",
+                              dense_max_nodes=0, cg_fixed_iters=20,
+                              collect_residuals=True))
+        ref.add_nodes(mesh.vertices, np.full(n, 2.0 / n))
+        ref.add_force(HyperElasticTet(mesh.tets, mu=mu, lam=2.5 * mu,
+                                      max_iters=4, backend="pallas"))
+        ref.add_force(StaticAnchor([0, 1], weight=1000.0))
+        ref.add_explicit_force(ExplicitForce(direction=(0, -9.8, 0)))
+        assert ref.initialize()
+        for _ in range(3):
+            ref.step()
+        np.testing.assert_allclose(
+            rp[i, 0], np.asarray(ref.last_aux["primal_residual"]),
+            rtol=1e-5, atol=1e-9)
+        np.testing.assert_allclose(
+            rd[i, 0], np.asarray(ref.last_aux["dual_residual"]),
+            rtol=1e-5, atol=1e-9)
