@@ -147,7 +147,11 @@ def build_delaunay100k(dtype, admm_iters=10, fast_path=True, amg=False,
     settings = Settings(
         timestep_s=0.04, admm_iters=admm_iters, verbose=1, dtype=dtype,
         global_solver="ell",
-        cg_fixed_iters=cg_iters if cg_iters else (8 if amg else 25),
+        # --amg: 6 fixed AMG-PCG iterations hold the exact-solve
+        # residual ratio at 1.030 worst on the f64 kernel oracle
+        # (tools/residual_match.py 6 --uamg; 5 drifts to 1.077, 4 to
+        # 1.19; 8 is the conservative budget at 1.016)
+        cg_fixed_iters=cg_iters if cg_iters else (6 if amg else 25),
         preconditioner="amg" if amg else "jacobi",
         lattice_fast_path=fast_path,
     )
