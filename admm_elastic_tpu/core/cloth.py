@@ -91,12 +91,17 @@ class ClothStepper:
                  multigrid=False):
         from ..models.anchor import StaticAnchor
 
-        # in-kernel per-iteration PRIMAL residual emission (see
-        # ops/pallas/cloth_step.py); full primal+dual needs the general
-        # path
-        self.collect_residuals = bool(collect_residuals)
+        # in-kernel per-iteration residual emission (see
+        # ops/pallas/cloth_step.py): "primal" is ~free; True additionally
+        # emits the dual via a second reverse-shift accumulation
+        self.collect_residuals = (
+            collect_residuals if collect_residuals in (True, "primal")
+            else bool(collect_residuals)
+        )
         #: (n_steps, admm_iters) primal residuals of the last window
         self.last_primal = None
+        #: (n_steps, admm_iters) dual residuals (collect_residuals=True)
+        self.last_dual = None
 
         v = np.asarray(vertices, np.float64)
         n = len(v)
@@ -328,6 +333,8 @@ class ClothStepper:
                     "x": x3, "v": v3, "u": u, "ancu": ancu,
                     "t": state["t"] + n_steps * dt,
                 }
+                if collect is True:
+                    return (new, out[4], out[5])
                 return (new, out[4]) if collect else new
 
             self._rollouts[n_steps] = jax.jit(roll, donate_argnums=(0,))
@@ -335,7 +342,9 @@ class ClothStepper:
 
     def _advance(self, n_steps):
         out = self._roll_fn(n_steps)(self.state)
-        if self.collect_residuals:
+        if self.collect_residuals is True:
+            self.state, self.last_primal, self.last_dual = out
+        elif self.collect_residuals:
             self.state, self.last_primal = out
         else:
             self.state = out
@@ -375,9 +384,10 @@ def cloth_from_system(system):
     from .lattice import detect_grid_numbering
 
     s = system.settings
-    # collect_residuals="primal" is emitted in-kernel; True (primal+dual)
-    # and residual-driven early exit need the general path
-    if (s.collect_residuals and s.collect_residuals != "primal") or (
+    # collect_residuals="primal" is emitted in-kernel ~free; True adds
+    # the dual via a second in-kernel accumulation. Residual-driven
+    # early exit needs the general path.
+    if s.collect_residuals not in (False, None, True, "primal") or (
             s.residual_tol is not None):
         return None
 
@@ -456,7 +466,9 @@ def cloth_from_system(system):
                           if s.cg_fixed_iters is not None
                           else (10 if mg else 25)),
                 dtype=s.dtype,
-                collect_residuals=s.collect_residuals == "primal",
+                collect_residuals=(s.collect_residuals
+                                   if s.collect_residuals in
+                                   (True, "primal") else False),
                 multigrid=mg,
             )
         except ValueError:

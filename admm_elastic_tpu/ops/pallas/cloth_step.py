@@ -41,7 +41,10 @@ f32 round-off (tests/test_cloth_fast.py).
 Restrictions: constant-offset groupable faces/hinges (regular-grid cloth in
 any vertex numbering via detect_grid_numbering), uniform per-group
 constraint constants, all-node gravity kicks, at most one WindForce over
-groupable triangles, residual collection off.
+groupable triangles. Per-iteration residuals stream from in-kernel on
+request ("primal": ~free; True: primal + dual via a second reverse-shift
+accumulation, seeded at iteration 0 by the algebraic identity
+D^T W^2 D x = (A_hat - M) x / dt^2).
 
 With mg_meta (ClothStepper(multigrid=True) / Settings.preconditioner=
 'amg'), the CG phase runs vcycle-PCG instead of Jacobi-PCG: a two-
@@ -73,7 +76,8 @@ ANCHOR_ROW = 0
 
 
 def _make_cloth_kernel(N, groups, wind_groups, dia_offs, cg_iters, dt, dt2,
-                       gvec, wind_dir, n_iters, collect=False, mg_meta=None,
+                       gvec, wind_dir, n_iters, collect=False,
+                       collect_dual=False, mg_meta=None,
                        interpret=False):
     """groups: tuple of
          ('tri', offs(3), cp6(6), w2, k, lmin, lmax, mask_row, limiting)
@@ -87,6 +91,9 @@ def _make_cloth_kernel(N, groups, wind_groups, dia_offs, cg_iters, dt, dt2,
     n_groups = len(groups)
     CG_PHASE = 3 * n_groups
     XS, BS = 9, 12  # packed-scratch row bases: live x / b accumulator
+    # dual-residual accumulators (collect_dual): D^T W^2 z of the current
+    # iteration (ZC) and the previous one (ZP) — s = dt^2 ||ZC - ZP||
+    ZC, ZP = 16, 19
     # Column-chunk the temporary-heavy compute bodies: Mosaic allocates
     # scoped-VMEM stack for every live (1,N) vector temporary, and the
     # closed-form 3x2 SVD + wind cross products hold ~25 of them — at
@@ -101,8 +108,13 @@ def _make_cloth_kernel(N, groups, wind_groups, dia_offs, cg_iters, dt, dt2,
         if mg_meta is not None:
             mgf_ref, mgi_ref, a2b_ref = rest[:3]
             rest = rest[3:]
-        (x_out, v_out, u_hbm_out, ancu_out, res_out,
-         S, u_blk, racc, sem) = rest
+        rd_out = None
+        if collect_dual:
+            (x_out, v_out, u_hbm_out, ancu_out, res_out, rd_out,
+             S, u_blk, racc, sem) = rest
+        else:
+            (x_out, v_out, u_hbm_out, ancu_out, res_out,
+             S, u_blk, racc, sem) = rest
         # masks_ref rows: 0 = anchor w2 plane, 1 = vertex masses,
         # 2 = 1/diag (Jacobi preconditioner), 3+ = group validity planes.
         # S is ONE packed 16-row scratch: rows 0-8 = F planes / wind
@@ -193,6 +205,8 @@ def _make_cloth_kernel(N, groups, wind_groups, dia_offs, cg_iters, dt, dt2,
         def _reset_b():
             for a in range(3):
                 S[BS + a, :] = jnp.zeros_like(S[BS + a, :])
+                if collect_dual:
+                    S[ZC + a, :] = jnp.zeros_like(S[ZC + a, :])
             if collect:
                 racc[0] = jnp.asarray(0.0, S.dtype)
 
@@ -265,21 +279,33 @@ def _make_cloth_kernel(N, groups, wind_groups, dia_offs, cg_iters, dt, dt2,
                     m = w2 * masks_ref[mrow, :]
                     zu = [m * (S[p, :] - 2.0 * u_blk[p, :])
                           for p in range(6)]
+                    # dual residual: D^T W^2 z rides the same reverse
+                    # shifts; z = F - u'
+                    zz = ([m * (S[p, :] - u_blk[p, :]) for p in range(6)]
+                          if collect_dual else None)
                     for kk, o in enumerate(offs):
                         for j in range(3):
-                            acc = None
+                            acc = acc2 = None
                             for b in range(2):
                                 w = float(cp6[3 * b + kk])
                                 if w == 0.0:
                                     continue
                                 t = w * zu[2 * j + b]
                                 acc = t if acc is None else acc + t
+                                if collect_dual:
+                                    t2 = w * zz[2 * j + b]
+                                    acc2 = (t2 if acc2 is None
+                                            else acc2 + t2)
                             if acc is None:
                                 continue
                             if o == 0:
                                 S[BS + j, :] += acc
+                                if collect_dual:
+                                    S[ZC + j, :] += acc2
                             else:
                                 S[BS + j, o:] += acc[: N - o]
+                                if collect_dual:
+                                    S[ZC + j, o:] += acc2[: N - o]
                     _dma_duals_out(g)
 
             else:  # bend
@@ -343,6 +369,8 @@ def _make_cloth_kernel(N, groups, wind_groups, dia_offs, cg_iters, dt, dt2,
                     m = w2 * masks_ref[mrow, :]
                     zu = [m * (S[p, :] - 2.0 * u_blk[p, :])
                           for p in range(9)]
+                    zz = ([m * (S[p, :] - u_blk[p, :]) for p in range(9)]
+                          if collect_dual else None)
                     # D^T columns (BendForce coeff): corner0 += row0,
                     # corner1 += row2, corner2 -= (row0+row1+row2),
                     # corner3 += row1
@@ -354,15 +382,23 @@ def _make_cloth_kernel(N, groups, wind_groups, dia_offs, cg_iters, dt, dt2,
                     )
                     for o, rws, sgn in per_corner:
                         for j in range(3):
-                            acc = None
+                            acc = acc2 = None
                             for r in rws:
                                 t = zu[3 * r + j]
                                 acc = t if acc is None else acc + t
+                                if collect_dual:
+                                    t2 = zz[3 * r + j]
+                                    acc2 = (t2 if acc2 is None
+                                            else acc2 + t2)
                             acc = sgn * acc
                             if o == 0:
                                 S[BS + j, :] += acc
+                                if collect_dual:
+                                    S[ZC + j, :] += sgn * acc2
                             else:
                                 S[BS + j, o:] += acc[: N - o]
+                                if collect_dual:
+                                    S[ZC + j, o:] += sgn * acc2[: N - o]
                     _dma_duals_out(g)
 
         # ---- CG phase: anchors + whole Jacobi-PCG symmetric-dia solve
@@ -374,6 +410,8 @@ def _make_cloth_kernel(N, groups, wind_groups, dia_offs, cg_iters, dt, dt2,
                 ua = ancu_out[a, :] + dlt
                 ancu_out[a, :] = ua
                 S[BS + a, :] += aw2 * (ancz_ref[a, :] - ua)
+                if collect_dual:
+                    S[ZC + a, :] += aw2 * ancz_ref[a, :]
                 if collect:
                     racc[0] = racc[0] + jnp.sum(aw2 * dlt * dlt)
             if collect:
@@ -535,6 +573,27 @@ def _make_cloth_kernel(N, groups, wind_groups, dia_offs, cg_iters, dt, dt2,
                     z = z + om0 * (r - mv_fine(z))
                     return z
 
+            if collect_dual:
+                # s = dt^2 ||D^T W^2 (z - z_prev)|| (System.cpp:65); at
+                # iteration 0, z_prev = D x_pre (System.cpp:43) whose
+                # transpose image is algebraic: D^T W^2 D x =
+                # (A_hat - M) x / dt^2 (x_pre is parked in x_out)
+                @pl.when(i == 0)
+                def _seed_zprev():
+                    matvec_into(x_out, 0)
+                    for a in range(3):
+                        S[ZP + a, :] = (
+                            S[a, :] - masks_ref[1, :] * x_out[a, :]
+                        ) * (1.0 / dt2)
+
+                sd = sum(
+                    jnp.sum((S[ZC + a, :] - S[ZP + a, :]) ** 2)
+                    for a in range(3)
+                )
+                rd_out[st, i] = dt2 * jnp.sqrt(sd)
+                for a in range(3):
+                    S[ZP + a, :] = S[ZC + a, :]
+
             # r = M xbar + dt^2 b - A x, with M xbar recomputed from the
             # parked pre-step x (x_out) and the kicked v (v_out) — folding
             # b into r in place saves two (3,N) VMEM planes
@@ -619,6 +678,8 @@ def _cloth_call(masks, ancz, dia, x3, v3, u, ancu, mgf, mgi, a2b,
                 gvec, wind_dir, n_iters, n_steps, interpret, collect,
                 mg_meta_static):
     N = x3.shape[1]
+    collect_dual = collect == "full"
+    collect = bool(collect)
     n_groups = len(groups_key)
     n_phases = 3 * n_groups + 1
     mg_meta = None
@@ -630,8 +691,8 @@ def _cloth_call(masks, ancz, dia, x3, v3, u, ancu, mgf, mgi, a2b,
         }
     kern = _make_cloth_kernel(
         N, groups_key, wind_groups, dia_offs, cg_iters, dt, dt2, gvec,
-        wind_dir, n_iters, collect=collect, mg_meta=mg_meta,
-        interpret=interpret,
+        wind_dir, n_iters, collect=collect, collect_dual=collect_dual,
+        mg_meta=mg_meta, interpret=interpret,
     )
     full = lambda *_: (0, 0)
     f3 = pl.BlockSpec((3, N), full, memory_space=pltpu.VMEM)
@@ -645,30 +706,38 @@ def _cloth_call(masks, ancz, dia, x3, v3, u, ancu, mgf, mgi, a2b,
     if mg_meta is not None:
         in_specs = in_specs + [vm, vm, vm]
         operands = operands + (mgf, mgi, a2b)
-        # the MG planes push past the 16 MB scoped-VMEM pipelining
-        # default (v5e has 128 MB/core); the non-MG config keeps the
-        # default so its benchmarked schedule is unperturbed
+    if mg_meta is not None or collect_dual:
+        # the MG planes (and the dual-residual accumulator rows) push
+        # past the 16 MB scoped-VMEM pipelining default (v5e has
+        # 128 MB/core); the plain config keeps the default so its
+        # benchmarked schedule is unperturbed
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2**20,
         )
+    sm = pl.BlockSpec(memory_space=pltpu.SMEM)
+    res_specs = [sm] + ([sm] if collect_dual else [])
+    res_shapes = [
+        # per-(step, iteration) primal residual (written only when
+        # collect; garbage otherwise — callers discard)
+        jax.ShapeDtypeStruct((n_steps, n_iters), x3.dtype),
+    ] + ([jax.ShapeDtypeStruct((n_steps, n_iters), x3.dtype)]
+         if collect_dual else [])
     out = pl.pallas_call(
         kern,
         grid=(n_steps, n_iters, n_phases),
         in_specs=in_specs,
-        out_specs=[f3, f3, hbm, f3,
-                   pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=[f3, f3, hbm, f3] + res_specs,
         out_shape=[
             jax.ShapeDtypeStruct(x3.shape, x3.dtype),
             jax.ShapeDtypeStruct(v3.shape, v3.dtype),
             jax.ShapeDtypeStruct(u.shape, u.dtype),
             jax.ShapeDtypeStruct(ancu.shape, ancu.dtype),
-            # per-(step, iteration) primal residual (written only when
-            # collect; garbage otherwise — callers discard)
-            jax.ShapeDtypeStruct((n_steps, n_iters), x3.dtype),
-        ],
+        ] + res_shapes,
         input_output_aliases={5: 2},
         scratch_shapes=[
-            pltpu.VMEM((16, N), x3.dtype),  # packed S (see kernel header)
+            # packed S (see kernel header; +6 dual-residual rows when
+            # collect_dual)
+            pltpu.VMEM((22 if collect_dual else 16, N), x3.dtype),
             pltpu.VMEM((16, N), x3.dtype),  # streamed dual block
             pltpu.SMEM((1,), x3.dtype),     # primal-residual accumulator
             pltpu.SemaphoreType.DMA,
@@ -709,7 +778,8 @@ def cloth_rollout(masks, ancz, dia, x3, v3, u, ancu, *,
         wind_dir=tuple(float(q) for q in wind_dir),
         n_iters=int(n_iters), n_steps=int(n_steps),
         interpret=bool(interpret),
-        collect=bool(collect_residuals),
+        collect=("full" if collect_residuals is True
+                 else ("primal" if collect_residuals else False)),
         mg_meta_static=mg_meta_static,
     )
     return out if collect_residuals else out[:4]

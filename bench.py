@@ -213,8 +213,8 @@ def build_cloth100k(dtype, admm_iters=10, fast_path=True, residuals=False,
         cg_backend="fused",
         preconditioner=("amg" if amg else "jacobi"),
         lattice_fast_path=fast_path,
-        collect_residuals=(("primal" if fast_path else True)
-                           if residuals else False),
+        # FULL primal+dual residuals emit in-kernel since round 3
+        collect_residuals=bool(residuals),
     ))
     sys.add_nodes(mesh.vertices, np.full(n, 0.5 / n))
     sys.add_force(LimitedTriangleStrain(mesh.faces, 100.0, 0.95, 1.05,

@@ -288,3 +288,43 @@ def test_cloth_in_kernel_multigrid_matched_residual():
         rf = float(np.asarray(mg.last_aux["primal_residual"])[-1])
         worst = max(worst, rf / re)
     assert worst < 1.1, f"mg residual drifted from exact solve: {worst}"
+
+
+def test_cloth_in_kernel_dual_residuals():
+    """collect_residuals=True keeps the cloth fast path engaged and emits
+    BOTH residuals in-kernel; dual matches the general path
+    (triangle + bend + anchor contributions, iteration-0 baseline
+    z_prev = D x_pre via the (A_hat - M) x / dt^2 identity)."""
+
+    def build(fast):
+        mesh = make_plane_grid(6, 5)
+        n = mesh.n_vertices
+        s = System(Settings(
+            timestep_s=0.04, admm_iters=8, verbose=0, dtype=jnp.float64,
+            global_solver="dia", cg_fixed_iters=30, lattice_fast_path=fast,
+            collect_residuals=True,
+        ))
+        s.add_nodes(mesh.vertices, np.full(n, 0.5 / n))
+        s.add_force(LimitedTriangleStrain(mesh.faces, 100.0, 0.95, 1.05,
+                                          backend="pallas"))
+        s.add_force(Bend(extract_hinges(mesh.faces), 20.0))
+        top = np.flatnonzero(np.abs(mesh.vertices[:, 1] - 1.0) < 1e-9)
+        s.add_force(StaticAnchor(top[:4]))
+        s.add_explicit_force(ExplicitForce(direction=(0, -9.8, 0)))
+        s.add_explicit_force(WindForce(mesh.faces, direction=(1.5, 0, 0.4)))
+        assert s.initialize()
+        return s
+
+    ref = build(False)
+    fast = build(True)
+    assert fast._lattice is not None and fast._lattice.model == "cloth"
+    for _ in range(5):
+        ref.step()
+        fast.step()
+        for key in ("primal_residual", "dual_residual"):
+            r_ref = np.asarray(ref.last_aux[key])
+            r_fast = np.asarray(fast.last_aux[key])
+            np.testing.assert_allclose(r_fast, r_ref, rtol=1e-6,
+                                       atol=1e-10, err_msg=key)
+        np.testing.assert_allclose(np.asarray(fast.x), np.asarray(ref.x),
+                                   rtol=1e-8, atol=1e-10)
