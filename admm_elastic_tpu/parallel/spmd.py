@@ -60,9 +60,12 @@ class SpmdSystem:
         spmd.step()                           # or spmd.run(n)
         x = spmd.x                            # gathered positions
 
-    Restrictions: no per-step host callbacks inside run(); residual
-    collection is not yet sharded (use the single-device path to
-    instrument); dia mode routes through ell row-sharding.
+    Restrictions: no per-step host callbacks inside run();
+    residual-driven early exit needs the single-device path; dia mode
+    routes through ell row-sharding. With collect_residuals, per-step
+    aux lands in `last_aux` ("primal" = primal only; True adds the dual
+    via 6-wide contribution rows — each shard reduces its local pieces
+    and one psum replicates the scalars).
     """
 
     def __init__(self, system, mesh: Mesh, elem_axis: str = "elem"):
@@ -73,10 +76,8 @@ class SpmdSystem:
                 "SpmdSystem requires global_solver='ell' or 'dia'; got "
                 f"{system._solver_mode!r}"
             )
-        if system.settings.collect_residuals or (
-            system.settings.residual_tol is not None
-        ):
-            raise ValueError("sharded residual collection not supported yet")
+        if system.settings.residual_tol is not None:
+            raise ValueError("sharded residual early-exit not supported")
         self.system = system
         self.mesh = mesh
         self.axis = elem_axis
@@ -258,6 +259,9 @@ class SpmdSystem:
         )
         self._step_fn = jax.jit(self._make_step(), donate_argnums=(0, 1))
         self._rollouts = {}
+        #: per-step residual aux of the last step()/run() (empty dict
+        #: unless collect_residuals)
+        self.last_aux = {}
 
     # ------------------------------------------------------------- step fn
 
@@ -269,6 +273,8 @@ class SpmdSystem:
         dt2 = dt * dt
         iters = sysm.settings.admm_iters
         cg_fixed = sysm.settings.cg_fixed_iters or 25
+        collect = bool(sysm.settings.collect_residuals)
+        collect_dual = sysm.settings.collect_residuals is True
         n = sysm.n_nodes
         nb, n_pad = self._nb, self._n_pad
         S, axis = self.S, self.axis
@@ -337,8 +343,10 @@ class SpmdSystem:
                 x_new = jax.lax.all_gather(x_loc, axis, axis=0, tiled=True)
                 return x_new[:n]
 
+            width = 6 if collect_dual else 3
+
             def iteration(i, carry):
-                curr_x, u, fstate = carry
+                curr_x, u, fstate, rc, rp, rd = carry
                 z = {}
                 new_u = {}
                 new_fstate = {}
@@ -346,30 +354,79 @@ class SpmdSystem:
                 for f in forces:
                     lp = loc["params"][f.name]
                     if getattr(f, "supports_fused_local_rhs", False):
+                        # with_z: 6-wide rows carry D^T W^2 z alongside
+                        # the RHS for the dual residual (same source as
+                        # the general path, so trajectories stay in
+                        # bit-level lockstep)
                         zf, uf, sf, cf = f.fused_local_rhs(
-                            lp, curr_x, u[f.name], fstate[f.name]
+                            lp, curr_x, u[f.name], fstate[f.name],
+                            with_z=collect_dual,
                         )
                     else:
                         Dx = f.compute_Dx(lp, curr_x)
                         zf, uf, sf = f.project_with_dual(
                             Dx, u[f.name], lp, fstate[f.name]
                         )
-                        cf = f.rhs_contribution(lp, zf, uf)
+                        cf = (f.rhs_contribution6(lp, zf, uf)
+                              if collect_dual
+                              else f.rhs_contribution(lp, zf, uf))
                     z[f.name] = zf
                     new_u[f.name] = uf
                     new_fstate[f.name] = sf
                     contribs.append(cf)
 
-                contribs.append(jnp.zeros((1, 3), b_dtype))  # sentinel row
+                contribs.append(jnp.zeros((1, width), b_dtype))  # sentinel
                 flat = jnp.concatenate(contribs, axis=0)
-                partial_b = jnp.sum(flat[inc], axis=1)  # (n,3) shard part
-                b = Mxbar + dt2 * jax.lax.psum(partial_b, axis)
+                partial = jnp.sum(flat[inc], axis=1)  # (n,width) shard part
+                out = jax.lax.psum(partial, axis)
+                b = Mxbar + dt2 * out[:, :3]
                 new_x = cg_solve(b, curr_x)
-                return (new_x, new_u, new_fstate)
 
-            curr_x, u, fstate = jax.lax.fori_loop(
-                0, iters, iteration, (xbar, loc["u"], loc["fstate"])
+                new_rc = rc
+                if collect:
+                    # local primal pieces + one psum: shard-padded
+                    # elements carry weight 0 and contribute nothing
+                    r2 = 0.0
+                    for f in forces:
+                        r2 = r2 + f.primal_piece(
+                            loc["params"][f.name], new_u[f.name], u[f.name]
+                        )
+                    rp = rp.at[i].set(jnp.sqrt(jax.lax.psum(r2, axis)))
+                if collect_dual:
+                    Tz = out[:, 3:]
+                    rd = rd.at[i].set(dt2 * jnp.linalg.norm(Tz - rc))
+                    new_rc = Tz
+                return (new_x, new_u, new_fstate, new_rc, rp, rd)
+
+            res_shape = (iters,) if collect else (0,)
+            rp0 = jnp.zeros(res_shape, b_dtype)
+            rd0 = jnp.zeros(res_shape, b_dtype)
+            if collect_dual:
+                # z_prev init = D x0 (System.cpp:43): T z0 via the same
+                # 6-wide contribution rows with u = 0
+                c0 = []
+                for f in forces:
+                    lp = loc["params"][f.name]
+                    z0f = f.compute_Dx(lp, x0)
+                    c0.append(f.rhs_contribution6(
+                        lp, z0f, jnp.zeros_like(z0f)
+                    ))
+                c0.append(jnp.zeros((1, 6), b_dtype))
+                rc0 = jax.lax.psum(
+                    jnp.sum(jnp.concatenate(c0, 0)[inc], axis=1), axis
+                )[:, 3:]
+            else:
+                rc0 = jnp.zeros((1, 3), b_dtype)
+
+            curr_x, u, fstate, _, rp, rd = jax.lax.fori_loop(
+                0, iters, iteration,
+                (xbar, loc["u"], loc["fstate"], rc0, rp0, rd0),
             )
+            aux = {}
+            if collect:
+                aux["primal_residual"] = rp
+            if collect_dual:
+                aux["dual_residual"] = rd
 
             new_rep = {
                 "x": curr_x,
@@ -388,13 +445,18 @@ class SpmdSystem:
                 "u": expand(u),
                 "fstate": expand(fstate),
             }
-            return new_rep, new_shd
+            return new_rep, new_shd, aux
 
+        aux_spec = {}
+        if collect:
+            aux_spec["primal_residual"] = P()
+        if collect_dual:
+            aux_spec["dual_residual"] = P()
         smapped = jax.shard_map(
             shard_step,
             mesh=self.mesh,
             in_specs=(P(), P(self.axis)),
-            out_specs=(P(), P(self.axis)),
+            out_specs=(P(), P(self.axis), aux_spec),
             check_vma=False,
         )
         return smapped
@@ -402,7 +464,9 @@ class SpmdSystem:
     # ------------------------------------------------------------- driving
 
     def step(self):
-        self.rep, self.shd = self._step_fn(self.rep, self.shd)
+        self.rep, self.shd, self.last_aux = self._step_fn(
+            self.rep, self.shd
+        )
         return True
 
     def make_rollout(self, n_steps: int):
@@ -410,19 +474,22 @@ class SpmdSystem:
 
         def rollout(rep, shd):
             def body(c, _):
-                return step(*c), None
+                rep, shd, aux = step(*c)
+                return (rep, shd), aux
 
-            (rep, shd), _ = jax.lax.scan(
+            (rep, shd), aux = jax.lax.scan(
                 body, (rep, shd), None, length=n_steps
             )
-            return rep, shd
+            return rep, shd, aux
 
         return jax.jit(rollout, donate_argnums=(0, 1))
 
     def run(self, n_steps: int):
         if n_steps not in self._rollouts:
             self._rollouts[n_steps] = self.make_rollout(n_steps)
-        self.rep, self.shd = self._rollouts[n_steps](self.rep, self.shd)
+        self.rep, self.shd, self.last_aux = self._rollouts[n_steps](
+            self.rep, self.shd
+        )
         return True
 
     @property
