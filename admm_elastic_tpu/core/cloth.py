@@ -26,8 +26,11 @@ import jax.numpy as jnp
 
 from .solver import assemble_A_hat_dia
 
-MAX_GROUPS = 8
-MAX_WIND_GROUPS = 3  # f9 staging capacity in the kernel (3 planes/group)
+MAX_GROUPS = 12
+# wind staging capacity in the kernel: 3 planes/group in S rows 0-8,
+# plus the (free-at-prologue) b rows for a 4th group — the sym-plane
+# tessellation has 4 triangle stencils
+MAX_WIND_GROUPS = 4
 MAX_DIAGONALS = 24  # VMEM budget for the symmetric dia planes
 
 # in-kernel geometric multigrid stride ladders, tried in preference
@@ -60,6 +63,63 @@ def group_constant_offsets(indices):
             return None
         out.append((tuple(int(o) for o in keys[g]), es, bases))
     return out
+
+
+def detect_symplane_numbering(faces, n):
+    """Canonical permutation for the SYM-PLANE tessellation (the
+    reference's cloth builder, make_sym_plane / trimesh2
+    make_sym_plane): (W+1)x(H+1) grid corners x-major followed by WxH
+    quad centers, 4 triangles per quad around the center.
+
+    Under the builder's numbering the center indices live on a
+    different row stride than the corners, so NO triangle stencil is
+    constant-offset ("one stencil per quad column"). Interleaving each
+    x-column's corners with its centers — column x maps to rows
+    x*(2H+1): corners at +y, centers at +(H+1)+y — puts every one of
+    the 4 triangle classes (and the 6 hinge classes, and A_hat) on
+    constant offsets.
+
+    Detection is exact: (W, H) are recovered from the vertex/face
+    counts (n = 2WH + W + H + 1, n_faces = 4WH) and the face list must
+    REGENERATE verbatim. Returns cid (new index per old vertex) or
+    None."""
+    f = np.asarray(faces, np.int64)
+    if f.ndim != 2 or f.shape[1] != 3 or len(f) % 4:
+        return None
+    F = len(f) // 4  # = W*H
+    s = n - 2 * F - 1  # = W + H
+    if F <= 0 or s <= 1:
+        return None
+    disc = s * s - 4 * F
+    if disc < 0:
+        return None
+    r = int(round(np.sqrt(disc)))
+    if r * r != disc or (s - r) % 2:
+        return None
+    for W, H in {((s + r) // 2, (s - r) // 2), ((s - r) // 2, (s + r) // 2)}:
+        if W < 1 or H < 1 or W * H != F:
+            continue
+        n_grid = (W + 1) * (H + 1)
+        quads = []
+        for x in range(W):
+            for y in range(H):
+                ll = y + x * (H + 1)
+                lr = y + (x + 1) * (H + 1)
+                ul, ur = ll + 1, lr + 1
+                cent = n_grid + x * H + y
+                quads += [(ll, lr, cent), (lr, ur, cent),
+                          (cent, ur, ul), (ll, cent, ul)]
+        if not np.array_equal(f, np.asarray(quads, np.int64)):
+            continue
+        cid = np.empty(n, np.int64)
+        for x in range(W + 1):
+            base = x * (2 * H + 1)
+            cid[x * (H + 1): (x + 1) * (H + 1)] = base + np.arange(H + 1)
+        for x in range(W):
+            base = x * (2 * H + 1) + (H + 1)
+            cid[n_grid + x * H: n_grid + (x + 1) * H] = base + np.arange(H)
+        return cid
+    return None
 
 
 def _uniform(arr, rel=1e-6):
@@ -478,10 +538,12 @@ def cloth_from_system(system):
     stepper = build(None)
     if stepper is not None:
         return stepper, np.arange(n)
-    cid = detect_grid_numbering(verts)
-    if cid is None:
-        return None
-    stepper = build(cid)
-    if stepper is None:
-        return None
-    return stepper, cid
+    for detect in (lambda: detect_grid_numbering(verts),
+                   lambda: detect_symplane_numbering(tri.faces, n)):
+        cid = detect()
+        if cid is None:
+            continue
+        stepper = build(cid)
+        if stepper is not None:
+            return stepper, cid
+    return None

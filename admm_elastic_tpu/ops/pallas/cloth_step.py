@@ -157,10 +157,14 @@ def _make_cloth_kernel(N, groups, wind_groups, dia_offs, cg_iters, dt, dt2,
             # S rows 0-8 (3 planes per group) BEFORE any scatter so reads of
             # v_out are hazard-free.
             for w, (offs, mrow) in enumerate(wind_groups):
+                # staging rows: groups 0-2 use S rows 0-8; a 4th group
+                # (sym-plane: 4 triangle stencils) borrows the b rows,
+                # which are dead until _reset_b re-zeroes them
+                rw = 3 * w if w < 3 else BS
                 M = max(offs)
                 L = N - M
                 for a in range(3):
-                    S[3 * w + a, :] = jnp.zeros_like(S[3 * w + a, :])
+                    S[rw + a, :] = jnp.zeros_like(S[rw + a, :])
                 for h0 in range(0, L, NC):
                     h1 = min(L, h0 + NC)
 
@@ -191,13 +195,14 @@ def _make_cloth_kernel(N, groups, wind_groups, dia_offs, cg_iters, dt, dt2,
                     m = masks_ref[mrow, h0:h1]
                     scale = (-1000.0 * 0.33 * dt) * m * area * v_n * jnp.abs(v_n)
                     for a in range(3):
-                        S[3 * w + a, h0:h1] = scale * nhat[a]
+                        S[rw + a, h0:h1] = scale * nhat[a]
             for w, (offs, mrow) in enumerate(wind_groups):
+                rw = 3 * w if w < 3 else BS
                 M = max(offs)
                 L = N - M
                 for o in offs:
                     for a in range(3):
-                        v_out[a, o : L + o] += S[3 * w + a, :L]
+                        v_out[a, o : L + o] += S[rw + a, :L]
             for a in range(3):
                 S[XS + a, :] = x_out[a, :] + dt * v_out[a, :]
 

@@ -285,6 +285,11 @@ def build_windyflag(dtype):
     ctx = SimContext()
     ctx.load(os.path.join(HERE, "samples", "scenes", "cloth.xml"))
     ctx.system.settings.dtype = dtype
+    # the sym-plane tessellation rides the cloth whole-timestep kernel
+    # since round 3 (detect_symplane_numbering); silently falls back to
+    # the dense global step if the scene stops qualifying
+    ctx.system.settings.lattice_fast_path = True
+    ctx.system.settings.global_solver = "dia"
     cloth = ctx.objects_map["cloth1"]
     length = cloth.component.get("length").as_int()
     ctx.system.add_force(

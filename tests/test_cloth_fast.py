@@ -192,17 +192,24 @@ def test_cloth_rollout_matches_stepping():
 
 
 def test_cloth_fast_path_rejects_nongrid():
-    """make_sym_plane (center-vertex layout) must NOT qualify: its faces
-    produce one stencil per quad column — the grouping bails out and the
-    general solver runs."""
+    """A genuinely non-groupable mesh (sym plane under a SCRAMBLED vertex
+    numbering: no constant-offset stencils, neither detector matches)
+    falls back to the general solver gracefully. (The canonical sym
+    plane itself QUALIFIES since round 3 — test_cloth_symplane_fast_path.)"""
     from admm_elastic_tpu.geometry import make_sym_plane
 
     mesh = make_sym_plane(6, 5)
     n = mesh.n_vertices
+    rng = np.random.RandomState(0)
+    perm = rng.permutation(n)
+    inv = np.empty(n, np.int64)
+    inv[perm] = np.arange(n)
+    verts = mesh.vertices[perm]
+    faces = inv[mesh.faces]
     sys_ = System(Settings(timestep_s=0.04, admm_iters=4, verbose=0,
                            dtype=jnp.float64, lattice_fast_path=True))
-    sys_.add_nodes(mesh.vertices, np.full(n, 0.5 / n))
-    sys_.add_force(LimitedTriangleStrain(mesh.faces, 100.0, 0.95, 1.05))
+    sys_.add_nodes(verts, np.full(n, 0.5 / n))
+    sys_.add_force(LimitedTriangleStrain(faces, 100.0, 0.95, 1.05))
     sys_.add_force(StaticAnchor([0, 1]))
     sys_.add_explicit_force(ExplicitForce(direction=(0, -9.8, 0)))
     assert sys_.initialize()
@@ -328,3 +335,58 @@ def test_cloth_in_kernel_dual_residuals():
                                        atol=1e-10, err_msg=key)
         np.testing.assert_allclose(np.asarray(fast.x), np.asarray(ref.x),
                                    rtol=1e-8, atol=1e-10)
+
+
+def test_cloth_symplane_fast_path():
+    """The reference's actual cloth tessellation (make_sym_plane: grid
+    corners + quad centers, 4 triangles per quad — the windyflag flag)
+    rides the whole-timestep cloth kernel since round 3: the
+    interleaved-column renumbering (detect_symplane_numbering) puts all
+    4 triangle stencils, 6 hinge stencils, 4 wind groups and A_hat on
+    constant offsets. Full windyflag physics parity vs the general
+    path."""
+    from admm_elastic_tpu.geometry import make_sym_plane
+
+    mesh = make_sym_plane(8, 6)
+
+    def build(fast):
+        n = mesh.n_vertices
+        s = System(Settings(timestep_s=0.04, admm_iters=8, verbose=0,
+                            dtype=jnp.float64, global_solver="dia",
+                            cg_fixed_iters=30, lattice_fast_path=fast))
+        s.add_nodes(mesh.vertices, np.full(n, 0.5 / n))
+        s.add_force(LimitedTriangleStrain(mesh.faces, 100.0, 0.95, 1.05,
+                                          backend="pallas"))
+        s.add_force(Bend(extract_hinges(mesh.faces), 20.0))
+        s.add_force(StaticAnchor([0, 6]))
+        s.add_explicit_force(ExplicitForce(direction=(0, -9.8, 0)))
+        s.add_explicit_force(WindForce(mesh.faces, direction=(1.5, 0, 0.4)))
+        assert s.initialize()
+        return s
+
+    fast = build(True)
+    assert fast._lattice is not None and fast._lattice.model == "cloth"
+    assert len(fast._lattice.groups) == 10   # 4 tri + 6 bend stencils
+    assert len(fast._lattice.wind_groups) == 4
+    ref = build(False)
+    for _ in range(5):
+        fast.step()
+        ref.step()
+    np.testing.assert_allclose(np.asarray(fast.x), np.asarray(ref.x),
+                               rtol=1e-9, atol=1e-11)
+    # cloth genuinely moved (wind + gravity act)
+    assert np.abs(np.asarray(ref.x) - mesh.vertices).max() > 1e-3
+
+
+def test_detect_symplane_numbering_rejects():
+    """The detector regenerates the face list exactly — reordered faces,
+    plain grids, and arbitrary meshes are rejected (no false routes)."""
+    from admm_elastic_tpu.core.cloth import detect_symplane_numbering
+    from admm_elastic_tpu.geometry import make_sym_plane
+
+    m = make_sym_plane(5, 4)
+    assert detect_symplane_numbering(m.faces, m.n_vertices) is not None
+    shuffled = m.faces[::-1]
+    assert detect_symplane_numbering(shuffled, m.n_vertices) is None
+    g = make_plane_grid(6, 5)
+    assert detect_symplane_numbering(g.faces, g.n_vertices) is None
