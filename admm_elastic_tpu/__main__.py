@@ -42,15 +42,20 @@ def main(argv=None):
         )
 
     if args.viewer:
+        # record a frame every --every steps for exactly --steps steps
+        # (remainder stepped un-recorded), then fall through to the
+        # summary/checkpoint handling below
         from .viewer import record_html_viewer
 
-        n_frames = max(1, args.steps // max(1, args.every))
+        every = max(1, min(args.every, max(1, args.steps)))
+        n_frames = max(1, args.steps // every)
         p = record_html_viewer(ctx, args.viewer, n_frames,
-                               steps_per_frame=args.every)
+                               steps_per_frame=every)
+        for _ in range(args.steps - n_frames * every):
+            ctx.step()
         print(f"viewer: {p}")
-        return 0
 
-    for i in range(args.steps):
+    for i in range(0 if args.viewer else args.steps):
         ctx.step()
         if (args.export or args.render) and i % args.every == 0:
             ctx.update()

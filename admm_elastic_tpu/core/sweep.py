@@ -86,6 +86,10 @@ class SweepStepper:
             "t": base.state["t"],
         }
         self._rollouts = {}
+        #: (S, n_steps, admm_iters) residuals of the last step()/run()
+        #: window when base.collect_residuals is on
+        self.last_primal = None
+        self.last_dual = None
 
     def _shard(self, a):
         """Place a leading-scenario-axis array sharded over the data

@@ -334,17 +334,7 @@ class System:
                     "(in-kernel algebraic MG, any topology)"
                 )
             if not in_kernel:
-                from .amg import build_amg
-                from .solver import _assemble_A_hat_csr
-
-                A = _assemble_A_hat_csr(n, self._mi, dt, cparams)
-                amg_arrays, self._amg_meta = build_amg(A)
-                params["_solver"]["amg"] = amg_arrays
-                if s.verbose:
-                    sizes = " -> ".join(
-                        str(m["n"]) for m in self._amg_meta
-                    )
-                    print(f"Solver: AMG hierarchy {sizes}")
+                params["_solver"]["amg"] = self._build_general_amg(cparams)
 
         self.params = _cast_tree(params, dtype)
         self.state = {
@@ -355,7 +345,8 @@ class System:
             "forces": _cast_tree(state_forces, dtype),
         }
         self._masses_dev = jnp.asarray(self._mi, dtype)
-        self._step_fn = jax.jit(self._make_step(), donate_argnums=(0,))
+        # _step_fn is built AFTER the fast-path routing / AMG-fallback
+        # decisions below (it closes over the amg hierarchy's presence)
 
         self._lattice = None
         # when the GENERAL-path AMG engaged, the (Jacobi-budget) lattice/
@@ -410,17 +401,11 @@ class System:
                 raise ValueError(
                     "preconditioner='amg' fallback needs cg_backend='xla'"
                 )
-            from .amg import build_amg
-            from .solver import _assemble_A_hat_csr
+            self.params["_solver"]["amg"] = _cast_tree(
+                self._build_general_amg(cparams, label="fallback"), dtype
+            )
 
-            A = _assemble_A_hat_csr(n, self._mi, dt, cparams)
-            amg_arrays, self._amg_meta = build_amg(A)
-            self.params["_solver"]["amg"] = _cast_tree(amg_arrays, dtype)
-            # the jitted step closed over amg_vcycle=None — rebuild it
-            self._step_fn = jax.jit(self._make_step(), donate_argnums=(0,))
-            if s.verbose:
-                sizes = " -> ".join(str(m["n"]) for m in self._amg_meta)
-                print(f"Solver: general-path AMG fallback {sizes}")
+        self._step_fn = jax.jit(self._make_step(), donate_argnums=(0,))
 
         if s.verbose >= 1:
             print(
@@ -432,6 +417,21 @@ class System:
         return True
 
     # ----------------------------------------------------------- step fn
+
+    def _build_general_amg(self, cparams, label="hierarchy"):
+        """Assemble A_hat and build the general-path aggregation-AMG
+        hierarchy (core/amg.py); records _amg_meta so recompute_weights
+        can refresh values over the frozen aggregation."""
+        from .amg import build_amg
+        from .solver import _assemble_A_hat_csr
+
+        A = _assemble_A_hat_csr(self.n_nodes, self._mi,
+                                self.settings.timestep_s, cparams)
+        amg_arrays, self._amg_meta = build_amg(A)
+        if self.settings.verbose:
+            sizes = " -> ".join(str(m["n"]) for m in self._amg_meta)
+            print(f"Solver: AMG {label} {sizes}")
+        return amg_arrays
 
     def _make_step(self):
         forces = list(self._force_list)

@@ -183,6 +183,9 @@ def schedule_transfers(t_pos, s_pos, Ns_rows, Nt_rows, max_ops=MAX_OPS):
     """
     t_pos = np.asarray(t_pos, np.int64)
     s_pos = np.asarray(s_pos, np.int64)
+    if len(t_pos) and (t_pos.max() >= Nt_rows * LANES
+                       or s_pos.max() >= Ns_rows * LANES):
+        raise ValueError("uamg: transfer position out of plane bounds")
     order = np.argsort(s_pos, kind="stable")
     ops = []
     for j in order:

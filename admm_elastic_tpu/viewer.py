@@ -316,6 +316,8 @@ def record_html_viewer(ctx, path, n_frames, steps_per_frame=1, fps=30):
     and export the interactive viewer (Application::display's
     step-update-draw loop, Application.cpp:116-168, recorded instead of
     windowed). Uses scene material diffuse colors when declared."""
+    from .viz import object_material
+
     faces = [np.asarray(o.faces) for o in ctx.objects]
     names = []
     colors = []
@@ -324,14 +326,9 @@ def record_html_viewer(ctx, path, n_frames, steps_per_frame=1, fps=30):
             names.append(o.component.name)
         except Exception:
             names.append(None)
-        col = None
-        try:
-            mname = o.component.get("material").value
-            mc = ctx.scene.materials[mname]
-            col = [float(v) for v in mc.get("diffuse").as_vec3()]
-        except Exception:
-            pass
-        colors.append(col)
+        diffuse = object_material(ctx.scene, o).get("diffuse")
+        colors.append(None if diffuse is None
+                      else [float(v) for v in diffuse])
     frames = []
     for _ in range(n_frames):
         for _ in range(steps_per_frame):

@@ -159,6 +159,41 @@ def render_frame(
     return path
 
 
+def _vec3_param(comp, tag, default=None):
+    try:
+        p = comp.get(tag)
+    except Exception:
+        p = None
+    if p is None:
+        return default
+    return np.asarray(p.as_vec3(), float)
+
+
+def object_material(cfg, obj):
+    """The XML-declared BlinnPhong material of a SceneObject (or {}):
+    the single lookup shared by the offline renderer and the HTML
+    viewer."""
+    try:
+        mname = obj.component.get("material").value
+    except Exception:
+        mname = None
+    if cfg is None or not mname or mname not in cfg.materials:
+        return {}
+    mc = cfg.materials[mname]
+    mat = {
+        "ambient": _vec3_param(mc, "ambient"),
+        "diffuse": _vec3_param(mc, "diffuse", np.asarray((0.6, 0.6, 0.6))),
+        "specular": _vec3_param(mc, "specular", np.asarray((0.0,) * 3)),
+    }
+    try:
+        mat["shininess"] = mc.get("shininess").as_double()
+    except Exception:
+        pass
+    if mat["ambient"] is None:
+        mat["ambient"] = mat["diffuse"] * 0.25
+    return mat
+
+
 def render_scene(ctx, path: str, **kwargs):
     """Render a SimContext using its PARSED scene assets: per-object
     BlinnPhong materials (scene.materials, Material.hpp), point lights
@@ -166,37 +201,9 @@ def render_scene(ctx, path: str, **kwargs):
     present — the offline analog of RenderGL::draw_objects consuming the
     same XML-declared assets."""
     cfg = ctx.scene
+    vec = _vec3_param
 
-    def vec(comp, tag, default=None):
-        try:
-            p = comp.get(tag)
-        except Exception:
-            p = None
-        if p is None:
-            return default
-        return np.asarray(p.as_vec3(), float)
-
-    materials = []
-    for o in ctx.objects:
-        mat = None
-        try:
-            mname = o.component.get("material").value
-        except Exception:
-            mname = None
-        if cfg is not None and mname and mname in cfg.materials:
-            mc = cfg.materials[mname]
-            mat = {
-                "ambient": vec(mc, "ambient"),
-                "diffuse": vec(mc, "diffuse", np.asarray((0.6, 0.6, 0.6))),
-                "specular": vec(mc, "specular", np.asarray((0.0, 0.0, 0.0))),
-            }
-            try:
-                mat["shininess"] = mc.get("shininess").as_double()
-            except Exception:
-                pass
-            if mat["ambient"] is None:
-                mat["ambient"] = mat["diffuse"] * 0.25
-        materials.append(mat or {})
+    materials = [object_material(cfg, o) for o in ctx.objects]
 
     lights = []
     if cfg is not None:
