@@ -154,3 +154,29 @@ def test_tetmesh_object_ply_fallback(tmp_path):
     x = np.asarray(ctx.system.x)
     assert np.isfinite(x).all()
     assert x[:, 1].mean() < y0  # fell under gravity
+
+
+def test_windyflag_scene_rides_cloth_kernel():
+    """The bundled windyflag scene (sym-plane flag, XML route, xform,
+    density-weighted masses, scene-built strain+bend) qualifies for the
+    whole-timestep cloth kernel once anchors/wind are added — the
+    bench.py --preset windyflag configuration (2.72 ms/step on chip)."""
+    from admm_elastic_tpu.models import StaticAnchor, WindForce
+
+    ctx = SimContext()
+    ctx.load(os.path.join(REPO_SCENES, "cloth.xml"))
+    ctx.system.settings.lattice_fast_path = True
+    ctx.system.settings.global_solver = "dia"
+    cloth = ctx.objects_map["cloth1"]
+    length = cloth.component.get("length").as_int()
+    ctx.system.add_force(
+        StaticAnchor([cloth.index_offset, cloth.index_offset + length]))
+    ctx.system.add_explicit_force(
+        WindForce(cloth.faces + cloth.index_offset, direction=(10, 0, 2)))
+    ctx.initialize()
+    lat = ctx.system._lattice
+    assert lat is not None and lat.model == "cloth"
+    for _ in range(3):
+        ctx.step()
+    ctx.update()
+    assert np.isfinite(np.asarray(cloth.vertices)).all()
