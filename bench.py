@@ -614,13 +614,16 @@ def main():
     elif args.preset == "windyflag":
         sys_ = build_windyflag(dtype)
         ms = bench_system(sys_, args.steps) * 1e3
+        baseline = _load_baseline()
+        vs = (round(baseline["windyflag_ms_per_step"] / ms, 2)
+              if baseline and "windyflag_ms_per_step" in baseline else 1.0)
         print(
             json.dumps(
                 {
                     "metric": "ms_per_timestep_windyflag",
                     "value": round(ms, 3),
                     "unit": "ms",
-                    "vs_baseline": 1.0,
+                    "vs_baseline": vs,
                 }
             )
         )

@@ -31,9 +31,23 @@ g++ -O3 -march=native -fopenmp -std=c++11 \
     "$REF/src/system/ExplicitForce.cpp" \
     -o "$BUILD/bench_reference_dillo"
 
+g++ -O3 -march=native -fopenmp -std=c++11 \
+    -I"$REF/src/system" -I"$REF/src/collision" \
+    -I"$REF/deps/Eigen3" -I"$REF/deps/cppoptlib/include" \
+    "$REPO/tools/bench_reference_cloth.cpp" \
+    "$REF/src/system/System.cpp" \
+    "$REF/src/system/TetForce.cpp" \
+    "$REF/src/system/Force.cpp" \
+    "$REF/src/system/AnchorForce.cpp" \
+    "$REF/src/system/TriangleForce.cpp" \
+    "$REF/src/system/BendForce.cpp" \
+    "$REF/src/system/ExplicitForce.cpp" \
+    -o "$BUILD/bench_reference_cloth"
+
 T100K=$("$BUILD/bench_reference" "$STEPS" "${@:2}")
 DILLO=$("$BUILD/bench_reference_dillo" 10)
-python3 - "$T100K" "$DILLO" <<'EOF' | tee "$REPO/bench_baseline.json"
+CLOTH=$("$BUILD/bench_reference_cloth" 20)
+python3 - "$T100K" "$DILLO" "$CLOTH" <<'EOF' | tee "$REPO/bench_baseline.json"
 import json, sys
 out = {}
 for arg in sys.argv[1:]:
