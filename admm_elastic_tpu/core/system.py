@@ -112,6 +112,22 @@ class Settings:
     #: grid order) so the single-kernel dia CG re-qualifies; the public
     #: x/v API stays in the caller's numbering. 'none' disables.
     reorder: str = "auto"
+    #: ADMM over-relaxation factor α (Boyd et al. 2011 §3.4.3): the local
+    #: prox input and dual update see α·Dx + (1−α)·z_prev instead of Dx.
+    #: 1.0 reproduces the reference exactly (System.cpp:54-58 has no
+    #: relaxation). Values in [1.5, 1.9] cut iterations-to-residual on the
+    #: bundled scenes (measured: tools/accel_study.py); general path only —
+    #: setting α≠1 disables the fused local+RHS kernels for the step.
+    relaxation: float = 1.0
+    #: fixed-point acceleration of the ADMM iteration map on (x, u):
+    #: None (reference behavior) or "anderson" — safeguarded Anderson(m)
+    #: extrapolation (Peng et al. 2018, "Anderson Acceleration for Geometry
+    #: Optimization and Physics Simulation"; type-II AA with residual-growth
+    #: restart, final iteration always a plain ADMM update). Composes with
+    #: `relaxation`. Incompatible with `residual_tol`.
+    acceleration: str | None = None
+    #: Anderson history depth m (number of stored residual differences)
+    anderson_m: int = 5
 
     def parse_args(self, argv):
         """CLI parity with the reference: -dt, -v, -it, -help
@@ -466,6 +482,15 @@ class System:
                 lambda: solve_k(cg_sched[0]),
                 lambda: solve_k(cg_sched[1]),
             )
+        relax = float(self.settings.relaxation)
+        accel = self.settings.acceleration
+        aa_m = int(self.settings.anderson_m)
+        if accel not in (None, "anderson"):
+            raise ValueError(f"unknown acceleration {accel!r}")
+        if accel is not None and early_tol is not None:
+            raise ValueError(
+                "acceleration and residual_tol cannot be combined"
+            )
         dense_refine = self.settings.dense_refine_steps
         cg_fused = self.settings.cg_backend == "fused"
         cg_kernel = self.settings.cg_backend == "kernel"
@@ -530,10 +555,18 @@ class System:
                 for f in forces
                 if mode in ("ell", "dia")
                 and getattr(f, "supports_fused_local_rhs", False)
+                # the fused kernels consume x directly; relaxation needs the
+                # blended α·Dx + (1−α)·z_prev prox input, so it routes
+                # through the unfused per-force pipeline
+                and relax == 1.0
             }
 
+            # z_prev carry for over-relaxation, initialized to D·x0 like the
+            # reference's z init (System.cpp:43)
+            zprev0 = Dx_all(params, x0) if relax != 1.0 else {}
+
             def iteration(i, carry):
-                curr_x, u, fstate, rc, rp, rd = carry
+                curr_x, u, fstate, rc, rp, rd, zprev = carry
                 Dx = {
                     f.name: f.compute_Dx(params[f.name], curr_x)
                     for f in forces
@@ -551,13 +584,19 @@ class System:
                         )
                         fused_contrib[f.name] = cf
                     else:
+                        h = Dx[f.name]
+                        if relax != 1.0:
+                            # over-relaxation: blend toward the previous z
+                            # (prox input AND dual update both see h)
+                            h = relax * h + (1.0 - relax) * zprev[f.name]
                         zf, uf, sf = f.project_with_dual(
-                            Dx[f.name], u[f.name], params[f.name],
+                            h, u[f.name], params[f.name],
                             fstate[f.name]
                         )
                     z[f.name] = zf
                     new_u[f.name] = uf
                     new_fstate[f.name] = sf
+                new_zprev = z if relax != 1.0 else zprev
 
                 Tz = None
                 if mode in ("ell", "dia"):
@@ -678,11 +717,15 @@ class System:
                         rd = rd.at[i].set(jnp.linalg.norm(sresid))
                         new_rc = z
 
-                return (new_x, new_u, new_fstate, new_rc, rp, rd)
+                return (new_x, new_u, new_fstate, new_rc, rp, rd, new_zprev)
 
-            carry = (xbar, u, fstate, rc0, res_primal, res_dual)
-            if early_tol is None:
-                curr_x, u, fstate, _, rp, rd = jax.lax.fori_loop(
+            carry = (xbar, u, fstate, rc0, res_primal, res_dual, zprev0)
+            if accel == "anderson":
+                curr_x, u, fstate, rp, rd = _anderson_loop(
+                    iteration, carry, iters, aa_m
+                )
+            elif early_tol is None:
+                curr_x, u, fstate, _, rp, rd, _ = jax.lax.fori_loop(
                     0, iters, iteration, carry
                 )
             else:
@@ -700,7 +743,7 @@ class System:
                     done = jnp.logical_or(done, frozen[4][i] <= early_tol)
                     return (frozen, done)
 
-                (curr_x, u, fstate, _, rp, rd), _ = jax.lax.fori_loop(
+                (curr_x, u, fstate, _, rp, rd, _), _ = jax.lax.fori_loop(
                     0, iters, masked, (carry, jnp.asarray(False))
                 )
 
