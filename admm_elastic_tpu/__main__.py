@@ -41,19 +41,24 @@ def main(argv=None):
             args.resume, dtype=ctx.system.settings.dtype, like=ctx.system.state
         )
 
-    if args.viewer:
+    if args.viewer and (args.export or args.render):
+        ap.error("--viewer cannot be combined with --export/--render "
+                 "(the viewer records its own frames)")
+    if args.viewer and args.steps > 0:
         # record a frame every --every steps for exactly --steps steps
         # (remainder stepped un-recorded), then fall through to the
         # summary/checkpoint handling below
         from .viewer import record_html_viewer
 
-        every = max(1, min(args.every, max(1, args.steps)))
+        every = max(1, min(args.every, args.steps))
         n_frames = max(1, args.steps // every)
         p = record_html_viewer(ctx, args.viewer, n_frames,
                                steps_per_frame=every)
         for _ in range(args.steps - n_frames * every):
             ctx.step()
         print(f"viewer: {p}")
+    elif args.viewer:
+        print("viewer: skipped (--steps 0 records nothing)")
 
     for i in range(0 if args.viewer else args.steps):
         ctx.step()

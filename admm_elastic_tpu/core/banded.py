@@ -587,6 +587,9 @@ def banded_from_system(system, _pack_vals=None):
     if s.collect_residuals not in (False, None, True, "primal") or (
             s.residual_tol is not None):
         return None
+    # the kernel runs the plain α=1 reference iteration only
+    if s.relaxation != 1.0 or s.acceleration is not None:
+        return None
     if getattr(system, "_solver_mode", None) not in ("dia", "ell"):
         return None
 

@@ -450,6 +450,9 @@ def cloth_from_system(system):
     if s.collect_residuals not in (False, None, True, "primal") or (
             s.residual_tol is not None):
         return None
+    # the kernel runs the plain α=1 reference iteration only
+    if s.relaxation != 1.0 or s.acceleration is not None:
+        return None
 
     tri = None
     bend = None

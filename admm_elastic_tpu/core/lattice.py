@@ -305,6 +305,9 @@ def lattice_from_system(system):
     s = system.settings
     if s.collect_residuals or s.residual_tol is not None:
         return None
+    # the kernel runs the plain α=1 reference iteration only
+    if s.relaxation != 1.0 or s.acceleration is not None:
+        return None
 
     tet = None
     anchors = []

@@ -115,9 +115,10 @@ class Settings:
     #: ADMM over-relaxation factor α (Boyd et al. 2011 §3.4.3): the local
     #: prox input and dual update see α·Dx + (1−α)·z_prev instead of Dx.
     #: 1.0 reproduces the reference exactly (System.cpp:54-58 has no
-    #: relaxation). Values in [1.5, 1.9] cut iterations-to-residual on the
-    #: bundled scenes (measured: tools/accel_study.py); general path only —
-    #: setting α≠1 disables the fused local+RHS kernels for the step.
+    #: relaxation). Values in [1.5, 1.9] typically cut iterations-to-
+    #: residual (measure per scene: tools/accel_study.py). General path
+    #: only — α≠1 disables the fused local+RHS kernels and the
+    #: whole-timestep fast paths for the step.
     relaxation: float = 1.0
     #: fixed-point acceleration of the ADMM iteration map on (x, u):
     #: None (reference behavior) or "anderson" — safeguarded Anderson(m)
@@ -161,6 +162,109 @@ def _cast_tree(tree, dtype):
         return jnp.asarray(a)
 
     return jax.tree_util.tree_map(cast, tree)
+
+
+def _anderson_loop(iteration, carry, iters, m):
+    """Safeguarded type-II Anderson(m) acceleration of the ADMM iteration
+    map on the (x, u) block of the carry (Peng et al. 2018, "Anderson
+    Acceleration for Geometry Optimization and Physics Simulation").
+
+    One plain ADMM update G is evaluated per iteration (same cost as the
+    unaccelerated loop); the accepted iterate is the AA extrapolation
+    q_{k+1} = G(q_k) - ΔG γ with γ = argmin ||f_k - ΔF γ|| over the last
+    `m` residual differences, solved via regularized normal equations
+    (static shapes — TPU-friendly). Safeguard: when the fixed-point
+    residual ||G(q)-q|| grows, the history is restarted and the plain
+    update is taken instead (residual-growth restart). The final
+    iteration always takes the plain update so the returned state is a
+    true ADMM iterate (x and u consistent with the last local step).
+    m=0 reproduces plain ADMM exactly.
+
+    The non-accelerated carry entries (warm-start force state, residual
+    traces, z_prev) ride along with the plain evaluation.
+    """
+    x0, u0 = carry[0], carry[1]
+    u_leaves, u_tree = jax.tree_util.tree_flatten(u0)
+    sizes = [int(np.prod(x0.shape))] + [int(np.prod(l.shape))
+                                        for l in u_leaves]
+    shapes = [x0.shape] + [l.shape for l in u_leaves]
+    total = sum(sizes)
+    dtype = x0.dtype
+    m = max(int(m), 0)
+
+    def pack(x, u):
+        ls = jax.tree_util.tree_leaves(u)
+        return jnp.concatenate(
+            [jnp.ravel(x)] + [jnp.ravel(l) for l in ls]
+        ).astype(dtype)
+
+    def unpack(q):
+        parts, off = [], 0
+        for sz, shp in zip(sizes, shapes):
+            parts.append(q[off:off + sz].reshape(shp))
+            off += sz
+        return parts[0], jax.tree_util.tree_unflatten(u_tree, parts[1:])
+
+    dF = jnp.zeros((max(m, 1), total), dtype)  # residual differences
+    dG = jnp.zeros((max(m, 1), total), dtype)  # map-value differences
+    f_prev = jnp.zeros((total,), dtype)
+    g_prev = jnp.zeros((total,), dtype)
+    r_prev = jnp.asarray(jnp.inf, dtype)
+    count0 = jnp.asarray(0, jnp.int32)  # valid history columns
+
+    def body(k, aa_carry):
+        c, dF, dG, f_prev, g_prev, r_prev, count = aa_carry
+        c_new = iteration(k, c)
+        q_old = pack(c[0], c[1])
+        g = pack(c_new[0], c_new[1])
+        f = g - q_old
+        r = jnp.linalg.norm(f)
+
+        grew = r > r_prev
+        # restart clears history; otherwise append the new (Δf, Δg) pair
+        # (only meaningful once a previous f/g exists, i.e. count>=0 after
+        # at least one plain step — slot k%m is overwritten ring-buffer
+        # style so shapes stay static)
+        have_prev = count > 0
+        slot = jnp.mod(count - 1, max(m, 1))
+        dF_new = dF.at[slot].set(jnp.where(have_prev, f - f_prev, 0.0))
+        dG_new = dG.at[slot].set(jnp.where(have_prev, g - g_prev, 0.0))
+        dF = jnp.where(grew, jnp.zeros_like(dF), dF_new)
+        dG = jnp.where(grew, jnp.zeros_like(dG), dG_new)
+        # pairs appended since restart: iterations 1..count each add one
+        n_hist = jnp.where(grew | ~have_prev, 0, jnp.minimum(count, m))
+
+        if m > 0:
+            valid = jnp.arange(m) < n_hist
+            Fv = jnp.where(valid[:, None], dF, 0.0)
+            Gv = jnp.where(valid[:, None], dG, 0.0)
+            # γ from regularized normal equations over valid columns
+            A = Fv @ Fv.T
+            lam = 1e-10 * (jnp.trace(A) + 1.0)
+            A = A + lam * jnp.eye(m, dtype=dtype)
+            A = jnp.where(
+                valid[:, None] & valid[None, :], A,
+                jnp.eye(m, dtype=dtype),
+            )
+            rhs = jnp.where(valid, Fv @ f, 0.0)
+            gamma = jnp.linalg.solve(A, rhs)
+            q_acc = g - gamma @ Gv
+        else:
+            q_acc = g
+
+        last = k == iters - 1
+        take_plain = grew | last | (n_hist == 0)
+        q_next = jnp.where(take_plain, g, q_acc)
+        x_next, u_next = unpack(q_next)
+        c_out = (x_next, u_next) + tuple(c_new[2:])
+        count = jnp.where(grew, 1, count + 1)
+        return (c_out, dF, dG, f, g, r, count)
+
+    final = jax.lax.fori_loop(
+        0, iters, body, (carry, dF, dG, f_prev, g_prev, r_prev, count0)
+    )
+    c = final[0]
+    return c[0], c[1], c[2], c[4], c[5]
 
 
 class System:
@@ -365,10 +469,19 @@ class System:
         # decisions below (it closes over the amg hierarchy's presence)
 
         self._lattice = None
+        # the whole-timestep kernels implement the plain α=1 reference
+        # iteration only — over-relaxation / Anderson must route through
+        # the general path or they would silently run unmodified dynamics
+        nonref_iteration = (s.relaxation != 1.0
+                            or s.acceleration is not None)
+        if s.lattice_fast_path and nonref_iteration and s.verbose >= 1:
+            print("Solver: relaxation/acceleration active — whole-timestep "
+                  "fast paths disabled (general path honors them)")
         # when the GENERAL-path AMG engaged, the (Jacobi-budget) lattice/
         # cloth/uell steppers would silently undo the matched-residual
         # guarantee — only the dia banded route (in-kernel MG) qualifies
-        if s.lattice_fast_path and self._amg_meta is None:
+        if (s.lattice_fast_path and self._amg_meta is None
+                and not nonref_iteration):
             from .banded import banded_from_system
             from .cloth import cloth_from_system
             from .lattice import lattice_from_system

@@ -78,6 +78,12 @@ class SpmdSystem:
             )
         if system.settings.residual_tol is not None:
             raise ValueError("sharded residual early-exit not supported")
+        if (system.settings.relaxation != 1.0
+                or system.settings.acceleration is not None):
+            raise ValueError(
+                "SpmdSystem runs the plain alpha=1 reference iteration; "
+                "relaxation/acceleration need the single-device general path"
+            )
         self.system = system
         self.mesh = mesh
         self.axis = elem_axis

@@ -1,16 +1,22 @@
-"""Benchmark harness. Prints ONE JSON line:
+"""Benchmark harness. Prints one JSON line per measured config; the LAST
+line is the primary metric:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 Primary workload (BASELINE.md): ms/timestep on a 100k-tet NeoHookean mesh at
 the reference solver settings (10 ADMM iterations, 5 local iterations,
-dt=0.04). `vs_baseline` is the speedup over the single-thread C++ reference
-solver on the same workload (see bench_baseline.json; measured with
-tools/bench_reference.sh, which builds the reference library out-of-tree and
-times the identical mesh/material/solver configuration).
+dt=0.04), at a global-solve budget MATCHED to the reference's exact
+prefactored LDLT (System.cpp:140; worst residual ratio 1.003 at cg100 —
+docs/PERFORMANCE.md "Matched-residual solves"). The default run also emits
+the unmatched cg25 speed row alongside. `vs_baseline` is the speedup over
+the single-thread C++ reference solver on the same workload
+(bench_baseline.json; measured with tools/bench_reference.sh, which builds
+the reference library out-of-tree and times the identical
+mesh/material/solver configuration).
 
 Runs on whatever backend JAX selects (the real TPU chip under the driver's
-environment). Usage: python bench.py [--preset tet100k|windyflag|dillo]
-[--steps N] [--dtype f32|bf16]
+environment). Usage: python bench.py
+[--preset tet100k|banded100k|delaunay100k|cloth100k|windyflag|dillo|bunny|
+ plinko|sweep64|sharded] [--steps N] [--amg] [--cg-iters N]
 """
 
 import argparse
@@ -229,6 +235,72 @@ def build_cloth100k(dtype, admm_iters=10, fast_path=True, residuals=False,
     if fast_path:
         assert sys._lattice is not None, "cloth fast path did not engage"
     return sys, len(mesh.faces)
+
+
+def build_scene_preset(name, dtype, local_backend="pallas"):
+    """The bundled-scene workloads, constructed to mirror the C++ baseline
+    drivers exactly (tools/bench_reference_dillo.cpp,
+    tools/bench_reference_scenes.cpp) so <name>_ms_per_step in
+    bench_baseline.json is apples-to-apples:
+      dillo:  dillo919 *0.01, uniform mass 140, top-8 anchors, NH
+              mu=lam=1e5 (5 local iters), gravity, dt=0.06, 10 iters
+      bunny:  bunny_1124 at rest, uniform mass 1, StVK mu=lam=100
+              (5 local iters), gravity, dt=0.04, 10 iters
+      plinko: horse759 *1.4 +(0,6,0), uniform mass 2, LinearTetStrain
+              k=1e5, 23 collision cylinders, gravity, dt=0.04, 13 iters
+    """
+    from admm_elastic_tpu import Settings, System
+    from admm_elastic_tpu.geometry import load_node_ele
+    from admm_elastic_tpu.models import (
+        Collision,
+        Cylinder,
+        ExplicitForce,
+        HyperElasticTet,
+        LinearTetStrain,
+        StaticAnchor,
+    )
+
+    cfg = {
+        "dillo": ("poordillo/dillo919", 0.06, 10),
+        "bunny": ("bunnyexpand/bunny_1124", 0.04, 10),
+        "plinko": ("plinkopony/horse759", 0.04, 13),
+    }[name]
+    rel, dt, iters = cfg
+    path = os.path.join("/root/reference/samples", rel)
+    if not os.path.exists(path + ".node"):
+        raise SystemExit(f"reference mesh {path}.node not found")
+    mesh = load_node_ele(path)
+    verts, tets = mesh.vertices, mesh.tets
+    n = len(verts)
+
+    sys_ = System(Settings(timestep_s=dt, admm_iters=iters, verbose=0,
+                           dtype=dtype))
+    if name == "dillo":
+        sys_.add_nodes(verts * 0.01, np.full(n, 140.0 / n))
+        sys_.add_force(StaticAnchor(np.argsort(verts[:, 1])[-8:]))
+        sys_.add_force(HyperElasticTet(tets, mu=1e5, lam=1e5, max_iters=5,
+                                       model="nh", backend=local_backend))
+    elif name == "bunny":
+        sys_.add_nodes(verts, np.full(n, 1.0 / n))
+        sys_.add_force(HyperElasticTet(tets, mu=100.0, lam=100.0,
+                                       max_iters=5, model="stvk",
+                                       backend=local_backend))
+    else:  # plinko
+        sys_.add_nodes(verts * 1.4 + np.array([0.0, 6.0, 0.0]),
+                       np.full(n, 2.0 / n))
+        sys_.add_force(LinearTetStrain(tets, stiffness=1e5))
+        pegs = []
+        for row in range(5):
+            y = 0.5 + row * 1.5
+            xs = ([-3.0, -1.5, 0.0, 1.5, 3.0] if row % 2 == 0
+                  else [-2.25, -0.75, 0.75, 2.25])
+            pegs += [(x, y) for x in xs]
+        shapes = [Cylinder(center=(px, py, 0.0), radius=0.4)
+                  for px, py in pegs[:23]]
+        sys_.add_force(Collision(shapes, n_nodes=n))
+    sys_.add_explicit_force(ExplicitForce(direction=(0, -9.8, 0)))
+    assert sys_.initialize()
+    return sys_, len(tets)
 
 
 def bench_system(sys, steps, warmup=3, rollout=True):
@@ -511,106 +583,113 @@ def main():
 
     if args.preset in ("tet100k", "banded100k"):
         jitter = 0.02 if args.preset == "banded100k" else 0.0
-        sys_, n_tets = build_tet100k(
-            dtype, local_backend=args.local_backend,
-            global_solver=args.global_solver, cg_backend=args.cg_backend,
-            lattice=args.lattice,
-            scramble=args.scramble,
-            # residuals collect IN-KERNEL on the fast path since round 3:
-            # FULL primal+dual (the dual costs a second in-kernel scatter
-            # accumulation; "primal" alone stays ~free)
-            residuals=args.residuals,
-            jitter=jitter,
-            amg=args.amg,
-            cg_iters=args.cg_iters,
-        )
-        if args.preset == "banded100k" and not args.amg:
-            from admm_elastic_tpu.core.banded import BandedStepper
+        base_metric = ("ms_per_timestep_100k_tet_nh"
+                       if args.preset == "tet100k"
+                       else "ms_per_timestep_100k_tet_nh_unstructured")
+        baseline = _load_baseline()
+        base_ms = (baseline or {}).get("tet100k_ms_per_step", 2000.0)
 
-            assert isinstance(sys_._lattice, BandedStepper), (
-                "banded100k must route onto the banded whole-timestep "
-                f"kernel, got {type(sys_._lattice)}"
+        def run_config(cg_iters, amg, metric):
+            sys_, n_tets = build_tet100k(
+                dtype, local_backend=args.local_backend,
+                global_solver=args.global_solver,
+                cg_backend=args.cg_backend,
+                lattice=args.lattice,
+                scramble=args.scramble,
+                # residuals collect IN-KERNEL on the fast path since
+                # round 3: FULL primal+dual (the dual costs a second
+                # in-kernel scatter accumulation; "primal" stays ~free)
+                residuals=args.residuals,
+                jitter=jitter,
+                amg=amg,
+                cg_iters=cg_iters,
             )
-        admm_iters = sys_.settings.admm_iters
-        ms = bench_system(sys_, args.steps) * 1e3
-        iters_per_s = admm_iters / (ms / 1e3)
-        baseline = _load_baseline()
-        if baseline and "tet100k_ms_per_step" in baseline:
-            vs = baseline["tet100k_ms_per_step"] / ms
+            if args.preset == "banded100k" and not amg:
+                from admm_elastic_tpu.core.banded import BandedStepper
+
+                assert isinstance(sys_._lattice, BandedStepper), (
+                    "banded100k must route onto the banded whole-timestep "
+                    f"kernel, got {type(sys_._lattice)}"
+                )
+            admm_iters = sys_.settings.admm_iters
+            ms = bench_system(sys_, args.steps) * 1e3
+            print(
+                f"# {args.preset}[{metric.rsplit('_', 1)[-1]}]: {n_tets} "
+                f"tets, {ms:.2f} ms/step, {admm_iters/(ms/1e3):.1f} ADMM "
+                f"iters/s",
+                file=sys.stderr,
+            )
+            print(json.dumps({
+                "metric": metric, "value": round(ms, 3), "unit": "ms",
+                "vs_baseline": round(base_ms / ms, 2),
+            }))
+
+        if args.cg_iters is None and not args.amg and args.lattice:
+            # default driver invocation: BOTH rows — the unmatched cg25
+            # speed row first, then the exact-solve-MATCHED cg100 config
+            # (worst residual ratio 1.003 vs the reference's prefactored
+            # LDLT at 100k-beam scale; docs/PERFORMANCE.md) as the
+            # primary metric on the LAST line
+            run_config(25, False, base_metric + "_unmatched")
+            run_config(100, False, base_metric)
         else:
-            # conservative estimate: C++ single-thread reference on 100k tets
-            # (per-tet L-BFGS prox + sequential sparse LDLT backsolve) runs
-            # O(seconds)/step; 2000 ms is a deliberately low-ball placeholder
-            # until tools/bench_reference.sh records a measured number.
-            vs = 2000.0 / ms
-        print(
-            f"# {args.preset}: {n_tets} tets, {ms:.2f} ms/step, "
-            f"{iters_per_s:.1f} ADMM iters/s",
-            file=sys.stderr,
-        )
-        print(
-            json.dumps(
-                {
-                    "metric": ("ms_per_timestep_100k_tet_nh"
-                               if args.preset == "tet100k"
-                               else "ms_per_timestep_100k_tet_nh_unstructured"),
-                    "value": round(ms, 3),
-                    "unit": "ms",
-                    "vs_baseline": round(vs, 2),
-                }
-            )
-        )
+            run_config(args.cg_iters, args.amg, base_metric)
     elif args.preset == "cloth100k":
-        sys_, n_tris = build_cloth100k(dtype, fast_path=args.lattice,
-                                       residuals=args.residuals,
-                                       cg_iters=args.cg_iters,
-                                       amg=args.amg)
-        ms = bench_system(sys_, args.steps) * 1e3
-        iters_per_s = sys_.settings.admm_iters / (ms / 1e3)
-        print(
-            f"# cloth100k: {n_tris} tris, {ms:.2f} ms/step, "
-            f"{iters_per_s:.1f} ADMM iters/s",
-            file=sys.stderr,
-        )
-        print(
-            json.dumps(
-                {
-                    "metric": "ms_per_timestep_100k_tri_cloth",
-                    "value": round(ms, 3),
-                    "unit": "ms",
-                    "vs_baseline": 1.0,
-                }
+        base_ms = (_load_baseline() or {}).get("cloth100k_ms_per_step")
+
+        def run_cloth(cg_iters, amg, metric):
+            sys_, n_tris = build_cloth100k(dtype, fast_path=args.lattice,
+                                           residuals=args.residuals,
+                                           cg_iters=cg_iters, amg=amg)
+            ms = bench_system(sys_, args.steps) * 1e3
+            print(
+                f"# cloth100k[{metric.rsplit('_', 1)[-1]}]: {n_tris} tris, "
+                f"{ms:.2f} ms/step, "
+                f"{sys_.settings.admm_iters/(ms/1e3):.1f} ADMM iters/s",
+                file=sys.stderr,
             )
-        )
-    elif args.preset == "delaunay100k":
-        sys_, n_tets = build_delaunay100k(dtype, fast_path=args.lattice,
-                                          amg=args.amg,
-                                          cg_iters=args.cg_iters)
-        ms = bench_system(sys_, args.steps) * 1e3
-        iters_per_s = sys_.settings.admm_iters / (ms / 1e3)
-        baseline = _load_baseline()
-        if baseline and "tet100k_ms_per_step" in baseline:
-            # the measured C++ reference number is for the lattice-beam
-            # 100k-tet workload; same element count/materials/iterations,
-            # so it is the honest comparison point for this mesh too
-            vs = baseline["tet100k_ms_per_step"] / ms
+            print(json.dumps({
+                "metric": metric, "value": round(ms, 3), "unit": "ms",
+                "vs_baseline": round(base_ms / ms, 2) if base_ms else 1.0,
+            }))
+
+        if args.cg_iters is None and not args.amg and args.lattice:
+            # both rows; the in-kernel-2D-multigrid MATCHED config
+            # (10 fixed iterations) is the primary LAST line
+            run_cloth(25, False, "ms_per_timestep_100k_tri_cloth_unmatched")
+            run_cloth(None, True, "ms_per_timestep_100k_tri_cloth")
         else:
-            vs = 2000.0 / ms
-        print(
-            f"# delaunay100k: {n_tets} tets, {ms:.2f} ms/step, "
-            f"{iters_per_s:.1f} ADMM iters/s",
-            file=sys.stderr,
-        )
-        print(
-            json.dumps(
-                {
-                    "metric": "ms_per_timestep_100k_tet_nh_delaunay",
-                    "value": round(ms, 3),
-                    "unit": "ms",
-                    "vs_baseline": round(vs, 2),
-                }
+            run_cloth(args.cg_iters, args.amg,
+                      "ms_per_timestep_100k_tri_cloth")
+    elif args.preset == "delaunay100k":
+        # the measured C++ reference number is for the lattice-beam
+        # 100k-tet workload; same element count/materials/iterations, so
+        # it is the honest comparison point for this mesh too
+        base_ms = (_load_baseline() or {}).get("tet100k_ms_per_step", 2000.0)
+
+        def run_del(cg_iters, amg, metric):
+            sys_, n_tets = build_delaunay100k(dtype, fast_path=args.lattice,
+                                              amg=amg, cg_iters=cg_iters)
+            ms = bench_system(sys_, args.steps) * 1e3
+            print(
+                f"# delaunay100k[{metric.rsplit('_', 1)[-1]}]: {n_tets} "
+                f"tets, {ms:.2f} ms/step, "
+                f"{sys_.settings.admm_iters/(ms/1e3):.1f} ADMM iters/s",
+                file=sys.stderr,
             )
-        )
+            print(json.dumps({
+                "metric": metric, "value": round(ms, 3), "unit": "ms",
+                "vs_baseline": round(base_ms / ms, 2),
+            }))
+
+        if args.cg_iters is None and not args.amg and args.lattice:
+            # both rows; the in-kernel ALGEBRAIC-multigrid MATCHED config
+            # (6 fixed iterations) is the primary LAST line
+            run_del(25, False, "ms_per_timestep_100k_tet_nh_delaunay_unmatched")
+            run_del(None, True, "ms_per_timestep_100k_tet_nh_delaunay")
+        else:
+            run_del(args.cg_iters, args.amg,
+                    "ms_per_timestep_100k_tet_nh_delaunay")
     elif args.preset == "windyflag":
         sys_ = build_windyflag(dtype)
         ms = bench_system(sys_, args.steps) * 1e3
@@ -627,6 +706,23 @@ def main():
                 }
             )
         )
+    elif args.preset in ("dillo", "bunny", "plinko"):
+        sys_, n_tets = build_scene_preset(args.preset, dtype,
+                                          local_backend=args.local_backend)
+        ms = bench_system(sys_, args.steps) * 1e3
+        base_ms = (_load_baseline() or {}).get(
+            f"{args.preset}_ms_per_step")
+        print(
+            f"# {args.preset}: {n_tets} tets, {ms:.2f} ms/step vs C++ "
+            f"{base_ms} ms",
+            file=sys.stderr,
+        )
+        print(json.dumps({
+            "metric": f"ms_per_timestep_{args.preset}",
+            "value": round(ms, 3),
+            "unit": "ms",
+            "vs_baseline": round(base_ms / ms, 2) if base_ms else 1.0,
+        }))
     elif args.preset == "sweep64":
         solver = args.global_solver if args.global_solver in ("cg", "ell") else "ell"
         ms, n_sc, E = bench_sweep(dtype, n_scenarios=args.scenarios,

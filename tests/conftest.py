@@ -34,18 +34,30 @@ _NEEDS_SCRUB = (
 )
 
 if _NEEDS_SCRUB:
-    env = dict(os.environ)
-    env["_AET_CLEAN_ENV"] = "1"
-    env["PYTHONPATH"] = ":".join(
-        p for p in env.get("PYTHONPATH", "").split(":") if p and ".axon_site" not in p
+    # IN-PROCESS scrub (no re-exec: os.execve made pytest's stdout vanish
+    # under pipe-capturing harnesses). The axon PJRT plugin may already be
+    # REGISTERED (sitecustomize runs register() at interpreter start), but
+    # backends initialize lazily per-platform: forcing jax_platforms=cpu
+    # before the first backend lookup keeps the relay un-initialized, so
+    # neither the slow-compile path nor the exit deadlock can engage.
+    os.environ["_AET_CLEAN_ENV"] = "1"
+    os.environ["PYTHONPATH"] = ":".join(
+        p for p in os.environ.get("PYTHONPATH", "").split(":")
+        if p and ".axon_site" not in p
     )
-    env.pop("PALLAS_AXON_POOL_IPS", None)
-    env["JAX_PLATFORMS"] = "cpu"
-    env["XLA_FLAGS"] = (
-        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
         + _COLLECTIVE_TIMEOUT_FLAGS
     ).strip()
-    os.execve(sys.executable, [sys.executable, "-m", "pytest", *sys.argv[1:]], env)
+    sys.path[:] = [p for p in sys.path if ".axon_site" not in p]
+    import jax
+
+    # jax may have been imported by the plugin registration already, in
+    # which case it captured JAX_PLATFORMS=axon at import time
+    jax.config.update("jax_platforms", "cpu")
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 if "--xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
@@ -60,3 +72,14 @@ if "xla_cpu_collective" not in os.environ.get("XLA_FLAGS", ""):
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", True)
+
+
+def pytest_configure(config):
+    # test tiering: the full suite is dominated by interpret-mode pallas
+    # at scale (the 50k-tet SPMD parity runs and 100k-shape kernel
+    # oracles). The round driver runs everything; the dev loop is
+    #   pytest -m "not slow"   (< ~10 min)
+    config.addinivalue_line(
+        "markers",
+        "slow: interpret-mode-at-scale tests; deselect with -m 'not slow'",
+    )

@@ -810,3 +810,140 @@ def test_cg_schedule_tuple_runs_all_fixed_paths():
         uneven = build(solver, (120, 40), backend)
         np.testing.assert_allclose(uneven, flat, rtol=0, atol=1e-6,
                                    err_msg=f"{solver}/{backend} uneven")
+
+
+# ---------------------------------------------------------------- iteration
+# variants: over-relaxation and Anderson acceleration (neither exists in the
+# reference — System.cpp:54-58 is the plain alpha=1 iteration; these are
+# opt-in convergence accelerators on the general path only)
+
+
+def _accel_scene(**kw):
+    """Single stretched tet + 3 anchors; returns the stepped system."""
+    sys = System(_settings(timestep_s=0.04, admm_iters=30,
+                           collect_residuals=True, **kw))
+    x = np.array([[0, 1, 0], [0, 0, 0], [0, 0, 1], [1, 0, 0]], dtype=float)
+    sys.add_nodes(x, np.ones(4))
+    sys.add_force(StaticAnchor([0, 1, 2]))
+    sys.add_force(LinearTetStrain(np.array([[0, 1, 2, 3]]), stiffness=100.0))
+    assert sys.initialize()
+    sys.x = x + np.array([[0, 0, 0], [0, 0, 0], [0, 0, 0], [0.5, 0.3, -0.2]])
+    sys.step()
+    return sys
+
+
+def test_relaxation_identity_and_speedup():
+    """relaxation=1.0 IS the default path; 1.5 converges measurably faster
+    at equal iterations; both reach the same fixed point."""
+    plain = _accel_scene()
+    one = _accel_scene(relaxation=1.0)
+    np.testing.assert_array_equal(np.asarray(one.x), np.asarray(plain.x))
+    relaxed = _accel_scene(relaxation=1.5)
+    rp = np.asarray(plain.last_aux["primal_residual"])[-1]
+    rr = np.asarray(relaxed.last_aux["primal_residual"])[-1]
+    assert rr < 0.1 * rp  # measured: 5.2e-11 vs 2.1e-9
+    np.testing.assert_allclose(np.asarray(relaxed.x), np.asarray(plain.x),
+                               rtol=0, atol=1e-7)
+
+
+def test_anderson_m0_matches_plain():
+    """Anderson with zero history depth degenerates to plain ADMM exactly
+    (the safeguarded loop takes the plain update every iteration)."""
+    plain = _accel_scene()
+    aa = _accel_scene(acceleration="anderson", anderson_m=0)
+    np.testing.assert_array_equal(np.asarray(aa.x), np.asarray(plain.x))
+    np.testing.assert_array_equal(
+        np.asarray(aa.last_aux["primal_residual"]),
+        np.asarray(plain.last_aux["primal_residual"]))
+
+
+def test_anderson_accelerates():
+    """Anderson(m) cuts the residual at equal iteration count and lands on
+    the same fixed point (measured: 2e-13 vs 2e-9 at 30 iters)."""
+    plain = _accel_scene()
+    rp = np.asarray(plain.last_aux["primal_residual"])[-1]
+    for m in (2, 5):
+        aa = _accel_scene(acceleration="anderson", anderson_m=m)
+        ra = np.asarray(aa.last_aux["primal_residual"])[-1]
+        assert np.isfinite(np.asarray(aa.x)).all()
+        assert ra < 0.1 * rp, f"m={m}: {ra} vs plain {rp}"
+        np.testing.assert_allclose(np.asarray(aa.x), np.asarray(plain.x),
+                                   rtol=0, atol=1e-7)
+
+
+def test_anderson_multi_step_stable():
+    """Warm-started duals + Anderson across many steps stay finite and
+    track the plain-ADMM trajectory (both converge per step, so the
+    dynamics must agree; the undamped tet keeps oscillating — that is
+    correct physics, not drift)."""
+    def run(**kw):
+        sys = System(_settings(timestep_s=0.04, admm_iters=10, **kw))
+        x = np.array([[0, 1, 0], [0, 0, 0], [0, 0, 1], [1, 0, 0]],
+                     dtype=float)
+        sys.add_nodes(x, np.ones(4))
+        sys.add_force(StaticAnchor([0, 1, 2]))
+        sys.add_force(LinearTetStrain(np.array([[0, 1, 2, 3]]),
+                                      stiffness=100.0))
+        assert sys.initialize()
+        sys.x = x + np.array([[0, 0, 0], [0, 0, 0], [0, 0, 0],
+                              [0.5, 0.3, -0.2]])
+        for _ in range(50):
+            sys.step()
+        return np.asarray(sys.x)
+
+    plain = run()
+    aa = run(acceleration="anderson", anderson_m=4)
+    assert np.isfinite(aa).all()
+    np.testing.assert_allclose(aa, plain, rtol=0, atol=1e-5)
+
+
+def test_nonreference_iteration_disables_fast_paths():
+    """relaxation!=1 / acceleration must NOT engage a whole-timestep kernel
+    (the kernels run the plain reference iteration; ADVICE r3 medium)."""
+    from admm_elastic_tpu.geometry import make_beam_tets
+
+    beam = make_beam_tets(4, 3, 3)
+    n = beam.n_vertices
+
+    def build(**kw):
+        s = System(_settings(timestep_s=0.04, admm_iters=30,
+                             global_solver="dia", lattice_fast_path=True,
+                             **kw))
+        s.add_nodes(beam.vertices, np.full(n, 1.0 / n))
+        s.add_force(StaticAnchor(np.flatnonzero(beam.vertices[:, 0] < 1e-12)))
+        s.add_force(LinearTetStrain(beam.tets, stiffness=1e4))
+        s.add_explicit_force(ExplicitForce(direction=(0, -9.8, 0)))
+        assert s.initialize()
+        return s
+
+    assert build()._lattice is not None  # sanity: the scene DOES qualify
+    assert build(relaxation=1.5)._lattice is None
+    assert build(acceleration="anderson")._lattice is None
+
+    # and the general path honors the relaxation: same fixed point as the
+    # kernel trajectory at converged iteration counts
+    fast = build()
+    slow = build(relaxation=1.5)
+    for _ in range(3):
+        fast.step()
+        slow.step()
+    np.testing.assert_allclose(np.asarray(slow.x), np.asarray(fast.x),
+                               rtol=0, atol=2e-4)
+
+
+def test_spmd_rejects_nonreference_iteration():
+    from admm_elastic_tpu.parallel.spmd import SpmdSystem
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the multi-device virtual mesh")
+    from jax.sharding import Mesh
+
+    sys = System(_settings(admm_iters=2, global_solver="ell",
+                           relaxation=1.5))
+    x = np.array([[0, 1, 0], [0, 0, 0], [0, 0, 1], [1, 0, 0]], dtype=float)
+    sys.add_nodes(x, np.ones(4))
+    sys.add_force(LinearTetStrain(np.array([[0, 1, 2, 3]]), stiffness=50.0))
+    assert sys.initialize()
+    mesh = Mesh(np.array(jax.devices()[:2]), ("elem",))
+    with pytest.raises(ValueError, match="relaxation"):
+        SpmdSystem(sys, mesh)
