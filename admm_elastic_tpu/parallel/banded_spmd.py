@@ -1,0 +1,532 @@
+"""Element-sharded banded fast path: the whole-timestep banded kernel's
+algorithm distributed over a device mesh with boundary-halo exchange.
+
+The single-device banded kernel (ops/pallas/banded_step.py) fuses every
+phase of every ADMM iteration into one pallas_call — optimal on one chip,
+but unshardable: its in-kernel CG consumes two globally-reduced scalars
+per iteration. This module splits at the natural seam:
+
+  * vertex rows are partitioned into CONTIGUOUS SLABS of Rloc rows per
+    device (the banded numbering makes row locality = mesh locality);
+  * each device owns the element chunks whose windows start in its slab
+    (chunk windows span <= Wr rows, so they reach at most H halo rows
+    into the next slab — core/banded.place_elements bounds this);
+  * per ADMM iteration each device runs ONE local-phase kernel
+    (ops/pallas/banded_local.py: gather -> prox -> dual update ->
+    conflict-free scatter -> anchors/collisions) over its chunks, then
+    a single `ppermute` pushes the boundary RHS rows to their owner;
+  * the global CG runs at the JAX level: the sparse-diagonal matvec is
+    row-local given Hb halo rows of the search direction (one neighbor
+    `ppermute` exchange per iteration), and the two CG scalars are
+    `psum`s.
+
+Per-device traffic per CG iteration is O(halo) = O(band width), NOT O(n):
+this is the boundary-only halo-exchange design of SURVEY §2.7 (the
+reference's reduction structure is the sparse D/D^T pair,
+/root/reference/deps/admm-elastic-sca/src/system/System.cpp:54-62; its
+OpenMP runtime has no distributed analog).
+
+Scope (v1): dia-mode banded scenes (HyperElasticTet nh/stvk or
+LinearTetStrain, StaticAnchors, analytic collisions, gravity kicks),
+Jacobi-PCG with fixed iterations, optional primal-residual collection.
+The uell/multigrid configurations stay single-device for now.
+
+Trajectory parity vs the single-device whole-timestep kernel:
+tests/test_banded_spmd.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..core.banded import LANES, SUB, BandedStepper
+from ..ops.pallas.banded_step import DB_PLANES, FB_PLANES, _shifted
+from ..ops.pallas.banded_local import (
+    P2D_PLANES,
+    PAW2,
+    PINVD,
+    PMASS,
+    PVM,
+    banded_local_rhs,
+    banded_local_rhs_xla,
+)
+from ..ops.pallas.banded_step import KP, LAMP, MUP
+
+
+def _roundup(x, m):
+    return -(-int(x) // m) * m
+
+
+def _band_reach(dia_offs):
+    """Max row reach of the sparse-diagonal matvec (see banded_step
+    _shifted: offset 128q + s reads rows r±q and r±(q+1) when s != 0)."""
+    reach = 1
+    for off in dia_offs:
+        q, s = divmod(abs(int(off)), LANES)
+        reach = max(reach, q + (1 if s else 0))
+    return reach
+
+
+def _pad_chunk_template(dtype):
+    """An all-pad element chunk: w2 = 0 (no scatter/RHS weight), benign
+    materials mu = lam = k = 1 (keeps the Newton prox finite on the
+    zero deformation the pad elements see), rrp = -1 (no scatter
+    targets). Mirrors the pad-lane convention of core/banded."""
+    from ..ops.pallas.banded_step import RRPP0
+
+    fb = np.zeros((FB_PLANES * SUB, LANES), np.float64)
+    for p in (MUP, LAMP, KP):
+        fb[p * SUB:(p + 1) * SUB] = 1.0
+    for k in range(4):
+        fb[(RRPP0 + k) * SUB:(RRPP0 + k + 1) * SUB] = -1.0
+    return fb.astype(dtype)
+
+
+class ShardedBandedStepper:
+    """Distribute an initialized single-device BandedStepper over a mesh
+    axis. Build via `sharded_banded_from_system` (or directly from a
+    qualifying BandedStepper).
+
+    Usage:
+        mesh = jax.make_mesh((8,), ("elem",))
+        out = sharded_banded_from_system(system, mesh)  # or None
+        spmd, to_canonical = out
+        spmd.run(10)
+        x = spmd.x   # (n, 3) in the stepper's internal numbering
+    """
+
+    model_name = "banded_spmd"
+
+    def __init__(self, base: BandedStepper, mesh, axis: str = "elem",
+                 backend: str | None = None):
+        if base._uell is not None:
+            raise ValueError(
+                "sharded banded path: dia-mode scenes only (the uell "
+                "matvec has unbounded column reach; use SpmdSystem)"
+            )
+        if base._mg_meta_static is not None or \
+                base._uamg_meta_static is not None:
+            raise ValueError(
+                "sharded banded path: in-kernel multigrid not supported; "
+                "use a deeper cg_iters budget for matched solves"
+            )
+        if base.collect_residuals is True:
+            raise ValueError(
+                "sharded banded path collects 'primal' residuals only"
+            )
+        self.base = base
+        self.mesh = mesh
+        self.axis = axis
+        self.D = int(mesh.shape[axis])
+        if backend is None:
+            backend = ("pallas"
+                       if jax.default_backend() == "tpu" else "xla")
+        self.backend = backend
+        self.model = base.model
+        self.dt = base.dt
+        self.admm_iters = base.admm_iters
+        self.cg_iters = base.cg_iters
+        self.collect_residuals = bool(base.collect_residuals)
+        #: (admm_iters,) primal residuals of the last step (collect mode)
+        self.last_primal = None
+        self._build()
+        self._stepf = None
+
+    # ------------------------------------------------------------- build
+
+    def _build(self):
+        base = self.base
+        D = self.D
+        Nr = base.Nr
+        Wr = base.Wr
+        dtype = base.dtype
+
+        Rloc = _roundup(-(-Nr // D), 8)
+        Ng = D * Rloc
+        Hb = _band_reach(base.dia_offs)
+        H = _roundup(max(Wr, Hb), 8)
+        if Hb > Rloc:
+            # the per-CG-iteration exchange must stay single-hop (its
+            # cost sets the scaling efficiency); element windows may
+            # span several slabs (multi-hop x refresh / RHS combine,
+            # amortized once per ADMM iteration)
+            raise ValueError(
+                f"sharded banded path: band reach {Hb} rows exceeds "
+                f"the {Rloc}-row slab — too many devices for this mesh "
+                f"({Nr} vertex rows over {D} devices)"
+            )
+        Lr = Rloc + 2 * H
+        self.Rloc, self.H, self.Hb, self.Lr = Rloc, H, Hb, Lr
+
+        def slab_planes(arr, n_planes, fills=0.0):
+            """(n_planes*Nr, 128) -> (D, n_planes*Lr, 128) slabs with
+            halo; rows outside [0, Ng) padded with the per-plane fill."""
+            a = np.asarray(arr, np.float64).reshape(n_planes, Nr, LANES)
+            fills = np.broadcast_to(np.asarray(fills, np.float64),
+                                    (n_planes,))
+            full = np.empty((n_planes, Ng + 2 * H, LANES))
+            for p in range(n_planes):
+                full[p] = fills[p]
+                full[p, H:H + Nr] = a[p]
+            out = np.empty((D, n_planes, Lr, LANES))
+            for d in range(D):
+                # global rows [d*Rloc - H, (d+1)*Rloc + H) = full rows
+                # [d*Rloc, d*Rloc + Lr)
+                out[d] = full[:, d * Rloc:d * Rloc + Lr]
+            return out.reshape(D, n_planes * Lr, LANES)
+
+        # p2d: zero anchor weights + collision mask OUTSIDE owned rows so
+        # halo rows contribute nothing (their owner computes them)
+        p2d = slab_planes(
+            np.asarray(base._p2d, np.float64), P2D_PLANES,
+            fills=[0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+        ).reshape(D, P2D_PLANES, Lr, LANES)
+        for pp in (PAW2, PVM):
+            p2d[:, pp, :H] = 0.0
+            p2d[:, pp, H + Rloc:] = 0.0
+        self._p2d = jnp.asarray(
+            p2d.reshape(D, P2D_PLANES * Lr, LANES), dtype
+        )
+
+        n_dia = len(base.dia_offs)
+        self._dia = jnp.asarray(
+            slab_planes(np.asarray(base._dia2d, np.float64), n_dia),
+            dtype,
+        )
+        self.dia_offs = base.dia_offs
+
+        # ---- chunk ownership: device of the window base row
+        rbase_g = np.asarray(base._rbase, np.int64)
+        n_chunks = base.n_chunks
+        owner = np.clip(rbase_g // Rloc, 0, D - 1)
+        fblk_np = np.asarray(base._fblk, np.float64)
+        d_np = np.asarray(base.state["d"], np.float64)
+        per_dev = [np.flatnonzero(owner == d) for d in range(D)]
+        C = max(1, max(len(ix) for ix in per_dev))
+        fb_pad = _pad_chunk_template(np.float64)
+        db_pad = np.concatenate([
+            np.zeros((9 * SUB, LANES)), np.ones((3 * SUB, LANES))
+        ], 0)
+        fblk_l = np.empty((D, C, FB_PLANES * SUB, LANES))
+        d_l = np.empty((D, C, DB_PLANES * SUB, LANES))
+        rbase_l = np.zeros((D, C), np.int32)
+        self._chunk_of = per_dev  # device -> global chunk ids (for x prop)
+        for d in range(D):
+            ix = per_dev[d]
+            for j in range(C):
+                if j < len(ix):
+                    fblk_l[d, j] = fblk_np[ix[j]]
+                    d_l[d, j] = d_np[ix[j]]
+                    rbase_l[d, j] = rbase_g[ix[j]] - (d * Rloc - H)
+                else:
+                    fblk_l[d, j] = fb_pad
+                    d_l[d, j] = db_pad
+                    rbase_l[d, j] = 0
+        self.n_chunks_local = C
+        self._fblk = jnp.asarray(fblk_l, dtype)
+        self._rbase = jnp.asarray(rbase_l)
+
+        own = np.zeros((Lr, LANES))
+        own[H:H + Rloc] = 1.0
+        self._own = jnp.asarray(own, dtype)
+
+        def state3(planes):
+            return jnp.asarray(
+                slab_planes(np.asarray(planes, np.float64), 3), dtype
+            )
+
+        self.state = {
+            "x": state3(base.state["x"]),
+            "v": state3(base.state["v"]),
+            "ancu": state3(base.state["ancu"]),
+            "colu": state3(base.state["colu"]),
+            "d": jnp.asarray(d_l, dtype),
+            "t": jnp.asarray(0.0, dtype),
+        }
+        shd = NamedSharding(self.mesh, P(self.axis))
+        self.state = {
+            k: (jax.device_put(v, shd) if k != "t" else v)
+            for k, v in self.state.items()
+        }
+        for nm in ("_p2d", "_dia", "_fblk", "_rbase"):
+            setattr(self, nm, jax.device_put(getattr(self, nm), shd))
+
+    # ------------------------------------------------------------ access
+
+    @property
+    def x(self):
+        return self._gather_planes(self.state["x"])
+
+    @property
+    def v(self):
+        return self._gather_planes(self.state["v"])
+
+    def _gather_planes(self, planes):
+        """(D, 3*Lr, 128) slabs -> (n, 3) in internal numbering."""
+        base = self.base
+        a = np.asarray(planes).reshape(self.D, 3, self.Lr, LANES)
+        owned = a[:, :, self.H:self.H + self.Rloc]  # (D, 3, Rloc, 128)
+        g = owned.transpose(1, 0, 2, 3).reshape(3, self.D * self.Rloc
+                                                * LANES)
+        return g[:, base._positions].T
+
+    # --------------------------------------------------------- stepping
+
+    def _make_step(self):
+        base = self.base
+        D, H, Hb, Lr, Rloc = self.D, self.H, self.Hb, self.Lr, self.Rloc
+        Wr = base.Wr
+        dt = self.dt
+        dt2 = dt * dt
+        iters = self.admm_iters
+        cg_iters = self.cg_iters
+        axis = self.axis
+        offs = self.dia_offs
+        n_dia = len(offs)
+        model = self.model
+        newton_iters = base.newton_iters
+        coll_shapes = base.coll_shapes
+        coll_w2 = base.coll_w2
+        collect = self.collect_residuals
+        backend = self.backend
+        gvec = base.gravity
+        own = self._own
+        fwd = [(d, d + 1) for d in range(D - 1)]
+        bwd = [(d + 1, d) for d in range(D - 1)]
+
+        def refresh(a3, h):
+            """Refresh h halo rows each side of (3, Lr, 128) from the
+            neighbors' owned rows. h <= Rloc (the CG band halo) is one
+            boundary-rows exchange per direction; wider halos (element
+            windows spanning slabs) take ceil(h/Rloc) hops of the full
+            owned slab."""
+            if D == 1:
+                return a3
+            if h <= Rloc:
+                top = a3[:, H + Rloc - h:H + Rloc]
+                bot = a3[:, H:H + h]
+                from_left = jax.lax.ppermute(top, axis, fwd)
+                from_right = jax.lax.ppermute(bot, axis, bwd)
+                a3 = jax.lax.dynamic_update_slice(a3, from_left,
+                                                  (0, H - h, 0))
+                a3 = jax.lax.dynamic_update_slice(a3, from_right,
+                                                  (0, H + Rloc, 0))
+                return a3
+            own_slab = a3[:, H:H + Rloc]
+            K = -(-h // Rloc)
+            for k in range(1, K + 1):
+                fwd_k = [(dd, dd + k) for dd in range(D - k)]
+                bwd_k = [(dd, dd - k) for dd in range(k, D)]
+                # bottom halo rows [H-kR, H-(k-1)R) come from device d-k
+                lo = max(H - k * Rloc, H - h, 0)
+                hi = H - (k - 1) * Rloc
+                if hi > lo:
+                    from_left = jax.lax.ppermute(own_slab, axis, fwd_k)
+                    src = lo - (H - k * Rloc)
+                    a3 = a3.at[:, lo:hi].set(
+                        from_left[:, src:src + hi - lo]
+                    )
+                # top halo rows [H+kR, H+(k+1)R) come from device d+k
+                lo2 = H + k * Rloc
+                hi2 = min(H + (k + 1) * Rloc, H + Rloc + h, Lr)
+                if hi2 > lo2:
+                    from_right = jax.lax.ppermute(own_slab, axis, bwd_k)
+                    a3 = a3.at[:, lo2:hi2].set(
+                        from_right[:, :hi2 - lo2]
+                    )
+            return a3
+
+        def combine_b(b3):
+            """Add each device's above-slab RHS halo rows into their
+            owners (chunk windows only reach UP; rows [H+kR, H+(k+1)R)
+            belong to device d+k)."""
+            if D == 1:
+                return b3
+            K = -(-H // Rloc)
+            for k in range(1, K + 1):
+                lo = H + k * Rloc
+                hi = min(lo + Rloc, Lr)
+                if hi <= lo:
+                    break
+                fwd_k = [(dd, dd + k) for dd in range(D - k)]
+                sent = jax.lax.ppermute(b3[:, lo:hi], axis, fwd_k)
+                b3 = b3.at[:, H:H + hi - lo].add(sent)
+            return b3
+
+        def matvec(p3):
+            out = []
+            for a in range(3):
+                acc = None
+                for di, off in enumerate(offs):
+                    t = dia_l[di] * _shifted(p3[a], off, Lr, True)
+                    acc = t if acc is None else acc + t
+                out.append(acc)
+            return jnp.stack(out)
+
+        dia_l = None  # bound per call below
+
+        def sstep(p2d, dia, rbase, fblk, x, v, au, cu, d):
+            nonlocal dia_l
+            p2d, dia, rbase, fblk = p2d[0], dia[0], rbase[0], fblk[0]
+            x, v, au, cu, d = x[0], v[0], au[0], cu[0], d[0]
+            dia_l = dia.reshape(n_dia, Lr, LANES)
+            invd = p2d[PINVD * Lr:(PINVD + 1) * Lr]
+            mass = p2d[PMASS * Lr:(PMASS + 1) * Lr]
+
+            # prologue: gravity kick, park pre-step x, xbar, M xbar
+            x3 = x.reshape(3, Lr, LANES)
+            v3 = v.reshape(3, Lr, LANES)
+            g3 = jnp.asarray(gvec, x.dtype)[:, None, None]
+            v3 = v3 + dt * g3
+            xt3 = x3
+            x3 = refresh(x3 + dt * v3, H)
+            Mxb3 = mass[None] * x3
+
+            if backend == "pallas":
+                local = lambda xx, aau, ccu, dd: banded_local_rhs(
+                    p2d, rbase, fblk, xx, aau, ccu, dd, Wr=Wr,
+                    model=model, newton_iters=newton_iters,
+                    coll_shapes=coll_shapes, coll_w2=coll_w2,
+                    collect=collect,
+                )
+            else:
+                local = lambda xx, aau, ccu, dd: banded_local_rhs_xla(
+                    p2d, rbase, fblk, xx, aau, ccu, dd, Wr=Wr,
+                    model=model, newton_iters=newton_iters,
+                    coll_shapes=coll_shapes, coll_w2=coll_w2,
+                    collect=collect,
+                )
+
+            def dot(a3, b3):
+                return jax.lax.psum(
+                    jnp.sum(own[None] * a3 * b3), axis
+                )
+
+            def cg(x3, rhs3):
+                r3 = rhs3 - matvec(refresh(x3, Hb))
+                z3 = invd[None] * r3
+                p3 = z3
+                rz = dot(r3, z3)
+
+                def body(_, carry):
+                    x3, r3, p3, rz = carry
+                    Ap = matvec(refresh(p3, Hb))
+                    pAp = dot(p3, Ap)
+                    alpha = rz / jnp.where(pAp > 0, pAp, 1.0)
+                    x3 = x3 + alpha * p3
+                    r3 = r3 - alpha * Ap
+                    z3 = invd[None] * r3
+                    rz_new = dot(r3, z3)
+                    beta = rz_new / jnp.where(rz > 0, rz, 1.0)
+                    return (x3, r3, z3 + beta * p3, rz_new)
+
+                x3, _, _, _ = jax.lax.fori_loop(
+                    0, cg_iters, body, (x3, r3, p3, rz)
+                )
+                return refresh(x3, H)
+
+            rp = jnp.zeros((iters,), x.dtype)
+
+            def admm_it(i, carry):
+                x3, au, cu, d, rp = carry
+                b, au, cu, d, r2 = local(
+                    x3.reshape(3 * Lr, LANES), au, cu, d
+                )
+                if collect:
+                    rp = rp.at[i].set(
+                        jnp.sqrt(jax.lax.psum(r2, axis))
+                    )
+                b3 = combine_b(b.reshape(3, Lr, LANES))
+                x3 = cg(x3, Mxb3 + dt2 * b3)
+                return (x3, au, cu, d, rp)
+
+            x3, au, cu, d, rp = jax.lax.fori_loop(
+                0, iters, admm_it, (x3, au, cu, d, rp)
+            )
+            v3 = (x3 - xt3) * (1.0 / dt)
+            return (x3.reshape(3 * Lr, LANES)[None],
+                    v3.reshape(3 * Lr, LANES)[None],
+                    au[None], cu[None], d[None], rp)
+
+        pd = P(axis)
+        smapped = jax.shard_map(
+            sstep, mesh=self.mesh,
+            in_specs=(pd, pd, pd, pd, pd, pd, pd, pd, pd),
+            out_specs=(pd, pd, pd, pd, pd, P()),
+            check_vma=False,
+        )
+
+        def step(state):
+            x, v, au, cu, d, rp = smapped(
+                self._p2d, self._dia, self._rbase, self._fblk,
+                state["x"], state["v"], state["ancu"], state["colu"],
+                state["d"],
+            )
+            return {
+                "x": x, "v": v, "ancu": au, "colu": cu, "d": d,
+                "t": state["t"] + dt,
+            }, rp
+
+        return jax.jit(step, donate_argnums=(0,))
+
+    def step(self):
+        if self._stepf is None:
+            self._stepf = self._make_step()
+        self.state, rp = self._stepf(self.state)
+        if self.collect_residuals:
+            self.last_primal = rp
+        return True
+
+    def run(self, n_steps: int):
+        for _ in range(n_steps):
+            self.step()
+        return True
+
+    # ------------------------------------------------------------- stats
+
+    def comm_stats(self):
+        """Analytic cross-device traffic per step (bytes). Each CG
+        iteration moves 2 x 3 x Hb boundary rows + two psum scalars;
+        each ADMM iteration one H-row RHS combine and one full-H x
+        refresh (multi-hop when element windows span slabs); all
+        O(band width), independent of n."""
+        bpr = LANES * np.dtype(np.float32).itemsize
+        hops = -(-self.H // self.Rloc)
+        h_rows = (self.H if self.H <= self.Rloc
+                  else hops * self.Rloc * 2)  # slab sent per direction
+        per_cg = 2 * 3 * self.Hb * bpr + 2 * 4
+        per_admm = (3 * self.H * bpr          # combine_b
+                    + 2 * 3 * h_rows * bpr    # post-CG x refresh
+                    + self.cg_iters * per_cg)
+        per_step = self.admm_iters * per_admm + 2 * 3 * h_rows * bpr
+        return {
+            "n_devices": self.D,
+            "halo_rows": self.H,
+            "band_halo_rows": self.Hb,
+            "bytes_per_cg_iter": per_cg,
+            "bytes_per_admm_iter": per_admm,
+            "bytes_per_step": per_step,
+        }
+
+
+def sharded_banded_from_system(system, mesh, axis: str = "elem",
+                               backend: str | None = None):
+    """Build a ShardedBandedStepper for an initialized dia-mode System
+    whose scene qualifies for the banded whole-timestep kernel. Returns
+    (stepper, to_canonical) or None (same contract as
+    core.banded.banded_from_system)."""
+    from ..core.banded import banded_from_system
+
+    out = banded_from_system(system)
+    if out is None:
+        return None
+    base, cid = out
+    try:
+        spmd = ShardedBandedStepper(base, mesh, axis=axis, backend=backend)
+    except ValueError:
+        return None
+    return spmd, cid

@@ -510,6 +510,53 @@ def bench_sharded(dtype, n_dev=8, steps=3):
     return spmd.comm_stats(), err, beam.n_tets
 
 
+def bench_sharded_banded(dtype, n_dev=8, steps=3):
+    """The sharded BANDED whole-timestep path on the virtual device mesh:
+    trajectory parity vs the single-device whole-timestep kernel program
+    (D=1 instance of the same decomposition, itself parity-tested against
+    the mega kernel in tests/test_banded_spmd.py) and the analytic
+    boundary-halo traffic — O(band width) per CG iteration, independent
+    of mesh size (wall-clock scaling needs real multi-chip hardware)."""
+    import jax
+    import jax.numpy as jnp
+
+    from admm_elastic_tpu import Settings, System
+    from admm_elastic_tpu.geometry import make_beam_tets
+    from admm_elastic_tpu.models import ExplicitForce, HyperElasticTet, StaticAnchor
+    from admm_elastic_tpu.parallel.banded_spmd import (
+        sharded_banded_from_system,
+    )
+
+    beam = make_beam_tets(12, 9, 8)
+
+    def build():
+        s = System(Settings(timestep_s=0.04, admm_iters=10, verbose=0,
+                            dtype=dtype, global_solver="dia",
+                            cg_fixed_iters=25))
+        n = beam.n_vertices
+        s.add_nodes(beam.vertices, np.full(n, 50.0 / n))
+        s.add_force(StaticAnchor(np.flatnonzero(beam.vertices[:, 0] < 1e-9)))
+        s.add_force(HyperElasticTet(beam.tets, mu=1e5, lam=1e5, max_iters=5,
+                                    model="nh"))
+        s.add_explicit_force(ExplicitForce(direction=(0, -9.8, 0)))
+        assert s.initialize()
+        return s
+
+    import jax
+
+    s1, _ = sharded_banded_from_system(
+        build(), jax.make_mesh((1,), ("elem",)))
+    s8, _ = sharded_banded_from_system(
+        build(), jax.make_mesh((n_dev,), ("elem",)))
+    for _ in range(steps):
+        s1.step()
+        s8.step()
+    err = float(np.abs(s8.x - s1.x).max())
+    scale = float(np.abs(s1.x).max())
+    assert err < 1e-3 * scale, f"sharded banded parity failed: {err}"
+    return s8.comm_stats(), err, beam.n_tets
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default="tet100k")
@@ -560,9 +607,8 @@ def main():
                          "Overrides --lattice/--global-solver")
     args = ap.parse_args()
 
-    if args.preset == "sharded" and "force_host_platform" not in os.environ.get(
-        "XLA_FLAGS", ""
-    ):
+    if args.preset in ("sharded", "sharded_banded") and \
+            "force_host_platform" not in os.environ.get("XLA_FLAGS", ""):
         # the sharded harness needs a multi-device mesh; re-exec onto an
         # 8-virtual-device CPU backend (the real environment has 1 chip)
         env = dict(os.environ)
@@ -747,6 +793,25 @@ def main():
                     "value": round(ms * 1e3, 3),
                     "unit": "ms",
                     "vs_baseline": vs,
+                }
+            )
+        )
+    elif args.preset == "sharded_banded":
+        stats, err, n_tets = bench_sharded_banded(dtype)
+        print(
+            f"# sharded_banded: {n_tets} tets on {stats['n_devices']} "
+            f"devices, parity err {err:.2e}, halo {stats['halo_rows']} "
+            f"rows, {stats['bytes_per_cg_iter']} comm bytes/CG iter "
+            "(O(band), independent of n)",
+            file=sys.stderr,
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "sharded_banded_comm_bytes_per_step",
+                    "value": stats["bytes_per_step"],
+                    "unit": "bytes",
+                    "vs_baseline": 1.0,  # parity-checked vs single device
                 }
             )
         )

@@ -1,0 +1,188 @@
+"""Element-sharded banded fast path (parallel/banded_spmd.py).
+
+Validation chain:
+  mega whole-timestep kernel (tests/test_banded.py, oracle-validated)
+    <- ShardedBandedStepper D=1/D=8 xla backend (small mesh, full depth)
+    <- pallas local kernel (interpret) vs xla twin (same body functions,
+       different reduction order -> f64 round-off level agreement)
+    <- 100k-tet D=8 vs D=1 compiled-CPU parity (slow tier)
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from admm_elastic_tpu import Settings, System
+from admm_elastic_tpu.geometry import make_beam_tets
+from admm_elastic_tpu.models import (
+    Collision,
+    ExplicitForce,
+    Floor,
+    HyperElasticTet,
+    LinearTetStrain,
+    StaticAnchor,
+)
+from admm_elastic_tpu.parallel.banded_spmd import (
+    ShardedBandedStepper,
+    sharded_banded_from_system,
+)
+
+F64 = jnp.float64
+
+
+def _need_devices(n):
+    if len(jax.devices()) < n:
+        pytest.skip(f"needs {n} virtual devices")
+
+
+def _build(dims=(10, 6, 6), model="nh", admm_iters=6, cg=15, floor=None,
+           **kw):
+    beam = make_beam_tets(*dims, **kw)
+    n = beam.n_vertices
+    s = System(Settings(timestep_s=0.04, admm_iters=admm_iters, verbose=0,
+                        dtype=F64, global_solver="dia",
+                        cg_fixed_iters=cg, lattice_fast_path=True))
+    s.add_nodes(beam.vertices, np.full(n, 50.0 / n))
+    s.add_force(StaticAnchor(np.flatnonzero(beam.vertices[:, 0] < 1e-9)))
+    if model == "arap":
+        s.add_force(LinearTetStrain(beam.tets, stiffness=1e4))
+    else:
+        s.add_force(HyperElasticTet(beam.tets, mu=1e5, lam=1e5,
+                                    max_iters=5, model=model))
+    if floor is not None:
+        s.add_force(Collision([Floor((0, floor, 0))], n_nodes=n))
+    s.add_explicit_force(ExplicitForce(direction=(0, -9.8, 0)))
+    assert s.initialize()
+    assert s._lattice is not None
+    return s
+
+
+@pytest.mark.parametrize("model", ["nh", "stvk", "arap"])
+def test_sharded_matches_mega_kernel(model):
+    """Full-depth trajectory parity vs the single-device whole-timestep
+    kernel (which test_banded.py validates against the general path)."""
+    _need_devices(8)
+    ref = _build(model=model)
+    base = _build(model=model)._lattice
+    spmd = ShardedBandedStepper(
+        base, jax.make_mesh((8,), ("elem",)), backend="xla"
+    )
+    for _ in range(5):
+        ref._lattice.step()
+        spmd.step()
+    err = np.abs(ref._lattice.x - spmd.x).max()
+    assert err < 1e-8, f"{model}: {err}"
+
+
+def test_sharded_with_collision_floor():
+    _need_devices(2)
+    ref = _build(dims=(6, 4, 4), floor=-0.2, admm_iters=4, cg=10)
+    base = _build(dims=(6, 4, 4), floor=-0.2, admm_iters=4, cg=10)._lattice
+    spmd = ShardedBandedStepper(
+        base, jax.make_mesh((2,), ("elem",)), backend="xla"
+    )
+    for _ in range(8):  # enough steps to actually hit the floor
+        ref._lattice.step()
+        spmd.step()
+    assert np.abs(ref._lattice.x - spmd.x).max() < 1e-8
+    # the floor actually engaged
+    assert spmd.x[:, 1].min() > -0.25
+
+
+def test_pallas_local_kernel_matches_xla_twin():
+    """The pallas local-phase kernel and the vmapped XLA twin share the
+    same body functions; agreement is reduction-order round-off."""
+    _need_devices(2)
+    import admm_elastic_tpu.parallel.banded_spmd as bs
+    from admm_elastic_tpu.ops.pallas import banded_local as bl
+
+    orig = bl.banded_local_rhs
+
+    def interp(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    sx = ShardedBandedStepper(
+        _build(dims=(6, 4, 4), admm_iters=3, cg=10)._lattice,
+        jax.make_mesh((2,), ("elem",)), backend="xla",
+    )
+    old = bs.banded_local_rhs
+    bs.banded_local_rhs = interp
+    try:
+        sp = ShardedBandedStepper(
+            _build(dims=(6, 4, 4), admm_iters=3, cg=10)._lattice,
+            jax.make_mesh((2,), ("elem",)), backend="pallas",
+        )
+        for _ in range(2):
+            sx.step()
+            sp.step()
+    finally:
+        bs.banded_local_rhs = old
+    assert np.abs(sx.x - sp.x).max() < 1e-7
+
+
+def test_primal_residual_collection():
+    _need_devices(2)
+    ref = _build(admm_iters=6)
+    ref.settings.collect_residuals = "primal"
+    sys2 = _build(admm_iters=6)
+    sys2.settings.collect_residuals = "primal"
+    # rebuild steppers with residual collection on
+    from admm_elastic_tpu.core.banded import banded_from_system
+
+    b1, _ = banded_from_system(ref)
+    b2, _ = banded_from_system(sys2)
+    spmd = ShardedBandedStepper(
+        b2, jax.make_mesh((2,), ("elem",)), backend="xla"
+    )
+    b1.step()
+    spmd.step()
+    rp_ref = np.asarray(b1.last_primal)[0]  # (n_steps=1, iters)
+    rp_spmd = np.asarray(spmd.last_primal)
+    # psum CG dots reorder the reductions -> alpha/beta differ at f64
+    # round-off, and that trajectory divergence shows up amplified in the
+    # late (small) residuals; 1e-5 relative is the honest bound here
+    np.testing.assert_allclose(rp_spmd, rp_ref, rtol=1e-5, atol=1e-10)
+    assert rp_spmd[-1] < rp_spmd[0]
+
+
+def test_from_system_and_qualification():
+    _need_devices(2)
+    mesh = jax.make_mesh((2,), ("elem",))
+    sys_ = _build(admm_iters=3)
+    out = sharded_banded_from_system(sys_, mesh)
+    assert out is not None
+    spmd, cid = out
+    spmd.step()
+    assert np.isfinite(spmd.x).all()
+    # comm volume is O(band), independent of mesh size
+    small = sharded_banded_from_system(_build(dims=(6, 4, 4)), mesh)[0]
+    assert (spmd.comm_stats()["bytes_per_cg_iter"]
+            == small.comm_stats()["bytes_per_cg_iter"])
+
+
+@pytest.mark.slow
+def test_sharded_100k_parity_8dev():
+    """VERDICT r3 #1 'done' criterion: 8-virtual-device trajectory
+    parity at 100k tets, compiled CPU (xla local backend), vs D=1."""
+    _need_devices(8)
+
+    def mk():
+        return _build(dims=(40, 25, 20), admm_iters=4, cg=15,
+                      size=0.05)._lattice
+
+    s1 = ShardedBandedStepper(mk(), jax.make_mesh((1,), ("elem",)),
+                              backend="xla")
+    s8 = ShardedBandedStepper(mk(), jax.make_mesh((8,), ("elem",)),
+                              backend="xla")
+    for _ in range(2):
+        s1.step()
+        s8.step()
+    err = np.abs(s1.x - s8.x).max()
+    assert err < 1e-8, err
+    stats = s8.comm_stats()
+    # O(n)-free traffic: < 5 MB/step at 100k tets (the replicated
+    # design moved ~0.5 MB per CG iteration at this scale)
+    assert stats["bytes_per_step"] < 5 * 2**20
