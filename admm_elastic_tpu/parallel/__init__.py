@@ -25,4 +25,9 @@ __all__ = [
     "pad_batches",
     "batch_state",
     "vmap_step",
+    # lazily importable (pull in jax.shard_map machinery):
+    #   .spmd.SpmdSystem            replicated-vertex element sharding
+    #   .halo_spmd.HaloSpmdSystem   boundary-halo O(cut) sharding
+    #   .banded_spmd.ShardedBandedStepper  sharded whole-timestep kernel
+    #   .comm                        measured-HLO collective accounting
 ]

@@ -488,6 +488,24 @@ class ShardedBandedStepper:
 
     # ------------------------------------------------------------- stats
 
+    def measured_comm(self):
+        """Collective inventory of the COMPILED step program (post-GSPMD
+        HLO), via parallel.comm. Static per-op byte sizes: ops inside the
+        CG/ADMM fori_loops appear once; `bytes_per_step_measured`
+        multiplies the loop-body ops by the known trip counts. The
+        invariant worth pinning: `max_op_bytes` is O(band halo), never
+        O(n) — a silent re-replication would show up here."""
+        from .comm import compiled_hlo_text, hlo_collective_report
+
+        if self._stepf is None:
+            self._stepf = self._make_step()
+        rep = hlo_collective_report(
+            compiled_hlo_text(self._stepf, self.state)
+        )
+        rep["admm_iters"] = self.admm_iters
+        rep["cg_iters"] = self.cg_iters
+        return rep
+
     def comm_stats(self):
         """Analytic cross-device traffic per step (bytes). Each CG
         iteration moves 2 x 3 x Hb boundary rows + two psum scalars;

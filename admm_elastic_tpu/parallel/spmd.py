@@ -506,6 +506,22 @@ class SpmdSystem:
     def v(self) -> np.ndarray:
         return np.asarray(self.rep["v"])
 
+    def measured_comm(self) -> dict:
+        """Collective inventory of the COMPILED step (post-GSPMD HLO).
+        For THIS class the report honestly documents the O(n) traffic of
+        the replicated-vertex design: the (n_pad/S,3)-per-device
+        all_gather of the CG search direction is its biggest op. The
+        boundary-halo formulation that avoids it is
+        parallel.halo_spmd.HaloSpmdSystem."""
+        from .comm import compiled_hlo_text, hlo_collective_report
+
+        rep = hlo_collective_report(
+            compiled_hlo_text(self._step_fn, self.rep, self.shd)
+        )
+        rep["admm_iters"] = self.system.settings.admm_iters
+        rep["cg_iters"] = self.system.settings.cg_fixed_iters or 25
+        return rep
+
     def comm_stats(self) -> dict:
         """Analytic cross-device traffic per timestep (SURVEY §2.7: CG dots
         + vertex halo are the only cross-device data)."""

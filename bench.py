@@ -557,6 +557,51 @@ def bench_sharded_banded(dtype, n_dev=8, steps=3):
     return s8.comm_stats(), err, beam.n_tets
 
 
+def bench_sharded_halo(dtype, n_dev=8, steps=3):
+    """Boundary-halo O(cut) sharding (parallel/halo_spmd.py): trajectory
+    parity vs the single-device general path, analytic + measured-HLO
+    comm volume. The headline number is bytes/CG-iteration — O(cut),
+    independent of mesh size (VERDICT r3 #2)."""
+    import jax
+    import jax.numpy as jnp
+
+    from admm_elastic_tpu import Settings, System
+    from admm_elastic_tpu.geometry import make_beam_tets
+    from admm_elastic_tpu.models import ExplicitForce, HyperElasticTet, StaticAnchor
+    from admm_elastic_tpu.parallel.comm import assert_no_fat_collectives
+    from admm_elastic_tpu.parallel.halo_spmd import HaloSpmdSystem
+
+    beam = make_beam_tets(24, 9, 8)
+
+    def build():
+        s = System(Settings(timestep_s=0.04, admm_iters=10, verbose=0,
+                            dtype=dtype, global_solver="ell",
+                            cg_fixed_iters=25))
+        n = beam.n_vertices
+        s.add_nodes(beam.vertices, np.full(n, 50.0 / n))
+        s.add_force(StaticAnchor(np.flatnonzero(beam.vertices[:, 0] < 1e-9)))
+        s.add_force(HyperElasticTet(beam.tets, mu=1e5, lam=1e5, max_iters=5,
+                                    model="nh"))
+        s.add_explicit_force(ExplicitForce(direction=(0, -9.8, 0)))
+        assert s.initialize()
+        return s
+
+    ref = build()
+    halo = HaloSpmdSystem(build(), jax.make_mesh((n_dev,), ("elem",)))
+    for _ in range(steps):
+        ref.step()
+        halo.step()
+    err = float(np.abs(halo.x - np.asarray(ref.state["x"])).max())
+    scale = float(np.abs(np.asarray(ref.state["x"])).max())
+    assert err < 1e-3 * max(scale, 1.0), f"halo parity failed: {err}"
+    stats = halo.comm_stats()
+    assert_no_fat_collectives(
+        halo.measured_comm(),
+        max(stats["exchange_rows"] * 3 * 8 * 2, 4096),
+    )
+    return stats, err, beam.n_tets
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default="tet100k")
@@ -607,7 +652,7 @@ def main():
                          "Overrides --lattice/--global-solver")
     args = ap.parse_args()
 
-    if args.preset in ("sharded", "sharded_banded") and \
+    if args.preset in ("sharded", "sharded_banded", "sharded_halo") and \
             "force_host_platform" not in os.environ.get("XLA_FLAGS", ""):
         # the sharded harness needs a multi-device mesh; re-exec onto an
         # 8-virtual-device CPU backend (the real environment has 1 chip)
@@ -793,6 +838,26 @@ def main():
                     "value": round(ms * 1e3, 3),
                     "unit": "ms",
                     "vs_baseline": vs,
+                }
+            )
+        )
+    elif args.preset == "sharded_halo":
+        stats, err, n_tets = bench_sharded_halo(dtype)
+        print(
+            f"# sharded_halo: {n_tets} tets on {stats['n_devices']} "
+            f"devices, parity err {err:.2e}, hops {stats['hops']}, "
+            f"{stats['exchange_rows']} exchange rows, "
+            f"{stats['bytes_per_cg_iter']} comm bytes/CG iter "
+            "(O(cut), HLO-audited)",
+            file=sys.stderr,
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "sharded_halo_comm_bytes_per_cg_iter",
+                    "value": stats["bytes_per_cg_iter"],
+                    "unit": "bytes",
+                    "vs_baseline": 1.0,  # parity + HLO-audit checked
                 }
             )
         )
