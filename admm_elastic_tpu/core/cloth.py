@@ -26,7 +26,11 @@ import jax.numpy as jnp
 
 from .solver import assemble_A_hat_dia
 
-MAX_GROUPS = 12
+# group budget: sym-plane = 4 tri + 6 hinge stencils; editor-reordered
+# face lists emit BOTH orientations of each hinge class (the Volino
+# element is orientation-dependent, so they cannot be merged) -> up to
+# 4 + 12. Each group costs a handful of staged VMEM planes; 16 fits.
+MAX_GROUPS = 16
 # wind staging capacity in the kernel: 3 planes/group in S rows 0-8,
 # plus the (free-at-prologue) b rows for a 4th group — the sym-plane
 # tessellation has 4 triangle stencils
@@ -120,6 +124,73 @@ def detect_symplane_numbering(faces, n):
             cid[n_grid + x * H: n_grid + (x + 1) * H] = base + np.arange(H)
         return cid
     return None
+
+
+def detect_symplane_positions(vertices, rel_tol=1e-5):
+    """Position-based sym-plane canonicalization — the STRUCTURAL
+    fallback when detect_symplane_numbering's exact-regeneration check
+    fails (editor-touched meshes: reordered/rotated faces, renumbered
+    vertices — VERDICT r3 'weak' #6).
+
+    Geometry, not connectivity: project the rest positions onto their
+    best-fit plane; a sym-plane sheet quantizes onto a half-spacing
+    lattice where grid corners land on (even, even) coordinates and quad
+    centers on (odd, odd). Any vertex numbering and any face ordering
+    produce the same picture. Returns the interleaved-column canonical
+    permutation cid (same layout as detect_symplane_numbering) or None.
+    The caller validates structurally by actually building the stepper
+    (group_constant_offsets + uniform-constants checks), so a false
+    positive here cannot mis-simulate — it just fails to engage.
+    """
+    v = np.asarray(vertices, np.float64)
+    n = len(v)
+    if n < 5:  # W=H=1 -> 5 vertices
+        return None
+    c = v.mean(0)
+    _, sv, vt = np.linalg.svd(v - c, full_matrices=False)
+    scale = max(sv[0], 1e-30)
+    if sv[2] > 1e-4 * scale:  # not planar
+        return None
+    p = (v - c) @ vt[:2].T
+    p -= p.min(0)
+
+    q = np.empty((n, 2), np.int64)
+    for a in range(2):
+        vals = np.unique(np.sort(p[:, a]))
+        # merge within tolerance
+        keep = [vals[0]]
+        for x in vals[1:]:
+            if x - keep[-1] > rel_tol * scale * 8:
+                keep.append(x)
+        keep = np.asarray(keep)
+        if len(keep) < 3:
+            return None
+        h = np.diff(keep)
+        if np.abs(h - h[0]).max() > rel_tol * scale * 16:
+            return None  # not a uniform half-spacing lattice
+        q[:, a] = np.round(p[:, a] / h[0]).astype(np.int64)
+        if np.abs(p[:, a] - q[:, a] * h[0]).max() > rel_tol * scale * 16:
+            return None
+    par = q % 2
+    corner = (par[:, 0] == 0) & (par[:, 1] == 0)
+    center = (par[:, 0] == 1) & (par[:, 1] == 1)
+    if not (corner | center).all():
+        return None
+    W2, H2 = q.max(0)
+    if W2 % 2 or H2 % 2 or W2 < 2 or H2 < 2:
+        return None
+    W, H = W2 // 2, H2 // 2
+    if corner.sum() != (W + 1) * (H + 1) or center.sum() != W * H:
+        return None
+    i, j = q[:, 0] // 2, q[:, 1] // 2
+    cid = np.where(
+        corner,
+        i * (2 * H + 1) + j,
+        i * (2 * H + 1) + (H + 1) + j,
+    ).astype(np.int64)
+    if len(np.unique(cid)) != n:
+        return None
+    return cid
 
 
 def _uniform(arr, rel=1e-6):
@@ -542,7 +613,8 @@ def cloth_from_system(system):
     if stepper is not None:
         return stepper, np.arange(n)
     for detect in (lambda: detect_grid_numbering(verts),
-                   lambda: detect_symplane_numbering(tri.faces, n)):
+                   lambda: detect_symplane_numbering(tri.faces, n),
+                   lambda: detect_symplane_positions(verts)):
         cid = detect()
         if cid is None:
             continue

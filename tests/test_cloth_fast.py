@@ -192,10 +192,11 @@ def test_cloth_rollout_matches_stepping():
 
 
 def test_cloth_fast_path_rejects_nongrid():
-    """A genuinely non-groupable mesh (sym plane under a SCRAMBLED vertex
-    numbering: no constant-offset stencils, neither detector matches)
-    falls back to the general solver gracefully. (The canonical sym
-    plane itself QUALIFIES since round 3 — test_cloth_symplane_fast_path.)"""
+    """A genuinely non-groupable mesh (sym plane with JITTERED positions
+    under a scrambled vertex numbering: no constant-offset stencils, no
+    detector matches — scrambled-but-regular sheets now qualify via the
+    position detector, test_cloth_symplane_editor_touched) falls back to
+    the general solver gracefully."""
     from admm_elastic_tpu.geometry import make_sym_plane
 
     mesh = make_sym_plane(6, 5)
@@ -205,6 +206,7 @@ def test_cloth_fast_path_rejects_nongrid():
     inv = np.empty(n, np.int64)
     inv[perm] = np.arange(n)
     verts = mesh.vertices[perm]
+    verts = verts + 0.005 * rng.standard_normal(verts.shape)
     faces = inv[mesh.faces]
     sys_ = System(Settings(timestep_s=0.04, admm_iters=4, verbose=0,
                            dtype=jnp.float64, lattice_fast_path=True))
@@ -390,3 +392,70 @@ def test_detect_symplane_numbering_rejects():
     assert detect_symplane_numbering(shuffled, m.n_vertices) is None
     g = make_plane_grid(6, 5)
     assert detect_symplane_numbering(g.faces, g.n_vertices) is None
+
+
+def test_cloth_symplane_editor_touched():
+    """Editor-touched sym-plane sheets (renumbered vertices + reordered
+    faces — what exporters actually do) still ride the cloth kernel via
+    the POSITION-based structural detector (detect_symplane_positions).
+    The exact face-list-regeneration detector rejects them, and before
+    round 4 they silently fell off a 6x cliff onto the dense path.
+    (Within-face cyclic ROTATIONS additionally multiply the tri/hinge
+    stencil classes past the kernel's group budget and still fall back
+    gracefully — that is the structural qualifier working as designed.)"""
+    from admm_elastic_tpu.core.cloth import detect_symplane_positions
+    from admm_elastic_tpu.geometry import make_sym_plane
+
+    mesh = make_sym_plane(8, 6)
+    rng = np.random.default_rng(7)
+    perm = rng.permutation(mesh.n_vertices)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(len(perm))
+    verts = mesh.vertices[perm]
+    faces = inv[mesh.faces]
+    rng.shuffle(faces)
+
+    assert detect_symplane_positions(verts) is not None
+
+    def build(fast, v, f):
+        n = len(v)
+        s = System(Settings(timestep_s=0.04, admm_iters=8, verbose=0,
+                            dtype=jnp.float64, global_solver="dia",
+                            cg_fixed_iters=30, lattice_fast_path=fast))
+        s.add_nodes(v, np.full(n, 0.5 / n))
+        s.add_force(LimitedTriangleStrain(f, 100.0, 0.95, 1.05))
+        s.add_force(Bend(extract_hinges(f), 20.0))
+        s.add_force(StaticAnchor(
+            np.flatnonzero((np.abs(v[:, 1] - v[:, 1].max()) < 1e-9)
+                           & ((np.abs(v[:, 0] - v[:, 0].min()) < 1e-9)
+                              | (np.abs(v[:, 0] - v[:, 0].max()) < 1e-9)))
+        ))
+        s.add_explicit_force(ExplicitForce(direction=(0, -9.8, 0)))
+        assert s.initialize()
+        return s
+
+    fast = build(True, verts, faces)
+    assert fast._lattice is not None and fast._lattice.model == "cloth"
+    ref = build(False, verts, faces)
+    for _ in range(5):
+        fast.step()
+        ref.step()
+    np.testing.assert_allclose(np.asarray(fast.x), np.asarray(ref.x),
+                               rtol=1e-9, atol=1e-11)
+
+
+def test_detect_symplane_positions_rejects():
+    """No false engagement: jittered (non-lattice) positions, plain
+    grids without centers, and non-planar sheets are rejected."""
+    from admm_elastic_tpu.core.cloth import detect_symplane_positions
+    from admm_elastic_tpu.geometry import make_sym_plane
+
+    m = make_sym_plane(5, 4)
+    rng = np.random.default_rng(0)
+    jit = m.vertices + 0.01 * rng.standard_normal(m.vertices.shape)
+    assert detect_symplane_positions(jit) is None
+    g = make_plane_grid(6, 5)
+    assert detect_symplane_positions(g.vertices) is None
+    bent = m.vertices.copy()
+    bent[:, 2] += 0.3 * bent[:, 0] ** 2
+    assert detect_symplane_positions(bent) is None
