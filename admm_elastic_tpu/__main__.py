@@ -25,6 +25,12 @@ def main(argv=None):
                     help="record an interactive HTML viewer (one file, "
                          "orbit/zoom/play controls; frames every --every "
                          "steps) instead of the plain stepping loop")
+    ap.add_argument("--live", type=int, default=None, metavar="PORT",
+                    help="serve the LIVE simulation on this port "
+                         "(browser: orbit/zoom, shift-drag grabs "
+                         "vertices, space pauses — live.LiveViewer); "
+                         "runs until --steps simulation steps elapse "
+                         "(0 = until Ctrl-C)")
     args, rest = ap.parse_known_args(argv)
 
     from .scene import SimContext
@@ -32,6 +38,17 @@ def main(argv=None):
     ctx = SimContext()
     ctx.load(args.scene)
     ctx.system.settings.parse_args(rest)
+    if args.live is not None:
+        if args.viewer or args.export or args.render:
+            ap.error("--live cannot be combined with "
+                     "--viewer/--export/--render")
+        from .live import LiveViewer
+
+        lv = LiveViewer.for_context(ctx)
+        ctx.initialize()
+        lv.serve(port=args.live,
+                 max_steps=args.steps if args.steps > 0 else None)
+        return 0
     ctx.initialize()
 
     if args.resume:

@@ -1,0 +1,152 @@
+"""Live WebSocket viewer bridge (live.py): protocol-level end-to-end
+drive — HTTP page, RFC 6455 handshake, meta + binary frames streaming,
+and the poordillo-style grab/drag/release flow mutating a RUNNING
+simulation. (No browser exists in this container; the WebGL client
+reuses the recorded viewer's rendering approach, which test_app_viz
+covers.)"""
+
+import base64
+import json
+import socket
+import struct
+import threading
+import time
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import admm_elastic_tpu as aet
+from admm_elastic_tpu.geometry import extract_hinges, make_sym_plane
+from admm_elastic_tpu.live import LiveViewer, ws_decode, ws_encode
+from admm_elastic_tpu.models import (
+    Bend,
+    ExplicitForce,
+    LimitedTriangleStrain,
+    StaticAnchor,
+)
+
+
+def _mk_system():
+    mesh = make_sym_plane(8, 6)
+    n = mesh.n_vertices
+    s = aet.System(aet.Settings(timestep_s=0.04, admm_iters=8, verbose=0,
+                                dtype=jnp.float64))
+    s.add_nodes(mesh.vertices, np.full(n, 0.5 / n))
+    s.add_force(LimitedTriangleStrain(mesh.faces, 100.0, 0.95, 1.05))
+    s.add_force(Bend(extract_hinges(mesh.faces), 20.0))
+    s.add_force(StaticAnchor([0, 6]))
+    s.add_explicit_force(ExplicitForce(direction=(0, -9.8, 0)))
+    return s, mesh
+
+
+class _WsClient:
+    def __init__(self, port):
+        self.sock = socket.create_connection(("127.0.0.1", port),
+                                             timeout=10)
+        key = base64.b64encode(b"0123456789abcdef").decode()
+        self.sock.sendall(
+            (f"GET /ws HTTP/1.1\r\nHost: x\r\nUpgrade: websocket\r\n"
+             f"Connection: Upgrade\r\nSec-WebSocket-Key: {key}\r\n"
+             f"Sec-WebSocket-Version: 13\r\n\r\n").encode()
+        )
+        resp = b""
+        while b"\r\n\r\n" not in resp:
+            resp += self.sock.recv(4096)
+        assert b"101" in resp.split(b"\r\n", 1)[0]
+        self.buf = bytearray(resp.split(b"\r\n\r\n", 1)[1])
+
+    def recv(self):
+        while True:
+            got = ws_decode(self.buf)
+            if got:
+                op, pl, used = got
+                del self.buf[:used]
+                return op, pl
+            self.buf.extend(self.sock.recv(65536))
+
+    def send(self, ev: dict):
+        pl = json.dumps(ev).encode()
+        mask = b"\x01\x02\x03\x04"
+        masked = bytes(b ^ mask[i % 4] for i, b in enumerate(pl))
+        if len(pl) < 126:
+            hdr = bytes([0x81, 0x80 | len(pl)])
+        else:
+            hdr = bytes([0x81, 0x80 | 126]) + struct.pack(">H", len(pl))
+        self.sock.sendall(hdr + mask + masked)
+
+
+def _wait(cond, timeout=8.0):
+    t0 = time.monotonic()
+    while time.monotonic() - t0 < timeout:
+        if cond():
+            return True
+        time.sleep(0.05)
+    return False
+
+
+def test_ws_codec_roundtrip():
+    for n in (0, 5, 200, 70000):
+        payload = bytes(range(256)) * (n // 256 + 1)
+        payload = payload[:n]
+        frame = ws_encode(payload, 0x2)
+        # server frames are unmasked; decoder handles both
+        op, pl, used = ws_decode(bytearray(frame))
+        assert (op, pl, used) == (0x2, payload, len(frame))
+
+
+def test_live_bridge_grab_drag_release():
+    sysm, mesh = _mk_system()
+    lv = LiveViewer.for_system(sysm, mesh.faces)
+    assert sysm.initialize()
+    th = threading.Thread(
+        target=lambda: lv.serve(port=0x2257, max_seconds=40, quiet=True),
+        daemon=True,
+    )
+    th.start()
+    time.sleep(0.4)
+    try:
+        cl = _WsClient(0x2257)
+        op, meta = cl.recv()
+        meta = json.loads(meta)
+        assert op == 1 and meta["n"] == sysm.n_nodes and meta["grab"]
+        op, frame0 = cl.recv()
+        assert op == 2 and len(frame0) == sysm.n_nodes * 12
+
+        assert _wait(lambda: lv.frames_sent > 5)
+        x_now = np.asarray(sysm.x)
+        v = int(np.argmax(x_now[:, 0]))
+        target = [float(x_now[v, 0]), float(x_now[v, 1]) + 1.0,
+                  float(x_now[v, 2])]
+        cl.send({"type": "grab", "id": v, "pos": target})
+        cl.send({"type": "drag", "pos": target})
+        assert _wait(
+            lambda: np.asarray(sysm.x)[v, 1] > x_now[v, 1] + 0.5, 12.0
+        ), "drag did not pull the grabbed vertex"
+        cl.send({"type": "release"})
+        assert _wait(lambda: lv._grabbed is None)
+        # released: anchor weights all zero again
+        w = np.asarray(sysm.params[lv.grab.name]["weight"])
+        assert (w == 0).all()
+
+        cl.send({"type": "pause"})
+        assert _wait(lambda: not lv.playing)
+        fs = lv.frames_sent
+        time.sleep(0.5)
+        assert lv.frames_sent == fs
+        cl.send({"type": "step"})
+        assert _wait(lambda: lv.frames_sent == fs + 1)
+    finally:
+        lv.stop()
+    th.join(timeout=5)
+
+
+def test_live_requires_preinit_for_grab():
+    sysm, mesh = _mk_system()
+    assert sysm.initialize()
+    with pytest.raises(RuntimeError, match="before"):
+        LiveViewer.for_system(sysm, mesh.faces)
+    # but works grab-less on an initialized system
+    lv = LiveViewer.for_system(sysm, mesh.faces, enable_grab=False)
+    assert lv.grab is None
