@@ -3,10 +3,18 @@
 
 CPU_ENV = env PYTHONPATH= JAX_PLATFORMS=cpu _AET_CLEAN_ENV=1
 
-.PHONY: test native bench bench-baseline samples clean
+.PHONY: test test-default test-smoke native bench bench-baseline samples clean
 
-test:
+test:            # everything incl. the slow tier (~45 min on this host)
 	$(CPU_ENV) python -m pytest tests/ -x -q
+
+test-default:    # slow tier deselected (~30 min)
+	$(CPU_ENV) python -m pytest tests/ -x -q -m "not slow"
+
+test-smoke:      # dev-loop tier: core solver/parity/scene/live (~5 min)
+	$(CPU_ENV) python -m pytest tests/test_system.py tests/test_parity.py \
+	  tests/test_prox.py tests/test_svd.py tests/test_live.py \
+	  tests/test_scene.py tests/test_geometry.py -x -q
 
 native:
 	$(MAKE) -C admm_elastic_tpu/native

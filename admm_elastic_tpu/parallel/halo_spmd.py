@@ -57,9 +57,10 @@ class HaloSpmdSystem:
         spmd.step(); x = spmd.x
 
     Same restrictions as SpmdSystem (no residual early-exit, no
-    relaxation/acceleration) plus: explicit forces must be row-local
-    (uniform-acceleration ExplicitForce; WindForce needs face halos —
-    use SpmdSystem).
+    relaxation/acceleration). All explicit forces are supported:
+    uniform/indexed acceleration kicks are row-local, and WindForce
+    rides the same ghost machinery (face gather + reverse-combined
+    vertex scatter).
     """
 
     def __init__(self, system, mesh: Mesh, elem_axis: str = "elem"):
@@ -77,14 +78,6 @@ class HaloSpmdSystem:
                 "HaloSpmdSystem runs the plain alpha=1 iteration; "
                 "relaxation/acceleration need the single-device path"
             )
-        from ..models.explicit import WindForce
-
-        for e in system._explicit_list:
-            if isinstance(e, WindForce):
-                raise ValueError(
-                    "WindForce is face-based (not row-local); "
-                    "use SpmdSystem for wind scenes"
-                )
         self.system = system
         self.mesh = mesh
         self.axis = elem_axis
@@ -156,6 +149,30 @@ class HaloSpmdSystem:
             off = rows[(rows < d * nb) | (rows >= (d + 1) * nb)]
             ghost_sets[d].update(int(g) for g in off.ravel())
 
+        # wind faces: owned by majority slab; their vertices join the
+        # ghost sets (the kick gathers x/v rows and scatters dv rows
+        # through the same exchange machinery as the constraints)
+        from ..models.explicit import WindForce
+
+        wind_meta = []
+        for e in sysm._explicit_list:
+            if not isinstance(e, WindForce):
+                continue
+            tris = new_of_old[
+                np.asarray(sysm.params[e.name]["tris"], np.int64)
+            ]
+            sl = slab_of(tris)
+            owner = np.array([
+                np.bincount(row, minlength=S).argmax() for row in sl
+            ])
+            per_dev = [np.flatnonzero(owner == d) for d in range(S)]
+            for d in range(S):
+                ix = per_dev[d]
+                ids = tris[ix if len(ix) else [0]].ravel()
+                off = ids[(ids < d * nb) | (ids >= (d + 1) * nb)]
+                ghost_sets[d].update(int(g) for g in off)
+            wind_meta.append((e, tris, per_dev))
+
         ghosts = [np.array(sorted(g), np.int64) for g in ghost_sets]
         G = max((len(g) for g in ghosts), default=0)
         G = max(_round_up(G, 8), 8)
@@ -209,6 +226,40 @@ class HaloSpmdSystem:
             sched.append((k, Lk, send, recv, fwd, rev))
         self._sched_meta = [(k, Lk) for k, Lk, *_ in sched]
         self._sched = sched
+
+        # ---- wind faces in LOCAL numbering (+ scatter incidence)
+        wind_shd = {}
+        self._wind_names = set()
+        for e, tris, per_dev in wind_meta:
+            self._wind_names.add(e.name)
+            Ft = _round_up(max(1, max(len(ix) for ix in per_dev)), 8)
+            tl = np.zeros((S, Ft, 3), np.int64)
+            scale = np.zeros((S, Ft), np.float64)
+            incs_w = []
+            tot_w = None
+            for d in range(S):
+                ix = per_dev[d]
+                fill = ix[-1] if len(ix) else 0
+                src = np.concatenate(
+                    [ix, np.full(Ft - len(ix), fill, np.int64)]
+                )
+                tl[d] = to_local(tris[src], d)
+                scale[d, :len(ix)] = 1.0
+                inc_w, tot_w = assemble_transpose_incidence(
+                    nb + G + 1, {"w": {"indices": tl[d]}}, ["w"]
+                )
+                incs_w.append(inc_w)
+            Dw = max(i.shape[1] for i in incs_w)
+            incs_w = [np.pad(i, ((0, 0), (0, Dw - i.shape[1])),
+                             constant_values=tot_w) for i in incs_w]
+            wind_shd[e.name] = {
+                "tris": tl.astype(np.int32),
+                "scale": scale,
+                "inc": np.stack(incs_w, 0),
+                "direction": np.broadcast_to(
+                    np.asarray(sysm.params[e.name]["direction"],
+                               np.float64), (S, 3)).copy(),
+            }
 
         # ---- per-device force data in LOCAL numbering
         shd_params = {}
@@ -324,6 +375,8 @@ class HaloSpmdSystem:
 
         exp_params = {}
         for e in sysm._explicit_list:
+            if e.name in self._wind_names:
+                continue  # handled via wind_shd
             p = {k: np.asarray(v) for k, v in sysm.params[e.name].items()}
             if "indices" in p:
                 nid = new_of_old[p["indices"]]
@@ -363,6 +416,7 @@ class HaloSpmdSystem:
         shd_all = jax.tree_util.tree_map(cast, {
             "params": shd_params, "solver": shd_solver, "u": shd_u,
             "fstate": shd_state, "explicit": exp_params,
+            "windf": wind_shd,
             "sched": {
                 f"s{i}": {"send": s[2], "recv": s[3]}
                 for i, s in enumerate(sched)
@@ -403,6 +457,7 @@ class HaloSpmdSystem:
         S, axis = self.S, self.axis
         sched_meta = list(self._sched_meta)
         scheds = list(self._sched)
+        wind_names = set(self._wind_names)
 
         def shard_step(state, shd):
             loc = jax.tree_util.tree_map(lambda a: a[0], shd)
@@ -452,8 +507,41 @@ class HaloSpmdSystem:
             def pdot(a, b):
                 return jax.lax.psum(jnp.vdot(a, b), axis)
 
-            # explicit kick (row-local by construction)
+            # explicit kicks (in declaration order, like System.step)
             for e in explicit:
+                if e.name in wind_names:
+                    # Wejchert-Haumann face drag (ExplicitForce.cpp:
+                    # 42-98): gather x/v through the halo, compute the
+                    # per-face force on OWNED faces, scatter 3 equal
+                    # vertex rows through the incidence, reverse-combine
+                    # ghost partials into their owners
+                    wf = loc["windf"][e.name]
+                    xbuf = refresh(x_loc)
+                    vbuf = refresh(valid * v_loc)
+                    tri = wf["tris"]
+                    p3 = xbuf[tri]            # (Ft,3,3)
+                    tv = vbuf[tri]
+                    curr_v = jnp.mean(tv, axis=1)
+                    v_r = curr_v - wf["direction"]
+                    nrm = jnp.cross(p3[:, 1] - p3[:, 0],
+                                    p3[:, 2] - p3[:, 0])
+                    n_len = jnp.linalg.norm(nrm, axis=1, keepdims=True)
+                    normal = nrm / jnp.where(n_len > 0, n_len, 1.0)
+                    area = 0.5 * n_len[:, 0]
+                    v_n = jnp.einsum("fj,fj->f", normal, v_r)
+                    force = (
+                        -e.ALPHA_N * (area * v_n * jnp.abs(v_n)
+                                      * wf["scale"])[:, None] * normal
+                    ) * (0.33 * dt)
+                    contrib = jnp.broadcast_to(
+                        force[:, None, :], tri.shape[:2] + (3,)
+                    ).reshape(-1, 3)
+                    flat = jnp.concatenate(
+                        [contrib, jnp.zeros((1, 3), dtp)], 0
+                    )
+                    dv = combine(jnp.sum(flat[wf["inc"]], axis=1))
+                    v_loc = v_loc + dv
+                    continue
                 p = loc["explicit"][e.name]
                 d = p["direction"]
                 if "indices" in p:

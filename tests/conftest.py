@@ -75,10 +75,15 @@ jax.config.update("jax_enable_x64", True)
 
 
 def pytest_configure(config):
-    # test tiering: the full suite is dominated by interpret-mode pallas
-    # at scale (the 50k-tet SPMD parity runs and 100k-shape kernel
-    # oracles). The round driver runs everything; the dev loop is
-    #   pytest -m "not slow"   (< ~10 min)
+    # test tiering (three levels; timings on this 4-core host with 8
+    # virtual devices):
+    #   make test          everything incl. slow           (~45 min)
+    #   make test-default  -m "not slow"                   (~30 min)
+    #   make test-smoke    core solver/parity/scene/live   (~5 min)
+    # 'slow' marks the interpret-mode-at-scale runs (50k-tet SPMD
+    # parity, 100k-shape kernel oracles, >60 s singles). The round
+    # driver runs everything; the dev loop is test-smoke + the files
+    # you touched.
     config.addinivalue_line(
         "markers",
         "slow: interpret-mode-at-scale tests; deselect with -m 'not slow'",

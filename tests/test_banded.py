@@ -211,6 +211,7 @@ def test_banded_rollout_windows_match_steps():
                                rtol=1e-12, atol=1e-14)
 
 
+@pytest.mark.slow
 def test_banded_halves_equivalent():
     """Row-half chunking of the local-step body (the VMEM-stack fix for
     100k-scale meshes) computes the same physics: elements are
@@ -263,6 +264,7 @@ def test_banded_set_positions_roundtrip():
     np.testing.assert_allclose(s.x, ref.x, rtol=1e-6, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_banded_in_kernel_primal_residuals():
     """collect_residuals='primal' keeps the banded fast path engaged and
     emits the per-iteration primal residual ||W(Dx-z)|| in-kernel; it
@@ -352,6 +354,7 @@ def test_place_elements_distinct_lanes():
         assert rank[e] <= pos + MAX_OPEN * 128
 
 
+@pytest.mark.slow
 def test_banded_in_kernel_dual_residuals():
     """collect_residuals=True now keeps the banded fast path engaged and
     emits BOTH residuals in-kernel: the primal ||W(Dx-z)|| and the dual

@@ -125,21 +125,41 @@ def test_halo_residual_collection():
     np.testing.assert_allclose(rd, rd_ref, rtol=1e-6, atol=1e-10)
 
 
-def test_halo_rejects_wind():
-    _need_devices(2)
-    beam = make_beam_tets(4, 3, 3)
-    n = beam.n_vertices
-    s = System(Settings(timestep_s=0.04, admm_iters=2, verbose=0,
-                        dtype=F64, global_solver="ell", cg_fixed_iters=5))
-    s.add_nodes(beam.vertices, np.full(n, 1.0 / n))
+def test_halo_wind_parity():
+    """WindForce (face-based, the one non-row-local explicit kick)
+    rides the ghost machinery: face gather + reverse-combined vertex
+    scatter. Full trajectory parity vs the general path."""
+    _need_devices(4)
     from admm_elastic_tpu.geometry.tetmesh import surface_faces
 
-    s.add_force(LinearTetStrain(beam.tets, stiffness=1e3))
-    s.add_explicit_force(WindForce(surface_faces(beam.tets),
-                                   direction=(1, 0, 0)))
-    assert s.initialize()
-    with pytest.raises(ValueError, match="WindForce"):
-        HaloSpmdSystem(s, jax.make_mesh((2,), ("elem",)))
+    def build():
+        beam = make_beam_tets(10, 5, 5)
+        n = beam.n_vertices
+        s = System(Settings(timestep_s=0.04, admm_iters=4, verbose=0,
+                            dtype=F64, global_solver="ell",
+                            cg_fixed_iters=12))
+        s.add_nodes(beam.vertices, np.full(n, 5.0 / n))
+        s.add_force(StaticAnchor(
+            np.flatnonzero(beam.vertices[:, 0] < 1e-9)))
+        s.add_force(LinearTetStrain(beam.tets, stiffness=1e4))
+        s.add_explicit_force(ExplicitForce(direction=(0, -9.8, 0)))
+        s.add_explicit_force(WindForce(surface_faces(beam.tets),
+                                       direction=(2.0, 0, 0.5)))
+        assert s.initialize()
+        return s
+
+    ref = build()
+    spmd = HaloSpmdSystem(build(), jax.make_mesh((4,), ("elem",)))
+    # 3 steps: single-step parity is ~1e-14; by step 4 a strain-limit
+    # clamp branch flips on the reordered round-off and amplifies to
+    # ~3e-7 (chaotic divergence of identical physics, not an error)
+    for _ in range(3):
+        ref.step()
+        spmd.step()
+    err = np.abs(np.asarray(ref.state["x"]) - spmd.x).max()
+    assert err < 1e-9, err
+    # the wind genuinely acted (x-drift beyond gravity sag)
+    assert np.asarray(ref.state["v"])[:, 0].max() > 1e-3
 
 
 def test_measured_comm_no_fat_collectives():

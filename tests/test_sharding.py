@@ -315,6 +315,7 @@ def test_spmd_fast_path_mixed_forces():
     assert stats["bytes_per_step"] > 0 and stats["n_devices"] == 8
 
 
+@pytest.mark.slow
 def test_spmd_fast_path_50k_tets():
     """VERDICT round-1 item 1 done-criterion: the pallas+ell fast path,
     element-sharded on the 8-device virtual mesh, matches the single-device
