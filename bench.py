@@ -88,8 +88,9 @@ def build_tet100k(dtype, admm_iters=10, local_backend="xla", global_solver="dia"
         # residual to ~0.1% of its start. NOT exact-solve-matched at this
         # scale (the floor grows with mesh diameter — worst ratio 13.5x vs
         # a 1e-13 solve, docs/PERFORMANCE.md "Matched-residual solves");
-        # matched configurations: --cg-iters 100 (8.5 ms, ratio 1.003) or
-        # --amg (in-kernel multigrid, 10.6 ms, scale-robust)
+        # matched configurations: --cg-iters 75 (ratio 1.022 worst over
+        # 8 f64 steps at full scale; the round-4 budget study) or
+        # --amg (in-kernel multigrid, scale-robust)
         cg_fixed_iters=cg_iters if cg_iters else (6 if amg else 25),
         preconditioner="amg" if amg else "jacobi",
         cg_backend=cg_backend,
@@ -215,7 +216,10 @@ def build_cloth100k(dtype, admm_iters=10, fast_path=True, residuals=False,
     sys = System(Settings(
         timestep_s=0.04, admm_iters=admm_iters, verbose=0, dtype=dtype,
         global_solver="dia",
-        cg_fixed_iters=(cg_iters or (10 if amg else 25)),
+        # --amg: 8 fixed vcycle-PCG iterations — matched at full scale
+        # (f64 ratio 1.000 at 40x30/80x60; on-chip 226x226 cross-check
+        # vs the cg300 matched Jacobi budget: worst 1.030 over 10 steps)
+        cg_fixed_iters=(cg_iters or (8 if amg else 25)),
         cg_backend="fused",
         preconditioner=("amg" if amg else "jacobi"),
         lattice_fast_path=fast_path,
@@ -717,12 +721,14 @@ def main():
 
         if args.cg_iters is None and not args.amg and args.lattice:
             # default driver invocation: BOTH rows — the unmatched cg25
-            # speed row first, then the exact-solve-MATCHED cg100 config
-            # (worst residual ratio 1.003 vs the reference's prefactored
-            # LDLT at 100k-beam scale; docs/PERFORMANCE.md) as the
-            # primary metric on the LAST line
+            # speed row first, then the exact-solve-MATCHED cg75 config
+            # (worst residual ratio 1.022 over 8 f64 steps vs the
+            # reference's prefactored-LDLT-equivalent exact solve at the
+            # full 100k-beam scale; cg70=1.027, cg60 drifts to 1.38 —
+            # docs/PERFORMANCE.md round-4 budget study) as the primary
+            # metric on the LAST line
             run_config(25, False, base_metric + "_unmatched")
-            run_config(100, False, base_metric)
+            run_config(75, False, base_metric)
         else:
             run_config(args.cg_iters, args.amg, base_metric)
     elif args.preset == "cloth100k":
