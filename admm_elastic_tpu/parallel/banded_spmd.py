@@ -488,6 +488,39 @@ class ShardedBandedStepper:
 
     # ------------------------------------------------------------- stats
 
+    def detach(self):
+        """Write the sharded slab/chunk state back into the wrapped
+        single-device BandedStepper (x, v, anchor/collision duals,
+        per-chunk element duals, t) so its plane-checkpointing and
+        single-device stepping continue exactly from here. Returns the
+        base stepper."""
+        base = self.base
+        D, H, Rloc, Lr = self.D, self.H, self.Rloc, self.Lr
+
+        def unslab(planes, n_planes):
+            a = np.asarray(planes).reshape(D, n_planes, Lr, LANES)
+            owned = a[:, :, H:H + Rloc]          # (D, P, Rloc, 128)
+            full = owned.transpose(1, 0, 2, 3).reshape(
+                n_planes, D * Rloc, LANES
+            )
+            return full[:, :base.Nr].reshape(n_planes * base.Nr, LANES)
+
+        d_l = np.asarray(self.state["d"])        # (D, C, planes, 128)
+        d_g = np.array(np.asarray(base.state["d"]))
+        for dev, ids in enumerate(self._chunk_of):
+            for j, cid in enumerate(ids):
+                d_g[cid] = d_l[dev, j]
+        dt_ = base.dtype
+        base.state = {
+            "x": jnp.asarray(unslab(self.state["x"], 3), dt_),
+            "v": jnp.asarray(unslab(self.state["v"], 3), dt_),
+            "ancu": jnp.asarray(unslab(self.state["ancu"], 3), dt_),
+            "colu": jnp.asarray(unslab(self.state["colu"], 3), dt_),
+            "d": jnp.asarray(d_g, dt_),
+            "t": jnp.asarray(np.asarray(self.state["t"]), dt_),
+        }
+        return base
+
     def measured_comm(self):
         """Collective inventory of the COMPILED step program (post-GSPMD
         HLO), via parallel.comm. Static per-op byte sizes: ops inside the

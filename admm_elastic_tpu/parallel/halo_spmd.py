@@ -173,6 +173,7 @@ class HaloSpmdSystem:
                 ghost_sets[d].update(int(g) for g in off)
             wind_meta.append((e, tris, per_dev))
 
+        self._own_elems = own_elems  # force name -> [ids per device]
         ghosts = [np.array(sorted(g), np.int64) for g in ghost_sets]
         G = max((len(g) for g in ghosts), default=0)
         G = max(_round_up(G, 8), 8)
@@ -708,6 +709,52 @@ class HaloSpmdSystem:
         n = self.system.n_nodes
         flat = np.asarray(a).reshape(self.S * self._nb, 3)[:n]
         return flat[self._new_of_old]
+
+    def detach(self):
+        """Write the sharded state back into the wrapped System's state
+        (positions, velocities, time, duals, per-force warm starts), so
+        the System's checkpoint/save machinery (utils/checkpoint.py) and
+        single-device stepping continue EXACTLY from here — multi-chip
+        checkpoint/resume rides the existing path. Returns the System."""
+        import jax
+
+        sysm = self.system
+        dtype = sysm.settings.dtype
+        state = dict(sysm.state)
+        state["x"] = jnp.asarray(self.x, dtype)
+        state["v"] = jnp.asarray(self.v, dtype)
+        state["t"] = jnp.asarray(np.asarray(self.state["t"]), dtype)
+        u_all = {}
+        f_all = {}
+        for f in self._force_list:
+            is_pallas = getattr(f, "backend", "xla") == "pallas"
+            per_dev = self._own_elems[f.name]
+            u_shd = np.asarray(self.shd["u"][f.name])
+            u_g = np.array(np.asarray(sysm.state["u"][f.name]))
+            st_g = {k: np.array(np.asarray(v))
+                    for k, v in sysm.state["forces"][f.name].items()}
+            st_shd = {k: np.asarray(v)
+                      for k, v in self.shd["fstate"][f.name].items()}
+            for d, ix in enumerate(per_dev):
+                if not len(ix):
+                    continue
+                if is_pallas:
+                    u_g[:, ix] = u_shd[d][:, :len(ix)]
+                else:
+                    u_g[ix] = u_shd[d][:len(ix)]
+                for k, v in st_g.items():
+                    if k == "sigma" and is_pallas:
+                        v[:, ix] = st_shd[k][d][:, :len(ix)]
+                    elif v.ndim >= 1 and v.shape[0] == f.n_elements:
+                        v[ix] = st_shd[k][d][:len(ix)]
+            u_all[f.name] = jnp.asarray(u_g, dtype)
+            f_all[f.name] = jax.tree_util.tree_map(
+                lambda a: jnp.asarray(a), st_g
+            )
+        state["u"] = u_all
+        state["forces"] = f_all
+        sysm.state = state
+        return sysm
 
     # -------------------------------------------------------------- stats
 

@@ -186,3 +186,24 @@ def test_sharded_100k_parity_8dev():
     # O(n)-free traffic: < 5 MB/step at 100k tets (the replicated
     # design moved ~0.5 MB per CG iteration at this scale)
     assert stats["bytes_per_step"] < 5 * 2**20
+
+
+def test_sharded_detach_resume():
+    """detach() maps the slab/chunk state back into the single-device
+    whole-timestep stepper: continuing there tracks continuing sharded."""
+    _need_devices(4)
+    a = _build(admm_iters=4, cg=10)._lattice
+    b = _build(admm_iters=4, cg=10)._lattice
+    spmd = ShardedBandedStepper(
+        b, jax.make_mesh((4,), ("elem",)), backend="xla"
+    )
+    for _ in range(3):
+        a.step()
+        spmd.step()
+    base = spmd.detach()
+    # detach is a pure relayout: bitwise-equal to the sharded state
+    np.testing.assert_array_equal(base.x, spmd.x)
+    for _ in range(3):
+        a.step()
+        base.step()
+    assert np.abs(base.x - a.x).max() < 1e-8

@@ -239,3 +239,82 @@ def test_halo_50k_multistep_parity():
     # O(cut) traffic at scale: the exchange rows stay a tiny fraction of n
     stats = spmd.comm_stats()
     assert stats["exchange_rows"] < ref.n_nodes / 10
+
+
+def test_halo_delaunay_topology():
+    """ARBITRARY topology (Delaunay tetrahedralization, no lattice
+    structure in any numbering) through the boundary-halo sharding:
+    coordinate-slab partition + ghost sets work on unstructured meshes,
+    and traffic stays O(cut)."""
+    _need_devices(4)
+    from scipy.spatial import Delaunay
+
+    rng = np.random.default_rng(0)
+    gx, gy, gz = np.meshgrid(np.arange(10), np.arange(5), np.arange(5),
+                             indexing="ij")
+    pts = np.stack([gx, gy, gz], -1).reshape(-1, 3).astype(np.float64)
+    pts += rng.uniform(-0.3, 0.3, pts.shape)
+    pts *= 0.05
+    tets = Delaunay(pts).simplices
+    pp = pts[tets]
+    emax = np.linalg.norm(pp[:, :, None, :] - pp[:, None, :, :],
+                          axis=-1).max(axis=(1, 2))
+    tets = tets[emax < 0.11]
+    v6 = np.linalg.det(pts[tets][:, 1:] - pts[tets][:, :1])
+    tets[v6 < 0] = tets[v6 < 0][:, [0, 2, 1, 3]]
+
+    def build():
+        s = System(Settings(timestep_s=0.04, admm_iters=4, verbose=0,
+                            dtype=F64, global_solver="ell",
+                            cg_fixed_iters=12))
+        n = len(pts)
+        s.add_nodes(pts, np.full(n, 5.0 / n))
+        s.add_force(StaticAnchor(
+            np.flatnonzero(pts[:, 0] < pts[:, 0].min() + 0.025)))
+        s.add_force(HyperElasticTet(tets, mu=1e5, lam=1e5, max_iters=5,
+                                    model="nh"))
+        s.add_explicit_force(ExplicitForce(direction=(0, -9.8, 0)))
+        assert s.initialize()
+        return s
+
+    ref = build()
+    spmd = HaloSpmdSystem(build(), jax.make_mesh((4,), ("elem",)))
+    for _ in range(4):
+        ref.step()
+        spmd.step()
+    err = np.abs(np.asarray(ref.state["x"]) - spmd.x).max()
+    assert err < 1e-8, err
+    assert spmd.comm_stats()["exchange_rows"] < ref.n_nodes
+
+
+def test_halo_detach_checkpoint_resume():
+    """Multi-chip checkpoint/resume: detach() writes the FULL sharded
+    state (x, v, t, duals, warm starts) back into the wrapped System;
+    single-device stepping continues exactly, and the existing
+    utils/checkpoint round-trips it."""
+    _need_devices(4)
+    from admm_elastic_tpu.utils import load_state, save_state
+
+    ref = _build(admm_iters=5, cg=12)
+    spmd = HaloSpmdSystem(_build(admm_iters=5, cg=12),
+                          jax.make_mesh((4,), ("elem",)))
+    for _ in range(3):
+        ref.step()
+        spmd.step()
+    sysm = spmd.detach()
+    assert abs(float(sysm.state["t"]) - 3 * 0.04) < 1e-12
+    # checkpoint through the existing machinery
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "ck.npz")
+        save_state(p, sysm.state)
+        sysm.state = load_state(p, dtype=sysm.settings.dtype,
+                                like=sysm.state)
+    # continue BOTH on the single-device general path: trajectories must
+    # track (duals/warm starts carried over, not just positions)
+    for _ in range(3):
+        ref.step()
+        sysm.step()
+    err = np.abs(np.asarray(ref.state["x"])
+                 - np.asarray(sysm.state["x"])).max()
+    assert err < 1e-8, err
