@@ -318,3 +318,39 @@ def test_halo_detach_checkpoint_resume():
     err = np.abs(np.asarray(ref.state["x"])
                  - np.asarray(sysm.state["x"])).max()
     assert err < 1e-8, err
+
+
+def test_halo_cloth_scene_windyflag_physics():
+    """The full windyflag physics stack (sym-plane cloth: strain limiting
+    + bending + pins + gravity + wind) element-shards through the halo
+    path — multi-chip cloth without a sharded form of the fused cloth
+    kernel (which stays the single-chip speed king)."""
+    _need_devices(4)
+    from admm_elastic_tpu.geometry import extract_hinges, make_sym_plane
+    from admm_elastic_tpu.models import Bend, LimitedTriangleStrain
+
+    mesh = make_sym_plane(10, 7)
+
+    def build():
+        n = mesh.n_vertices
+        s = System(Settings(timestep_s=0.04, admm_iters=8, verbose=0,
+                            dtype=F64, global_solver="ell",
+                            cg_fixed_iters=20))
+        s.add_nodes(mesh.vertices, np.full(n, 0.5 / n))
+        s.add_force(LimitedTriangleStrain(mesh.faces, 100.0, 0.95, 1.05))
+        s.add_force(Bend(extract_hinges(mesh.faces), 20.0))
+        s.add_force(StaticAnchor([0, 7]))
+        s.add_explicit_force(ExplicitForce(direction=(0, -9.8, 0)))
+        s.add_explicit_force(WindForce(mesh.faces, direction=(1.5, 0, 0.4)))
+        assert s.initialize()
+        return s
+
+    ref = build()
+    spmd = HaloSpmdSystem(build(), jax.make_mesh((4,), ("elem",)))
+    for _ in range(3):
+        ref.step()
+        spmd.step()
+    err = np.abs(np.asarray(ref.state["x"]) - spmd.x).max()
+    assert err < 1e-9, err
+    # the flag moved under wind+gravity
+    assert np.abs(spmd.x - mesh.vertices).max() > 1e-3
