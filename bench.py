@@ -606,6 +606,51 @@ def bench_sharded_halo(dtype, n_dev=8, steps=3):
     return stats, err, beam.n_tets
 
 
+def bench_sharded_cloth(dtype, n_dev=8, steps=3):
+    """The sharded CLOTH whole-timestep path on the virtual mesh:
+    D=8 vs D=1 of the same decomposition (full windyflag physics), plus
+    the O(halo-lanes) comm volume."""
+    import jax
+    import jax.numpy as jnp
+
+    from admm_elastic_tpu import Settings, System
+    from admm_elastic_tpu.geometry import extract_hinges, make_sym_plane
+    from admm_elastic_tpu.models import (
+        Bend, ExplicitForce, LimitedTriangleStrain, StaticAnchor, WindForce,
+    )
+    from admm_elastic_tpu.parallel.cloth_spmd import (
+        ShardedClothStepper, sharded_cloth_from_system,
+    )
+
+    mesh = make_sym_plane(40, 30)
+
+    def build():
+        n = mesh.n_vertices
+        s = System(Settings(timestep_s=0.04, admm_iters=10, verbose=0,
+                            dtype=dtype, global_solver="dia",
+                            cg_fixed_iters=25, lattice_fast_path=True))
+        s.add_nodes(mesh.vertices, np.full(n, 0.5 / n))
+        s.add_force(LimitedTriangleStrain(mesh.faces, 100.0, 0.95, 1.05))
+        s.add_force(Bend(extract_hinges(mesh.faces), 20.0))
+        s.add_force(StaticAnchor([0, 30]))
+        s.add_explicit_force(ExplicitForce(direction=(0, -9.8, 0)))
+        s.add_explicit_force(WindForce(mesh.faces, direction=(1.5, 0, .4)))
+        assert s.initialize() and s._lattice is not None
+        return s
+
+    import jax
+
+    s1 = ShardedClothStepper(build()._lattice, jax.make_mesh((1,), ("elem",)))
+    s8, _ = sharded_cloth_from_system(build(), jax.make_mesh((n_dev,), ("elem",)))
+    for _ in range(steps):
+        s1.step()
+        s8.step()
+    err = float(np.abs(s8.x - s1.x).max())
+    scale = max(float(np.abs(s1.x).max()), 1.0)
+    assert err < 1e-3 * scale, f"sharded cloth parity failed: {err}"
+    return s8.comm_stats(), err, mesh.n_faces
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default="tet100k")
@@ -656,7 +701,8 @@ def main():
                          "Overrides --lattice/--global-solver")
     args = ap.parse_args()
 
-    if args.preset in ("sharded", "sharded_banded", "sharded_halo") and \
+    if args.preset in ("sharded", "sharded_banded", "sharded_halo",
+                   "sharded_cloth") and \
             "force_host_platform" not in os.environ.get("XLA_FLAGS", ""):
         # the sharded harness needs a multi-device mesh; re-exec onto an
         # 8-virtual-device CPU backend (the real environment has 1 chip)
@@ -844,6 +890,25 @@ def main():
                     "value": round(ms * 1e3, 3),
                     "unit": "ms",
                     "vs_baseline": vs,
+                }
+            )
+        )
+    elif args.preset == "sharded_cloth":
+        stats, err, n_tris = bench_sharded_cloth(dtype)
+        print(
+            f"# sharded_cloth: {n_tris} tris on {stats['n_devices']} "
+            f"devices, parity err {err:.2e}, halo {stats['halo_lanes']} "
+            f"lanes, {stats['bytes_per_cg_iter']} comm bytes/CG iter "
+            "(O(halo), independent of N)",
+            file=sys.stderr,
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "sharded_cloth_comm_bytes_per_step",
+                    "value": stats["bytes_per_step"],
+                    "unit": "bytes",
+                    "vs_baseline": 1.0,
                 }
             )
         )
