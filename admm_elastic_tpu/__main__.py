@@ -25,6 +25,12 @@ def main(argv=None):
                     help="record an interactive HTML viewer (one file, "
                          "orbit/zoom/play controls; frames every --every "
                          "steps) instead of the plain stepping loop")
+    ap.add_argument("--sharded", type=int, default=None, metavar="N",
+                    help="run the scene element-sharded over N devices "
+                         "(boundary-halo O(cut) exchange, "
+                         "parallel.halo_spmd). Needs N visible devices "
+                         "— on a CPU host set XLA_FLAGS="
+                         "--xla_force_host_platform_device_count=N")
     ap.add_argument("--live", type=int, default=None, metavar="PORT",
                     help="serve the LIVE simulation on this port "
                          "(browser: orbit/zoom, shift-drag grabs "
@@ -49,6 +55,61 @@ def main(argv=None):
         lv.serve(port=args.live,
                  max_steps=args.steps if args.steps > 0 else None)
         return 0
+    if args.sharded:
+        import jax
+
+        if len(jax.devices()) < args.sharded:
+            ap.error(
+                f"--sharded {args.sharded}: only {len(jax.devices())} "
+                "devices visible (set XLA_FLAGS="
+                f"--xla_force_host_platform_device_count={args.sharded} "
+                "for a virtual CPU mesh)"
+            )
+        if args.live is not None or args.viewer:
+            ap.error("--sharded cannot be combined with --live/--viewer")
+        # the halo path needs an iterative global solve
+        if ctx.system.settings.global_solver in ("auto", "dense"):
+            ctx.system.settings.global_solver = "ell"
+        ctx.system.settings.lattice_fast_path = False
+        ctx.initialize()
+        from .parallel.halo_spmd import HaloSpmdSystem
+
+        spmd = HaloSpmdSystem(
+            ctx.system, jax.make_mesh((args.sharded,), ("elem",))
+        )
+        import numpy as np
+
+        for i in range(args.steps):
+            spmd.step()
+            if (args.export or args.render) and i % args.every == 0:
+                spmd.detach()
+                ctx.update()
+                if args.export:
+                    ctx.export_obj(args.export, i)
+                if args.render:
+                    import os
+
+                    from .viz import render_frame
+
+                    render_frame(ctx.objects, os.path.join(
+                        args.render, f"frame_{i:05d}.png"))
+        spmd.detach()
+        ctx.update()
+        x = ctx.system.x
+        stats = spmd.comm_stats()
+        print(
+            f"done (sharded x{args.sharded}): {args.steps} steps, "
+            f"finite={bool(np.isfinite(x).all())}, "
+            f"{stats['exchange_rows']} exchange rows, "
+            f"{stats['bytes_per_cg_iter']} comm bytes/CG-iter"
+        )
+        if args.checkpoint:
+            from .utils import save_state
+
+            save_state(args.checkpoint, ctx.system.state)
+            print(f"checkpoint: {args.checkpoint}")
+        return 0
+
     ctx.initialize()
 
     if args.resume:

@@ -710,12 +710,28 @@ class HaloSpmdSystem:
         flat = np.asarray(a).reshape(self.S * self._nb, 3)[:n]
         return flat[self._new_of_old]
 
-    def detach(self):
+    def refresh_params(self):
+        """After runtime force edits on the wrapped System
+        (`set_force_param` / `set_force_state` — the poordillo
+        grab/release pattern, System.cpp:159-179): re-slice parameter
+        values, re-assemble the sharded operator (A_hat ELL, weights,
+        exchange schedules), and rebuild the step, carrying the live
+        x/v/t/duals over from the sharded state. The System's `params`
+        and `state['forces']` are authoritative (user-edited); duals and
+        kinematic state come from the wrapper. Host-side rebuild, like
+        the reference's re-factorization."""
+        self.detach(sync_fstate=False)
+        self._build()
+
+    def detach(self, sync_fstate: bool = True):
         """Write the sharded state back into the wrapped System's state
         (positions, velocities, time, duals, per-force warm starts), so
         the System's checkpoint/save machinery (utils/checkpoint.py) and
         single-device stepping continue EXACTLY from here — multi-chip
-        checkpoint/resume rides the existing path. Returns the System."""
+        checkpoint/resume rides the existing path. Returns the System.
+
+        sync_fstate=False leaves `state['forces']` untouched (used by
+        refresh_params, where user edits there are authoritative)."""
         import jax
 
         sysm = self.system
@@ -742,17 +758,21 @@ class HaloSpmdSystem:
                     u_g[:, ix] = u_shd[d][:, :len(ix)]
                 else:
                     u_g[ix] = u_shd[d][:len(ix)]
+                if not sync_fstate:
+                    continue
                 for k, v in st_g.items():
                     if k == "sigma" and is_pallas:
                         v[:, ix] = st_shd[k][d][:, :len(ix)]
                     elif v.ndim >= 1 and v.shape[0] == f.n_elements:
                         v[ix] = st_shd[k][d][:len(ix)]
             u_all[f.name] = jnp.asarray(u_g, dtype)
-            f_all[f.name] = jax.tree_util.tree_map(
-                lambda a: jnp.asarray(a), st_g
-            )
+            if sync_fstate:
+                f_all[f.name] = jax.tree_util.tree_map(
+                    lambda a: jnp.asarray(a), st_g
+                )
         state["u"] = u_all
-        state["forces"] = f_all
+        if sync_fstate:
+            state["forces"] = f_all
         sysm.state = state
         return sysm
 

@@ -149,3 +149,24 @@ def test_html_viewer_export(tmp_path):
     # the embedded script carries the interaction surface
     for token in ("webgl2", "ArrowRight", "onwheel", "requestAnimationFrame"):
         assert token in html, token
+
+
+def test_cli_sharded_runner(tmp_path):
+    """`--sharded N`: the scene runs element-sharded (halo path) from
+    the CLI on a virtual device mesh, with checkpointing through
+    detach()."""
+    env = dict(os.environ)
+    env.update(PYTHONPATH=REPO, JAX_PLATFORMS="cpu", _AET_CLEAN_ENV="1",
+               XLA_FLAGS="--xla_force_host_platform_device_count=4")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    ck = str(tmp_path / "ck.npz")
+    r = subprocess.run(
+        [sys.executable, "-m", "admm_elastic_tpu", SCENE, "--steps", "3",
+         "--sharded", "4", "--checkpoint", ck, "-it", "5"],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "done (sharded x4): 3 steps" in r.stdout
+    assert "finite=True" in r.stdout
+    data = np.load(ck)
+    assert "x" in data.files and data["x"].shape[1] == 3

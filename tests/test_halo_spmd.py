@@ -354,3 +354,65 @@ def test_halo_cloth_scene_windyflag_physics():
     assert err < 1e-9, err
     # the flag moved under wind+gravity
     assert np.abs(spmd.x - mesh.vertices).max() > 1e-3
+
+
+def test_halo_refresh_params_grab_release():
+    """The poordillo runtime-edit flow MULTI-CHIP: move a MovingAnchor's
+    control points, then release it (weight-zero + recompute), with
+    refresh_params() re-assembling the sharded operator each time.
+    Trajectory parity vs the general path doing the identical edits."""
+    _need_devices(4)
+    from admm_elastic_tpu.models import MovingAnchor
+
+    def build():
+        beam = make_beam_tets(8, 4, 4)
+        n = beam.n_vertices
+        s = System(Settings(timestep_s=0.04, admm_iters=4, verbose=0,
+                            dtype=F64, global_solver="ell",
+                            cg_fixed_iters=12))
+        s.add_nodes(beam.vertices, np.full(n, 5.0 / n))
+        s.add_force(StaticAnchor(np.flatnonzero(beam.vertices[:, 0] < 1e-9)))
+        s.add_force(HyperElasticTet(beam.tets, mu=1e5, lam=1e5,
+                                    max_iters=5, model="nh"))
+        grab_ids = np.flatnonzero(beam.vertices[:, 0] > 7.999)
+        grab = s.add_force(MovingAnchor(grab_ids, weight=500.0))
+        s.add_explicit_force(ExplicitForce(direction=(0, -9.8, 0)))
+        assert s.initialize()
+        return s, grab, grab_ids
+
+    ref, g_ref, ids = build()
+    sys2, g_spmd, _ = build()
+    spmd = HaloSpmdSystem(sys2, jax.make_mesh((4,), ("elem",)))
+
+    def edit(sysm, grab, pos=None, release=False):
+        if pos is not None:
+            sysm.set_force_state(grab, "pos", pos)
+        if release:
+            sysm.set_force_param(grab, "weight", np.zeros(len(ids)))
+            sysm.set_force_state(grab, "active",
+                                 np.zeros(len(ids), bool))
+            sysm.recompute_weights()
+
+    for _ in range(2):
+        ref.step()
+        spmd.step()
+    # drag the grabbed face upward
+    new_pos = np.asarray(ref.state["forces"][g_ref.name]["pos"]) \
+        + np.array([0.0, 0.5, 0.0])
+    edit(ref, g_ref, pos=new_pos)
+    edit(sys2, g_spmd, pos=new_pos)
+    spmd.refresh_params()
+    for _ in range(2):
+        ref.step()
+        spmd.step()
+    # the drag actually pulled the grabbed vertices up
+    assert np.asarray(ref.state["x"])[ids, 1].mean() > 0.1
+    # release
+    edit(ref, g_ref, release=True)
+    edit(sys2, g_spmd, release=True)
+    spmd.refresh_params()
+    for _ in range(3):
+        ref.step()
+        spmd.step()
+    err = np.abs(np.asarray(ref.state["x"]) - spmd.x).max()
+    assert err < 1e-8, err
