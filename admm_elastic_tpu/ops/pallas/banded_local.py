@@ -184,7 +184,8 @@ def _anchor_coll_body(x3, au3, cu3, aw2, ancz3, vmask, coll_shapes,
     au_new = []
     for a in range(3):
         dlt = x3[a] - ancz3[a]
-        au = au3[a] + dlt
+        # gated: non-anchor rows otherwise accumulate x - ancz forever
+        au = jnp.where(aw2 > 0, au3[a] + dlt, 0.0)
         au_new.append(au)
         b_add.append(aw2 * (ancz3[a] - au))
         if collect:

@@ -248,8 +248,13 @@ def _make_banded_kernel(Nr, Wr, n_chunks, n_iters, dia_offs, model,
         @pl.when(jnp.logical_and(i == 0, p1 == 0))
         def _prologue():
             mass = plane(p2d_ref, PMASS)
+            # gravity gated to real vertices (mass > 0): pad lanes
+            # otherwise free-fall forever (round-4 soak finding on the
+            # cloth kernel; same pattern here)
             for a in range(3):
-                va = ST[srows(SV + a)] + dt * gvec[a]
+                va = ST[srows(SV + a)] + jnp.where(
+                    mass > 0, dt * gvec[a], 0.0
+                )
                 ST[srows(SV + a)] = va
                 xst = ST[srows(SX + a)]
                 ST[srows(SXT + a)] = xst
@@ -451,7 +456,9 @@ def _make_banded_kernel(Nr, Wr, n_chunks, n_iters, dia_offs, model,
             for a in range(3):
                 ancz = plane(p2d_ref, PANCZ + a)
                 dlt = ST[srows(SX + a)] - ancz  # = au' - au
-                au = ST[srows(SAU + a)] + dlt
+                # gated: non-anchor lanes otherwise accumulate x - ancz
+                # forever (unbounded dual state; round-4 soak fix class)
+                au = jnp.where(aw2 > 0, ST[srows(SAU + a)] + dlt, 0.0)
                 ST[srows(SAU + a)] = au
                 ST[srows(SB + a)] += aw2 * (ancz - au)
                 if collect_dual:

@@ -147,9 +147,15 @@ def _make_cloth_kernel(N, groups, wind_groups, dia_offs, cg_iters, dt, dt2,
         # kick, wind kick, xbar = x + dt v'
         @pl.when(jnp.logical_and(i == 0, p1 == 0))
         def _init():
+            # gravity gated to real vertices (masses > 0): ungated,
+            # the pad lanes free-fall forever (x_pad = g t^2/2 reached
+            # 1.3e4 by step 1300 in the round-4 soak) and feed phantom
+            # element stencils near the array end
             for a in range(3):
                 x_out[a, :] = S[XS + a, :]
-                v_out[a, :] = v_out[a, :] + dt * gvec[a]
+                v_out[a, :] = v_out[a, :] + jnp.where(
+                    masks_ref[1, :] > 0, dt * gvec[a], 0.0
+                )
             # Wejchert-Haumann wind (ExplicitForce.cpp:42-98): per-group
             # triangle force from post-gravity velocities, the same vector
             # added to all 3 corners. All per-corner reads use base-aligned
@@ -266,18 +272,26 @@ def _make_cloth_kernel(N, groups, wind_groups, dia_offs, cg_iters, dt, dt2,
                         sl = slice(h * NC, (h + 1) * NC)
                         f = [S[p, sl] for p in range(6)]
                         z = _tri_body(f, w2, k, lmin, lmax, limiting)
+                        m01 = masks_ref[mrow, sl]
                         if collect:
                             # primal piece sum w2 (u' - u)^2; u' - u =
                             # (f - z) - u_old, u_old still in u_blk
-                            m = masks_ref[mrow, sl]
                             r2 = sum(
-                                jnp.sum(m * (f[p] - z[p] - u_blk[p, sl])
+                                jnp.sum(m01 * (f[p] - z[p] - u_blk[p, sl])
                                         ** 2)
                                 for p in range(6)
                             )
                             racc[0] = racc[0] + w2 * r2
+                        # dual update GATED by element validity: phantom
+                        # bases (mask 0, stencil wrapping across columns)
+                        # otherwise diverge linearly — the strain-limit
+                        # clamp on z breaks the prox contraction, and
+                        # their duals hit f32 overflow in the SVD's
+                        # fourth-power terms after ~1300 steps (round-4
+                        # soak finding; scatter/residuals were always
+                        # gated, so valid physics is bitwise unchanged)
                         for p in range(6):
-                            u_blk[p, sl] = f[p] - z[p]
+                            u_blk[p, sl] = m01 * (f[p] - z[p])
 
                 @pl.when(p1 == 3 * g + 2)
                 def _scatter_tri(g=g, offs=offs, cp6=cp6, w2=w2, mrow=mrow):
@@ -348,6 +362,7 @@ def _make_cloth_kernel(N, groups, wind_groups, dia_offs, cg_iters, dt, dt2,
                     for h in range(NCH):
                         sl = slice(h * NC, (h + 1) * NC)
                         r2 = None
+                        m01 = masks_ref[mrow, sl]
                         for j in range(3):
                             lam = inv_denom * (
                                 arow[0] * S[j, sl]
@@ -359,13 +374,14 @@ def _make_cloth_kernel(N, groups, wind_groups, dia_offs, cg_iters, dt, dt2,
                                 pr = fp - 0.5 * arow[r] * lam
                                 z = (k * pr + w2 * fp) * mix
                                 if collect:
-                                    m = masks_ref[mrow, sl]
                                     t = jnp.sum(
-                                        m * (fp - z - u_blk[3 * r + j, sl])
+                                        m01 * (fp - z
+                                               - u_blk[3 * r + j, sl])
                                         ** 2
                                     )
                                     r2 = t if r2 is None else r2 + t
-                                u_blk[3 * r + j, sl] = fp - z
+                                # gated like the tri dual (see above)
+                                u_blk[3 * r + j, sl] = m01 * (fp - z)
                         if collect:
                             racc[0] = racc[0] + w2 * r2
 
@@ -412,7 +428,7 @@ def _make_cloth_kernel(N, groups, wind_groups, dia_offs, cg_iters, dt, dt2,
             aw2 = masks_ref[ANCHOR_ROW, :]
             for a in range(3):
                 dlt = S[XS + a, :] - ancz_ref[a, :]  # = u' - u
-                ua = ancu_out[a, :] + dlt
+                ua = jnp.where(aw2 > 0, ancu_out[a, :] + dlt, 0.0)
                 ancu_out[a, :] = ua
                 S[BS + a, :] += aw2 * (ancz_ref[a, :] - ua)
                 if collect_dual:

@@ -135,7 +135,10 @@ def _make_lattice_kernel(N, offs, groups, dia_offs, mu, lam, kprox,
         @pl.when(jnp.logical_and(i == 0, p1 == 0))
         def _init():
             for a in range(3):
-                va = v_sc[a, :] + dt * gvec[a]
+                # gravity gated to real vertices (see banded_step.py)
+                va = v_sc[a, :] + jnp.where(
+                    mass_ref[0, :] > 0, dt * gvec[a], 0.0
+                )
                 v_sc[a, :] = va
                 xst = x_s[a, :]
                 xst_s[a, :] = xst
@@ -282,7 +285,11 @@ def _make_lattice_kernel(N, offs, groups, dia_offs, mu, lam, kprox,
         def _solve():
             aw2 = masks_ref[0, :]
             for a in range(3):
-                ua = ancu_s[a, :] + x_s[a, :] - ancz_ref[a, :]
+                # gated like banded_step.py (unbounded non-anchor duals)
+                ua = jnp.where(
+                    aw2 > 0,
+                    ancu_s[a, :] + x_s[a, :] - ancz_ref[a, :], 0.0,
+                )
                 ancu_s[a, :] = ua
                 ancu_out[a, :] = ua
                 b_s[a, :] += aw2 * (ancz_ref[a, :] - ua)

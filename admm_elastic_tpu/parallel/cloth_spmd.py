@@ -274,7 +274,7 @@ class ShardedClothStepper:
             # ---- prologue: park x_pre, gravity, wind, xbar
             x_pre = x
             g3 = jnp.asarray(gvec, dtp)[:, None]
-            v = v + dt * g3
+            v = v + jnp.where(mvec[None] > 0, dt * g3, 0.0)
             if wind_groups:
                 xbuf = refresh(x)
                 vbuf = refresh(v)
@@ -344,7 +344,10 @@ class ShardedClothStepper:
                                         w * xbuf[a, Hf + o:Hf + o + nbf]
                                     )
                         z = _tri_body(f, w2, k, lmin, lmax, lim)
-                        un = [f[p] - z[p] for p in range(6)]
+                        # dual update gated by validity (phantom-base
+                        # divergence — see ops/pallas/cloth_step.py)
+                        m01 = masks[mrow]
+                        un = [m01 * (f[p] - z[p]) for p in range(6)]
                         if collect:
                             m = masks[mrow]
                             racc = racc + w2 * sum(
@@ -411,7 +414,7 @@ class ShardedClothStepper:
                                         m * (fp - z - ug[3 * r + j]) ** 2
                                     )
                                     r2b = t if r2b is None else r2b + t
-                                un[3 * r + j] = fp - z
+                                un[3 * r + j] = masks[mrow] * (fp - z)
                         if collect:
                             racc = racc + w2 * r2b
                         mm = w2 * masks[mrow]
@@ -449,7 +452,7 @@ class ShardedClothStepper:
                 b3 = combine(b)
                 # anchors (row-local)
                 dlt = x - ancz
-                ancu = ancu + dlt
+                ancu = jnp.where(aw2[None] > 0, ancu + dlt, 0.0)
                 b3 = b3 + aw2[None] * (ancz - ancu)
                 if collect:
                     racc = racc + jnp.sum(aw2[None] * dlt * dlt)

@@ -16,7 +16,8 @@ mesh/material/solver configuration).
 Runs on whatever backend JAX selects (the real TPU chip under the driver's
 environment). Usage: python bench.py
 [--preset tet100k|banded100k|delaunay100k|cloth100k|windyflag|dillo|bunny|
- plinko|sweep64|sharded] [--steps N] [--amg] [--cg-iters N]
+ plinko|sweep64|sharded|sharded_banded|sharded_cloth|sharded_halo]
+[--steps N] [--amg] [--cg-iters N]
 """
 
 import argparse

@@ -459,3 +459,44 @@ def test_detect_symplane_positions_rejects():
     bent = m.vertices.copy()
     bent[:, 2] += 0.3 * bent[:, 0] ** 2
     assert detect_symplane_positions(bent) is None
+
+
+def test_cloth_kernel_state_stays_bounded():
+    """Round-4 soak regression: ungated pad-lane gravity made padding
+    free-fall (x_pad = g t^2/2), and ungated dual updates let PHANTOM
+    bases (validity mask 0, stencils wrapping across columns) integrate
+    |Dx| per ADMM iteration — the strain-limit clamp breaks the prox
+    contraction — until the f32 SVD overflowed at |u| ~ 4.3e9 (step
+    ~1317 on chip). With the gates, pads never move and phantom duals
+    stay exactly zero."""
+    from admm_elastic_tpu.geometry import make_sym_plane
+
+    mesh = make_sym_plane(8, 6)
+    n = mesh.n_vertices
+    s = System(Settings(timestep_s=0.04, admm_iters=30, verbose=0,
+                        dtype=jnp.float32, global_solver="dia",
+                        cg_fixed_iters=20, lattice_fast_path=True))
+    s.add_nodes(mesh.vertices, np.full(n, 0.5 / n))
+    s.add_force(LimitedTriangleStrain(mesh.faces, 100.0, 0.95, 1.05))
+    s.add_force(StaticAnchor([0, 6]))
+    s.add_explicit_force(ExplicitForce(direction=(0, -9.8, 0)))
+    assert s.initialize()
+    lat = s._lattice
+    assert lat is not None and lat.model == "cloth"
+    x_pad0 = np.asarray(lat.state["x"])[:, n:].copy()
+    lat.run(20)
+    st = lat.state
+    # pads never move (gravity gated to real vertices)
+    np.testing.assert_array_equal(np.asarray(st["x"])[:, n:], x_pad0)
+    assert np.abs(np.asarray(st["v"])[:, n:]).max() == 0.0
+    # phantom duals exactly zero; valid duals physically bounded
+    u = np.asarray(st["u"])
+    masks = np.asarray(lat._masks)
+    for g, spec in enumerate(lat.groups):
+        mrow = spec[7] if spec[0] == "tri" else spec[5]
+        phantom = masks[mrow] == 0.0
+        assert np.abs(u[g][:, phantom]).max() == 0.0, f"group {g}"
+    assert np.abs(u).max() < 20.0, np.abs(u).max()
+    # non-anchor ancu exactly zero
+    aw2 = masks[0]
+    assert np.abs(np.asarray(st["ancu"])[:, aw2 == 0]).max() == 0.0
