@@ -46,7 +46,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.solver import assemble_A_hat_ell, assemble_transpose_incidence
-from .spmd import _pad_rows, _round_up
+from .spmd import _round_up
 
 
 class HaloSpmdSystem:
