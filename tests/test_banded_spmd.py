@@ -161,6 +161,15 @@ def test_from_system_and_qualification():
     small = sharded_banded_from_system(_build(dims=(6, 4, 4)), mesh)[0]
     assert (spmd.comm_stats()["bytes_per_cg_iter"]
             == small.comm_stats()["bytes_per_cg_iter"])
+    # measured-HLO audit: no collective in the compiled step exceeds a
+    # halo-slab payload (catches silent GSPMD re-replication)
+    from admm_elastic_tpu.parallel.comm import assert_no_fat_collectives
+
+    rep = spmd.measured_comm()
+    assert rep["counts"]
+    stats = spmd.comm_stats()
+    limit = max(stats["halo_rows"] * 128 * 3 * 8 * 4, 65536)
+    assert_no_fat_collectives(rep, limit)
 
 
 @pytest.mark.slow
