@@ -137,3 +137,35 @@ def test_sharded_cloth_from_system_and_comm():
     big = ShardedClothStepper(_build(wh=(20, 7))._lattice, mesh2)
     assert (big.comm_stats()["bytes_per_cg_iter"]
             == spmd.comm_stats()["bytes_per_cg_iter"])
+
+
+@pytest.mark.slow
+def test_sharded_cloth_100k_parity_8dev():
+    """Production-scale evidence: the 225x225 cloth100k workload (101k
+    triangles) sharded over 8 devices vs the D=1 instance of the same
+    decomposition, compiled CPU.
+
+    Depth note: at FULL depth (10 iters, cg25, 3 steps) the psum
+    reduction reorder diverges through the strain-limit clamp branches
+    at ~2000x per step (1.6e-9 -> 3e-6 -> 3e-3 measured) — chaotic
+    amplification of identical physics, the same class as the halo wind
+    test. The parity pin here uses a depth where no clamp branch flips:
+    1.1e-14 measured."""
+    _need_devices(8)
+
+    def mk():
+        return _build(wh=(225, 225), admm_iters=4, cg=12,
+                      wind=False)._lattice
+
+    s1 = ShardedClothStepper(mk(), jax.make_mesh((1,), ("elem",)))
+    s8 = ShardedClothStepper(mk(), jax.make_mesh((8,), ("elem",)))
+    for _ in range(2):
+        s1.step()
+        s8.step()
+    err = np.abs(s1.x - s8.x).max()
+    assert err < 1e-9, err
+    stats = s8.comm_stats()
+    # O(halo-lanes) traffic: ~1.2 MB/step at 101k triangles (456-lane
+    # halo x 13 exchanges x 4 iters) vs ~117 MB for a replicated-vertex
+    # design (2.4 MB full-state gather per CG iteration)
+    assert stats["bytes_per_step"] < 2 * 2**20
