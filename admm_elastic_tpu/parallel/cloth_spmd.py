@@ -185,7 +185,7 @@ class ShardedClothStepper:
         base = self.base
         N, nbf = base.N, self.nbf
 
-        def unslab(a, pdim):
+        def unslab(a):
             a = np.asarray(a)
             flat = np.moveaxis(a, 0, -2).reshape(
                 a.shape[1:-1] + (self.D * nbf,)
@@ -196,10 +196,10 @@ class ShardedClothStepper:
         u_g = u.transpose(1, 2, 0, 3).reshape(
             base.n_groups, 16, self.D * nbf)[..., :N]
         base.state = {
-            "x": jnp.asarray(unslab(self.state["x"], 3), base.dtype),
-            "v": jnp.asarray(unslab(self.state["v"], 3), base.dtype),
+            "x": jnp.asarray(unslab(self.state["x"]), base.dtype),
+            "v": jnp.asarray(unslab(self.state["v"]), base.dtype),
             "u": jnp.asarray(u_g, base.dtype),
-            "ancu": jnp.asarray(unslab(self.state["ancu"], 3),
+            "ancu": jnp.asarray(unslab(self.state["ancu"]),
                                 base.dtype),
             "t": jnp.asarray(np.asarray(self.state["t"]), base.dtype),
         }
