@@ -77,6 +77,19 @@ class _WsClient:
         self.sock.sendall(hdr + mask + masked)
 
 
+def _safe_x(sysm):
+    # Read positions while another thread steps with donated buffers: a
+    # read can land on a just-invalidated array; retry (this is what a
+    # polling client does -- the server itself reads from its own
+    # stepping thread and never races).
+    for _ in range(200):
+        try:
+            return np.asarray(sysm.x)
+        except RuntimeError:
+            time.sleep(0.01)
+    raise RuntimeError("could not read positions")
+
+
 def _wait(cond, timeout=8.0):
     t0 = time.monotonic()
     while time.monotonic() - t0 < timeout:
@@ -115,14 +128,14 @@ def test_live_bridge_grab_drag_release():
         assert op == 2 and len(frame0) == sysm.n_nodes * 12
 
         assert _wait(lambda: lv.frames_sent > 5)
-        x_now = np.asarray(sysm.x)
+        x_now = _safe_x(sysm)
         v = int(np.argmax(x_now[:, 0]))
         target = [float(x_now[v, 0]), float(x_now[v, 1]) + 1.0,
                   float(x_now[v, 2])]
         cl.send({"type": "grab", "id": v, "pos": target})
         cl.send({"type": "drag", "pos": target})
         assert _wait(
-            lambda: np.asarray(sysm.x)[v, 1] > x_now[v, 1] + 0.5, 12.0
+            lambda: _safe_x(sysm)[v, 1] > x_now[v, 1] + 0.5, 12.0
         ), "drag did not pull the grabbed vertex"
         cl.send({"type": "release"})
         assert _wait(lambda: lv._grabbed is None)
