@@ -52,8 +52,20 @@ def main(argv=None):
 
         lv = LiveViewer.for_context(ctx)
         ctx.initialize()
+        if args.resume:
+            from .utils import load_state
+
+            ctx.system.state = load_state(
+                args.resume, dtype=ctx.system.settings.dtype,
+                like=ctx.system.state,
+            )
         lv.serve(port=args.live,
                  max_steps=args.steps if args.steps > 0 else None)
+        if args.checkpoint:
+            from .utils import save_state
+
+            save_state(args.checkpoint, ctx.system.state)
+            print(f"checkpoint: {args.checkpoint}")
         return 0
     if args.sharded:
         import jax
@@ -72,6 +84,13 @@ def main(argv=None):
             ctx.system.settings.global_solver = "ell"
         ctx.system.settings.lattice_fast_path = False
         ctx.initialize()
+        if args.resume:
+            from .utils import load_state
+
+            ctx.system.state = load_state(
+                args.resume, dtype=ctx.system.settings.dtype,
+                like=ctx.system.state,
+            )
         from .parallel.halo_spmd import HaloSpmdSystem
 
         spmd = HaloSpmdSystem(

@@ -163,6 +163,7 @@ class LiveViewer:
         self._httpd = None
         self.frames_sent = 0
         self.events_handled = 0
+        self._x_snap = None  # last positions snapshot (set by serve())
 
     # ----------------------------------------------------- constructors
 
@@ -249,9 +250,39 @@ class LiveViewer:
             } for o in self.objects],
         }).encode()
 
-    def _positions_frame(self) -> bytes:
+    def _snapshot(self) -> np.ndarray:
+        """Materialize positions to host and publish under the lock.
+        Called only from the stepping (serve) thread, which is the one
+        thread for which reading `system.x` is always safe (the step
+        donates buffers; a concurrent read from another thread can land
+        on a just-invalidated array)."""
         x = np.asarray(self.system.x, np.float32)
-        return ws_encode(x.tobytes(), 0x2)
+        with self._lock:
+            self._x_snap = x
+        return x
+
+    def positions(self) -> np.ndarray:
+        """Thread-safe positions: the snapshot the stepping thread took
+        after its most recent step. Safe to call from any thread while
+        the server is running (serve() publishes one snapshot before the
+        loop starts, then one per step)."""
+        with self._lock:
+            snap = self._x_snap
+        if snap is not None:
+            return snap
+        # not serving yet: nothing is stepping, direct read is safe
+        return np.asarray(self.system.x, np.float32)
+
+    def _positions_frame(self) -> bytes:
+        return ws_encode(self._snapshot().tobytes(), 0x2)
+
+    @staticmethod
+    def _vec3(v):
+        """Validate a client-supplied 3-vector (raises ValueError if not)."""
+        a = np.asarray(v, np.float64)
+        if a.shape != (3,) or not np.isfinite(a).all():
+            raise ValueError(f"expected finite 3-vector, got {v!r}")
+        return a
 
     def _handle_event(self, ev: dict):
         self.events_handled += 1
@@ -265,7 +296,7 @@ class LiveViewer:
             self.step_once = True
         elif t == "wind" and self.wind is not None:
             sysm.set_force_param(self.wind, "direction",
-                                 np.asarray(ev["dir"], np.float64))
+                                 self._vec3(ev["dir"]))
         elif t == "grab" and self.grab is not None:
             v = int(ev["id"])
             n = sysm.n_nodes
@@ -276,7 +307,7 @@ class LiveViewer:
             act = np.zeros(n, bool)
             act[v] = True
             pos = np.asarray(sysm.x, np.float64).copy()
-            pos[v] = ev["pos"]
+            pos[v] = self._vec3(ev["pos"])
             sysm.set_force_param(self.grab, "weight", w)
             sysm.set_force_state(self.grab, "active", act)
             sysm.set_force_state(self.grab, "pos", pos)
@@ -286,7 +317,7 @@ class LiveViewer:
             pos = np.asarray(
                 sysm.state["forces"][self.grab.name]["pos"], np.float64
             ).copy()
-            pos[self._grabbed] = ev["pos"]
+            pos[self._grabbed] = self._vec3(ev["pos"])
             sysm.set_force_state(self.grab, "pos", pos)
         elif t == "release" and self._grabbed is not None:
             n = sysm.n_nodes
@@ -337,7 +368,9 @@ class LiveViewer:
                 sock.settimeout(None)
                 cl = _Client(sock)
                 cl.send(ws_encode(self._meta_json(), 0x1))
-                cl.send(self._positions_frame())
+                # connection threads must not touch device buffers the
+                # stepping thread donates — send the published snapshot
+                cl.send(ws_encode(self.positions().tobytes(), 0x2))
                 with self._lock:
                     self._clients.append(cl)
                 return  # hub owns the socket now
@@ -370,6 +403,10 @@ class LiveViewer:
             target=self._accept_loop, args=(srv,), daemon=True
         )
         acceptor.start()
+        # publish a snapshot before any stepping so connection threads
+        # and external callers (positions()) never read device buffers
+        # the stepping loop is about to donate
+        self._snapshot()
         t0 = time.monotonic()
         steps = 0
         frame_dt = 1.0 / fps
@@ -391,7 +428,13 @@ class LiveViewer:
                             elif opcode == 0x9:  # ping -> pong
                                 cl.send(ws_encode(payload, 0xA))
                             elif opcode == 0x1:
-                                self._handle_event(json.loads(payload))
+                                # A malformed frame from any browser must not
+                                # kill the whole simulation server: drop it.
+                                try:
+                                    self._handle_event(json.loads(payload))
+                                except (ValueError, KeyError, TypeError,
+                                        IndexError):
+                                    pass
                     except OSError:
                         dead.append(cl)
                 if self.playing or self.step_once:
@@ -402,8 +445,9 @@ class LiveViewer:
                     else:
                         self.system.step()
                     steps += 1
+                    x = self._snapshot()
                     if clients:
-                        frame = self._positions_frame()
+                        frame = ws_encode(x.tobytes(), 0x2)
                         for cl in clients:
                             if cl not in dead and not cl.send(frame):
                                 dead.append(cl)

@@ -381,7 +381,11 @@ class ShardedBandedStepper:
             x3 = x.reshape(3, Lr, LANES)
             v3 = v.reshape(3, Lr, LANES)
             g3 = jnp.asarray(gvec, x.dtype)[:, None, None]
-            v3 = v3 + dt * g3
+            # Gate the kick with the mass plane (banded_step.py does the same):
+            # mass-0 pad lanes must not free-fall forever — unbounded phantom
+            # state feeds phantom element stencils and NaN-poisons residual
+            # collection (0*inf) on long f32 runs.
+            v3 = v3 + jnp.where(mass[None] > 0, dt * g3, 0.0)
             xt3 = x3
             x3 = refresh(x3 + dt * v3, H)
             Mxb3 = mass[None] * x3

@@ -87,17 +87,26 @@ def hlo_collective_report(hlo_text: str) -> dict:
             continue
         shape_str, kind = m.group(1), m.group(2)
         b = _shape_bytes(shape_str)
-        if kind == "all-gather" and "-start" in line:
-            # the async start's result tuple repeats operand+result;
-            # size from the last (result) shape instead
+        if "-start" in line:
+            # Any async start's result tuple repeats operand+result (plus
+            # u32[] context members) — summing would double-count the
+            # payload. Size from the LARGEST single array shape: for
+            # all-gather that's the gathered result, for collective-permute
+            # and all-reduce operand==result, and it never picks a tiny
+            # context scalar.
             shapes = _SHAPE_RE.findall(shape_str)
             if len(shapes) > 1:
-                dt, dims = shapes[-1]
-                n = 1
-                for d in dims.split(","):
-                    if d:
-                        n *= int(d)
-                b = n * _DTYPE_BYTES.get(dt, 4)
+                per = []
+                for dt, dims in shapes:
+                    if dt not in _DTYPE_BYTES:
+                        continue
+                    n = 1
+                    for d in dims.split(","):
+                        if d:
+                            n *= int(d)
+                    per.append(n * _DTYPE_BYTES[dt])
+                if per:
+                    b = max(per)
         ops.append(CollectiveOp(kind, b, shape_str, line.strip()[:160]))
         counts[kind] = counts.get(kind, 0) + 1
     return {

@@ -197,6 +197,35 @@ def test_sharded_100k_parity_8dev():
     assert stats["bytes_per_step"] < 5 * 2**20
 
 
+def test_pad_lanes_do_not_freefall():
+    """Mass-0 pad/halo lanes must not accumulate gravity velocity: an
+    ungated kick gives |v_pad| = g*t growing without bound (phantom
+    state that NaN-poisons long f32 runs). Advisor r4 medium finding."""
+    _need_devices(2)
+    spmd = ShardedBandedStepper(
+        _build(dims=(6, 4, 4), admm_iters=3, cg=8)._lattice,
+        jax.make_mesh((2,), ("elem",)), backend="xla",
+    )
+    from admm_elastic_tpu.core.banded import LANES
+    from admm_elastic_tpu.ops.pallas.banded_local import P2D_PLANES, PMASS
+
+    for _ in range(30):
+        spmd.step()
+    D, Lr = spmd.D, spmd.Lr
+    p2d = np.asarray(spmd._p2d).reshape(D, P2D_PLANES, Lr, LANES)
+    mass = p2d[:, PMASS]                       # (D, Lr, 128)
+    v = np.asarray(spmd.state["v"]).reshape(D, 3, Lr, LANES)
+    # every lane with zero mass carries exactly zero velocity and a
+    # finite (parked) position
+    pad = mass == 0
+    assert pad.any()  # the test is vacuous without pad lanes
+    for a in range(3):
+        assert np.abs(v[:, a][pad]).max() == 0.0
+    x = np.asarray(spmd.state["x"]).reshape(D, 3, Lr, LANES)
+    for a in range(3):
+        assert np.isfinite(x[:, a][pad]).all()
+
+
 def test_sharded_detach_resume():
     """detach() maps the slab/chunk state back into the single-device
     whole-timestep stepper: continuing there tracks continuing sharded."""

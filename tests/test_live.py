@@ -77,19 +77,6 @@ class _WsClient:
         self.sock.sendall(hdr + mask + masked)
 
 
-def _safe_x(sysm):
-    # Read positions while another thread steps with donated buffers: a
-    # read can land on a just-invalidated array; retry (this is what a
-    # polling client does -- the server itself reads from its own
-    # stepping thread and never races).
-    for _ in range(200):
-        try:
-            return np.asarray(sysm.x)
-        except RuntimeError:
-            time.sleep(0.01)
-    raise RuntimeError("could not read positions")
-
-
 def _wait(cond, timeout=8.0):
     t0 = time.monotonic()
     while time.monotonic() - t0 < timeout:
@@ -128,14 +115,25 @@ def test_live_bridge_grab_drag_release():
         assert op == 2 and len(frame0) == sysm.n_nodes * 12
 
         assert _wait(lambda: lv.frames_sent > 5)
-        x_now = _safe_x(sysm)
+        # lv.positions() is the server-side thread-safe snapshot — the
+        # supported way to read state while the serve thread steps with
+        # donated buffers
+        x_now = lv.positions()
         v = int(np.argmax(x_now[:, 0]))
         target = [float(x_now[v, 0]), float(x_now[v, 1]) + 1.0,
                   float(x_now[v, 2])]
+        # malformed events from a client must not kill the server
+        cl.send({"type": "grab"})                        # missing id/pos
+        cl.send({"type": "grab", "id": v, "pos": [1.0]})  # wrong length
+        cl.send({"type": "wind", "dir": "north"})         # non-numeric
+        pl = b"not json"                                   # non-JSON text
+        mask = b"\x01\x02\x03\x04"
+        cl.sock.sendall(bytes([0x81, 0x80 | len(pl)]) + mask
+                        + bytes(b ^ mask[i % 4] for i, b in enumerate(pl)))
         cl.send({"type": "grab", "id": v, "pos": target})
         cl.send({"type": "drag", "pos": target})
         assert _wait(
-            lambda: _safe_x(sysm)[v, 1] > x_now[v, 1] + 0.5, 12.0
+            lambda: lv.positions()[v, 1] > x_now[v, 1] + 0.5, 12.0
         ), "drag did not pull the grabbed vertex"
         cl.send({"type": "release"})
         assert _wait(lambda: lv._grabbed is None)
