@@ -1,6 +1,13 @@
 """Benchmark harness. Prints one JSON line per measured config; the LAST
 line is the primary metric:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+   "spread": [min, max], "vs_baseline_spread": [lo, hi]}
+
+`value` is the MEDIAN over >=4 independent timing windows and `spread`
+the measured [min, max] band over those windows — the published band is
+measured in one invocation, never maintained by hand (the axon relay
+adds per-invocation variance that makes single-window numbers
+untrustworthy; docs/PERFORMANCE.md "variance").
 
 Primary workload (BASELINE.md): ms/timestep on a 100k-tet NeoHookean mesh at
 the reference solver settings (10 ADMM iterations, 5 local iterations,
@@ -308,10 +315,17 @@ def build_scene_preset(name, dtype, local_backend="pallas"):
     return sys_, len(tets)
 
 
-def bench_system(sys, steps, warmup=3, rollout=True):
-    """Median ms/step. rollout=True times an on-device lax.scan of `steps`
-    timesteps (production shape: one dispatch for the whole window);
-    rollout=False times individual step() dispatches."""
+def bench_system(sys, steps, warmup=3, rollout=True, windows=4):
+    """(median, min, max) seconds/step over `windows` independent timing
+    windows. rollout=True times an on-device lax.scan of `steps` timesteps
+    per window (production shape: one dispatch for the whole window);
+    rollout=False times individual step() dispatches (each window =
+    `steps` dispatches).
+
+    The spread is part of the protocol (VERDICT r4 weak #1): the axon
+    relay adds per-invocation variance that makes any single window
+    untrustworthy — the JSON rows publish the measured [min, max] band so
+    docs never have to curate one by hand."""
     import jax
 
     def live_x():
@@ -329,28 +343,44 @@ def bench_system(sys, steps, warmup=3, rollout=True):
         jax.block_until_ready(x)
         np.asarray(x[:1])
 
+    reps = []
     if rollout:
         sys.run(2)  # compile + warm caches
         sync()
-        reps = []
-        for _ in range(3):
+        for _ in range(windows):
             t0 = time.perf_counter()
             sys.run(steps)
             sync()
             reps.append((time.perf_counter() - t0) / steps)
-        assert np.isfinite(sys.x).all(), "benchmark simulation diverged"
-        return float(np.median(reps))
-
-    times = []
-    for i in range(steps + warmup):
-        t0 = time.perf_counter()
-        sys.step()
+    else:
+        for i in range(warmup):
+            sys.step()
         sync()
-        dt = time.perf_counter() - t0
-        if i >= warmup:
-            times.append(dt)
+        for _ in range(windows):
+            t0 = time.perf_counter()
+            for _ in range(steps):
+                sys.step()
+            sync()
+            reps.append((time.perf_counter() - t0) / steps)
     assert np.isfinite(sys.x).all(), "benchmark simulation diverged"
-    return float(np.median(times))
+    return float(np.median(reps)), float(min(reps)), float(max(reps))
+
+
+def emit(metric, ms, base_ms=None, spread_ms=None, unit="ms", **extra):
+    """One JSON result line. `spread_ms` = (min, max) over the timing
+    windows; `vs_baseline` carries its own band when a spread exists."""
+    row = {"metric": metric,
+           "value": round(ms, 3) if unit == "ms" else ms,
+           "unit": unit,
+           "vs_baseline": round(base_ms / ms, 2) if base_ms else 1.0}
+    if spread_ms is not None:
+        lo, hi = spread_ms
+        row["spread"] = [round(lo, 3), round(hi, 3)]
+        if base_ms:
+            row["vs_baseline_spread"] = [round(base_ms / hi, 2),
+                                         round(base_ms / lo, 2)]
+    row.update(extra)
+    print(json.dumps(row))
 
 
 def build_windyflag(dtype):
@@ -443,7 +473,7 @@ def bench_sweep(dtype, n_scenarios=64, steps=10, global_solver="ell",
         if out is not None:
             stepper, _cid = out
             W = stepper.ROLLOUT_WINDOW
-            reps = max(1, steps // W)
+            reps = max(3, steps // W)
             stepper.run(W)  # warmup (compile)
             jax.block_until_ready(stepper.state["x"])
             times = []
@@ -453,7 +483,8 @@ def bench_sweep(dtype, n_scenarios=64, steps=10, global_solver="ell",
                 jax.block_until_ready(stepper.state["x"])
                 times.append((time.perf_counter() - t0) / W)
             assert np.isfinite(np.asarray(stepper.state["x"])).all()
-            return float(np.median(times)), n_scenarios, E
+            return ((float(np.median(times)), float(min(times)),
+                     float(max(times))), n_scenarios, E)
         print("# sweep kernel did not engage; vmapped general path",
               file=sys.stderr)
 
@@ -471,7 +502,8 @@ def bench_sweep(dtype, n_scenarios=64, steps=10, global_solver="ell",
         jax.block_until_ready(bstate["x"])
         times.append(time.perf_counter() - t0)
     assert np.isfinite(np.asarray(bstate["x"])).all()
-    return float(np.median(times)), n_scenarios, E
+    return ((float(np.median(times)), float(min(times)),
+             float(max(times))), n_scenarios, E)
 
 
 def bench_sharded(dtype, n_dev=8, steps=3):
@@ -754,17 +786,14 @@ def main():
                     f"kernel, got {type(sys_._lattice)}"
                 )
             admm_iters = sys_.settings.admm_iters
-            ms = bench_system(sys_, args.steps) * 1e3
+            ms, lo, hi = (v * 1e3 for v in bench_system(sys_, args.steps))
             print(
                 f"# {args.preset}[{metric.rsplit('_', 1)[-1]}]: {n_tets} "
-                f"tets, {ms:.2f} ms/step, {admm_iters/(ms/1e3):.1f} ADMM "
-                f"iters/s",
+                f"tets, {ms:.2f} ms/step [{lo:.2f}, {hi:.2f}], "
+                f"{admm_iters/(ms/1e3):.1f} ADMM iters/s",
                 file=sys.stderr,
             )
-            print(json.dumps({
-                "metric": metric, "value": round(ms, 3), "unit": "ms",
-                "vs_baseline": round(base_ms / ms, 2),
-            }))
+            emit(metric, ms, base_ms, (lo, hi))
 
         if args.cg_iters is None and not args.amg and args.lattice:
             # default driver invocation: BOTH rows — the unmatched cg25
@@ -785,17 +814,14 @@ def main():
             sys_, n_tris = build_cloth100k(dtype, fast_path=args.lattice,
                                            residuals=args.residuals,
                                            cg_iters=cg_iters, amg=amg)
-            ms = bench_system(sys_, args.steps) * 1e3
+            ms, lo, hi = (v * 1e3 for v in bench_system(sys_, args.steps))
             print(
                 f"# cloth100k[{metric.rsplit('_', 1)[-1]}]: {n_tris} tris, "
-                f"{ms:.2f} ms/step, "
+                f"{ms:.2f} ms/step [{lo:.2f}, {hi:.2f}], "
                 f"{sys_.settings.admm_iters/(ms/1e3):.1f} ADMM iters/s",
                 file=sys.stderr,
             )
-            print(json.dumps({
-                "metric": metric, "value": round(ms, 3), "unit": "ms",
-                "vs_baseline": round(base_ms / ms, 2) if base_ms else 1.0,
-            }))
+            emit(metric, ms, base_ms, (lo, hi))
 
         if args.cg_iters is None and not args.amg and args.lattice:
             # both rows; the in-kernel-2D-multigrid MATCHED config
@@ -814,17 +840,14 @@ def main():
         def run_del(cg_iters, amg, metric):
             sys_, n_tets = build_delaunay100k(dtype, fast_path=args.lattice,
                                               amg=amg, cg_iters=cg_iters)
-            ms = bench_system(sys_, args.steps) * 1e3
+            ms, lo, hi = (v * 1e3 for v in bench_system(sys_, args.steps))
             print(
                 f"# delaunay100k[{metric.rsplit('_', 1)[-1]}]: {n_tets} "
-                f"tets, {ms:.2f} ms/step, "
+                f"tets, {ms:.2f} ms/step [{lo:.2f}, {hi:.2f}], "
                 f"{sys_.settings.admm_iters/(ms/1e3):.1f} ADMM iters/s",
                 file=sys.stderr,
             )
-            print(json.dumps({
-                "metric": metric, "value": round(ms, 3), "unit": "ms",
-                "vs_baseline": round(base_ms / ms, 2),
-            }))
+            emit(metric, ms, base_ms, (lo, hi))
 
         if args.cg_iters is None and not args.amg and args.lattice:
             # both rows; the in-kernel ALGEBRAIC-multigrid MATCHED config
@@ -836,45 +859,34 @@ def main():
                     "ms_per_timestep_100k_tet_nh_delaunay")
     elif args.preset == "windyflag":
         sys_ = build_windyflag(dtype)
-        ms = bench_system(sys_, args.steps) * 1e3
-        baseline = _load_baseline()
-        vs = (round(baseline["windyflag_ms_per_step"] / ms, 2)
-              if baseline and "windyflag_ms_per_step" in baseline else 1.0)
-        print(
-            json.dumps(
-                {
-                    "metric": "ms_per_timestep_windyflag",
-                    "value": round(ms, 3),
-                    "unit": "ms",
-                    "vs_baseline": vs,
-                }
-            )
-        )
+        ms, lo, hi = (v * 1e3 for v in bench_system(sys_, args.steps))
+        base_ms = (_load_baseline() or {}).get("windyflag_ms_per_step")
+        print(f"# windyflag: {ms:.2f} ms/step [{lo:.2f}, {hi:.2f}]",
+              file=sys.stderr)
+        emit("ms_per_timestep_windyflag", ms, base_ms, (lo, hi))
     elif args.preset in ("dillo", "bunny", "plinko"):
         sys_, n_tets = build_scene_preset(args.preset, dtype,
                                           local_backend=args.local_backend)
-        ms = bench_system(sys_, args.steps) * 1e3
+        ms, lo, hi = (v * 1e3 for v in bench_system(sys_, args.steps))
         base_ms = (_load_baseline() or {}).get(
             f"{args.preset}_ms_per_step")
         print(
-            f"# {args.preset}: {n_tets} tets, {ms:.2f} ms/step vs C++ "
-            f"{base_ms} ms",
+            f"# {args.preset}: {n_tets} tets, {ms:.2f} ms/step "
+            f"[{lo:.2f}, {hi:.2f}] vs C++ {base_ms} ms",
             file=sys.stderr,
         )
-        print(json.dumps({
-            "metric": f"ms_per_timestep_{args.preset}",
-            "value": round(ms, 3),
-            "unit": "ms",
-            "vs_baseline": round(base_ms / ms, 2) if base_ms else 1.0,
-        }))
+        emit(f"ms_per_timestep_{args.preset}", ms, base_ms, (lo, hi))
     elif args.preset == "sweep64":
         solver = args.global_solver if args.global_solver in ("cg", "ell") else "ell"
-        ms, n_sc, E = bench_sweep(dtype, n_scenarios=args.scenarios,
-                                  steps=args.steps, global_solver=solver,
-                                  local_backend=args.local_backend,
-                                  kernel=args.lattice)
+        (s_med, s_lo, s_hi), n_sc, E = bench_sweep(
+            dtype, n_scenarios=args.scenarios,
+            steps=args.steps, global_solver=solver,
+            local_backend=args.local_backend,
+            kernel=args.lattice)
+        ms, lo, hi = s_med * 1e3, s_lo * 1e3, s_hi * 1e3
         print(
-            f"# sweep: {n_sc} scenarios x {E} tets, {ms*1e3:.2f} ms/step total",
+            f"# sweep: {n_sc} scenarios x {E} tets, {ms:.2f} ms/step "
+            f"total [{lo:.2f}, {hi:.2f}]",
             file=sys.stderr,
         )
         # the reference has no batch facility: a sweep is n_sc sequential
@@ -882,18 +894,10 @@ def main():
         # (tools/bench_reference_dillo.cpp)
         base = _load_baseline() or {}
         dillo_ms = base.get("dillo_ms_per_step")
-        vs = (round(n_sc * dillo_ms / (ms * 1e3), 2)
-              if dillo_ms and E == 2761 else 1.0)
-        print(
-            json.dumps(
-                {
-                    "metric": f"ms_per_timestep_{n_sc}scenario_sweep",
-                    "value": round(ms * 1e3, 3),
-                    "unit": "ms",
-                    "vs_baseline": vs,
-                }
-            )
-        )
+        base_total = (n_sc * dillo_ms
+                      if dillo_ms and E == 2761 else None)
+        emit(f"ms_per_timestep_{n_sc}scenario_sweep", ms, base_total,
+             (lo, hi))
     elif args.preset == "sharded_cloth":
         stats, err, n_tris = bench_sharded_cloth(dtype)
         print(
