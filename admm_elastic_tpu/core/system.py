@@ -482,45 +482,7 @@ class System:
         # guarantee — only the dia banded route (in-kernel MG) qualifies
         if (s.lattice_fast_path and self._amg_meta is None
                 and not nonref_iteration):
-            from .banded import banded_from_system
-            from .cloth import cloth_from_system
-            from .lattice import lattice_from_system
-
-            # the banded whole-timestep kernel is both the most general
-            # (no stencil structure needed — any dia-banded numbering, or
-            # ANY topology via the uell fallback planes) and, measured on
-            # the chip, the fastest, so it is tried FIRST; the lattice
-            # kernel remains as fallback for meshes the banded window
-            # rejects, and the cloth kernel handles triangle grids
-            out = banded_from_system(self)
-            if out is None and s.preconditioner != "amg":
-                # the lattice kernel has no multigrid mode — engaging it
-                # under preconditioner='amg' would silently undo the
-                # matched-residual guarantee
-                out = lattice_from_system(self)
-            if out is None:
-                # the cloth kernel supports the in-kernel 2D multigrid
-                # (ClothStepper(multigrid=True)); returns None if the
-                # grid does not qualify
-                out = cloth_from_system(self)
-            if out is None and s.preconditioner == "amg" and mode == "dia":
-                raise ValueError(
-                    "preconditioner='amg' with global_solver='dia' needs "
-                    "a whole-timestep kernel with in-kernel multigrid — "
-                    "the banded kernel on a full tet grid, or the cloth "
-                    "kernel on a full triangle grid, both in nested "
-                    "numbering (core/mg.py) — and the scene did not "
-                    "qualify; use global_solver='ell' for the "
-                    "general-path AMG instead"
-                )
-            if out is not None:
-                self._lattice, self._to_canon = out
-                if s.verbose >= 1:
-                    print("Solver: whole-timestep fast path engaged "
-                          f"(model={self._lattice.model})")
-            elif s.verbose >= 1:
-                print("Solver: scene does not qualify for a whole-timestep "
-                      "fast path; using the general solver")
+            self._route_fast_path(mode)
         if (s.preconditioner == "amg" and self._amg_meta is None
                 and self._lattice is None):
             # in-kernel candidate that did not qualify (ell mode): fall
@@ -934,11 +896,60 @@ class System:
         self.last_aux = aux
         return True
 
+    def _route_fast_path(self, mode):
+        """Try to engage a whole-timestep kernel for the current scene
+        and params. Sets self._lattice/_to_canon (or leaves _lattice
+        None with a verbose note)."""
+        s = self.settings
+        from .banded import banded_from_system
+        from .cloth import cloth_from_system
+        from .lattice import lattice_from_system
+
+        # the banded whole-timestep kernel is both the most general
+        # (no stencil structure needed — any dia-banded numbering, or
+        # ANY topology via the uell fallback planes) and, measured on
+        # the chip, the fastest, so it is tried FIRST; the lattice
+        # kernel remains as fallback for meshes the banded window
+        # rejects, and the cloth kernel handles triangle grids
+        out = banded_from_system(self)
+        if out is None and s.preconditioner != "amg":
+            # the lattice kernel has no multigrid mode — engaging it
+            # under preconditioner='amg' would silently undo the
+            # matched-residual guarantee
+            out = lattice_from_system(self)
+        if out is None:
+            # the cloth kernel supports the in-kernel 2D multigrid
+            # (ClothStepper(multigrid=True)); returns None if the
+            # grid does not qualify
+            out = cloth_from_system(self)
+        if out is None and s.preconditioner == "amg" and mode == "dia":
+            raise ValueError(
+                "preconditioner='amg' with global_solver='dia' needs "
+                "a whole-timestep kernel with in-kernel multigrid — "
+                "the banded kernel on a full tet grid, or the cloth "
+                "kernel on a full triangle grid, both in nested "
+                "numbering (core/mg.py) — and the scene did not "
+                "qualify; use global_solver='ell' for the "
+                "general-path AMG instead"
+            )
+        if out is not None:
+            self._lattice, self._to_canon = out
+            if s.verbose >= 1:
+                print("Solver: whole-timestep fast path engaged "
+                      f"(model={self._lattice.model})")
+        elif s.verbose >= 1:
+            print("Solver: scene does not qualify for a whole-timestep "
+                  "fast path; using the general solver")
+
     def recompute_weights(self):
         """After runtime weight edits (poordillo release path,
         System.cpp:159-179). CG mode needs nothing; dense re-inverts and
         ELL re-assembles (both host-side, like the reference's
-        re-factorization but cheaper)."""
+        re-factorization but cheaper). When a whole-timestep kernel is
+        engaged, its packed parameter planes (anchor weights, materials,
+        matvec diagonals, MG/AMG hierarchies) are REBUILT from the
+        edited params with the live plane state carried over — without
+        this the kernel would keep stepping stale weights silently."""
         if self._solver_mode == "dense":
             cparams = {
                 k: jax.tree_util.tree_map(np.asarray, self.params[k])
@@ -997,6 +1008,30 @@ class System:
                     self.params["_solver"]["amg"] = _cast_tree(
                         rebuild_amg_values(A, host, self._amg_meta), dt_
                     )
+        if self._lattice is not None:
+            # re-route the whole-timestep kernel on the edited params and
+            # carry its live plane state (packing is deterministic given
+            # the unchanged topology)
+            old = self._lattice
+            st = old.state
+            self._lattice = None
+            self._route_fast_path(self._solver_mode)
+            new = self._lattice
+            if new is None or new.model != old.model:
+                raise ValueError(
+                    "recompute_weights: the edited scene no longer routes "
+                    f"onto the same whole-timestep kernel (was "
+                    f"{old.model!r}); rebuild the System for this edit"
+                )
+            shp = lambda t: jax.tree_util.tree_map(  # noqa: E731
+                lambda a: tuple(jnp.shape(a)), t)
+            if shp(st) != shp(new.state):
+                raise ValueError(
+                    "recompute_weights: the edit changed the kernel's "
+                    "packed state layout (e.g. an ELL repack); rebuild "
+                    "the System for this edit"
+                )
+            new.state = st
 
     # -------------------------------------------------------- checkpoints
 

@@ -61,6 +61,13 @@ def _roundup(x, m):
     return -(-int(x) // m) * m
 
 
+def _same_coll(a, b):
+    """Collision config equality (shape geometry is baked into the
+    compiled kernel as constants, so an edit needs a re-jit; the tuples
+    are already canonical (str, floats...) pairs)."""
+    return a.coll_shapes == b.coll_shapes and a.coll_w2 == b.coll_w2
+
+
 def _band_reach(dia_offs):
     """Max row reach of the sparse-diagonal matvec (see banded_step
     _shifted: offset 128q + s reads rows r±q and r±(q+1) when s != 0)."""
@@ -100,9 +107,14 @@ class ShardedBandedStepper:
     """
 
     model_name = "banded_spmd"
+    #: steps fused into one lax.scan program by run() — amortizes the
+    #: per-dispatch relay/launch overhead (~2.9 ms measured,
+    #: docs/PERFORMANCE.md) exactly like the mega kernel's rollout window
+    ROLLOUT_WINDOW = 10
 
     def __init__(self, base: BandedStepper, mesh, axis: str = "elem",
-                 backend: str | None = None):
+                 backend: str | None = None, solver: str = "cg",
+                 cheb_iters: int | None = None):
         if base._uell is not None:
             raise ValueError(
                 "sharded banded path: dia-mode scenes only (the uell "
@@ -126,6 +138,16 @@ class ShardedBandedStepper:
             backend = ("pallas"
                        if jax.default_backend() == "tpu" else "xla")
         self.backend = backend
+        if solver not in ("cg", "cheb"):
+            raise ValueError(f"solver must be 'cg' or 'cheb', got {solver}")
+        #: 'cg' = Jacobi-PCG (two psum scalars per iteration);
+        #: 'cheb' = dot-product-free Chebyshev (parallel/cheb.py): NO
+        #: cross-device scalars in the whole solve — the TPU-native
+        #: choice for mesh scaling (psum latency off the critical path)
+        #: and for D=1 dispatch cost (the recurrence is pure fused
+        #: element-wise work)
+        self.solver = solver
+        self.cheb_iters = int(cheb_iters or base.cg_iters)
         self.model = base.model
         self.dt = base.dt
         self.admm_iters = base.admm_iters
@@ -135,6 +157,7 @@ class ShardedBandedStepper:
         self.last_primal = None
         self._build()
         self._stepf = None
+        self._runf = {}
 
     # ------------------------------------------------------------- build
 
@@ -239,6 +262,19 @@ class ShardedBandedStepper:
                 slab_planes(np.asarray(planes, np.float64), 3), dtype
             )
 
+        if self.solver == "cheb":
+            from .cheb import cheb_coefficients, dia_operator_bounds
+
+            dia_np = np.asarray(base._dia2d, np.float64).reshape(
+                len(base.dia_offs), Nr, LANES)
+            lmin, lmax = dia_operator_bounds(dia_np, base.dia_offs)
+            #: measured spectral interval of D^{-1}A (margins applied)
+            self.cheb_bounds = (lmin, lmax)
+            inv_theta, c1, c2 = cheb_coefficients(
+                self.cheb_iters, lmin, lmax)
+            self._cheb_c = (float(inv_theta),
+                            jnp.asarray(c1, dtype), jnp.asarray(c2, dtype))
+
         self.state = {
             "x": state3(base.state["x"]),
             "v": state3(base.state["v"]),
@@ -293,6 +329,9 @@ class ShardedBandedStepper:
         coll_w2 = base.coll_w2
         collect = self.collect_residuals
         backend = self.backend
+        solver = self.solver
+        cheb_k = self.cheb_iters
+        cheb_c = self._cheb_c if solver == "cheb" else None
         gvec = base.gravity
         own = self._own
         fwd = [(d, d + 1) for d in range(D - 1)]
@@ -433,6 +472,29 @@ class ShardedBandedStepper:
                 )
                 return refresh(x3, H)
 
+            def cheb(x3, rhs3):
+                """Dot-product-free Chebyshev solve (parallel/cheb.py):
+                no psums anywhere — the only cross-device traffic is
+                the per-iteration Hb-row halo refresh of d."""
+                inv_theta, c1, c2 = cheb_c
+                z3 = invd[None] * (rhs3 - matvec(refresh(x3, Hb)))
+                d3 = inv_theta * z3
+
+                def body(i, carry):
+                    x3, z3, d3 = carry
+                    x3 = x3 + d3
+                    z3 = z3 - invd[None] * matvec(refresh(d3, Hb))
+                    d3 = c1[i] * d3 + c2[i] * z3
+                    return (x3, z3, d3)
+
+                x3, _, d3 = jax.lax.fori_loop(
+                    0, cheb_k - 1, body, (x3, z3, d3)
+                )
+                x3 = x3 + d3
+                return refresh(x3, H)
+
+            solve = cheb if solver == "cheb" else cg
+
             rp = jnp.zeros((iters,), x.dtype)
 
             def admm_it(i, carry):
@@ -445,7 +507,7 @@ class ShardedBandedStepper:
                         jnp.sqrt(jax.lax.psum(r2, axis))
                     )
                 b3 = combine_b(b.reshape(3, Lr, LANES))
-                x3 = cg(x3, Mxb3 + dt2 * b3)
+                x3 = solve(x3, Mxb3 + dt2 * b3)
                 return (x3, au, cu, d, rp)
 
             x3, au, cu, d, rp = jax.lax.fori_loop(
@@ -464,9 +526,10 @@ class ShardedBandedStepper:
             check_vma=False,
         )
 
-        def step(state):
+        def step(params, state):
+            p2d, dia, rbase, fblk = params
             x, v, au, cu, d, rp = smapped(
-                self._p2d, self._dia, self._rbase, self._fblk,
+                p2d, dia, rbase, fblk,
                 state["x"], state["v"], state["ancu"], state["colu"],
                 state["d"],
             )
@@ -475,20 +538,93 @@ class ShardedBandedStepper:
                 "t": state["t"] + dt,
             }, rp
 
-        return jax.jit(step, donate_argnums=(0,))
+        return step
+
+    @property
+    def _params(self):
+        return (self._p2d, self._dia, self._rbase, self._fblk)
 
     def step(self):
         if self._stepf is None:
-            self._stepf = self._make_step()
-        self.state, rp = self._stepf(self.state)
+            self._stepf = jax.jit(self._make_step(), donate_argnums=(1,))
+        self.state, rp = self._stepf(self._params, self.state)
         if self.collect_residuals:
             self.last_primal = rp
         return True
 
     def run(self, n_steps: int):
+        """Step n times. Full ROLLOUT_WINDOW chunks run as ONE jitted
+        lax.scan program per chunk (one dispatch per W steps instead of
+        W — the same amortization the whole-timestep kernels get from
+        their rollout grids); the remainder (and residual-collecting
+        runs, whose per-step last_primal contract a scan would change)
+        steps individually."""
+        W = self.ROLLOUT_WINDOW
+        while not self.collect_residuals and n_steps >= W:
+            if W not in self._runf:
+                core = self._make_step()
+
+                def runW(params, state):
+                    def body(s, _):
+                        s2, _rp = core(params, s)
+                        return s2, None
+
+                    out, _ = jax.lax.scan(body, state, None, length=W)
+                    return out
+
+                self._runf[W] = jax.jit(runW, donate_argnums=(1,))
+            self.state = self._runf[W](self._params, self.state)
+            n_steps -= W
         for _ in range(n_steps):
             self.step()
         return True
+
+    def refresh_params(self):
+        """After runtime force edits on the originating System
+        (`set_force_param` + `recompute_weights()` — the poordillo
+        release pattern, /root/reference/samples/poordillo/
+        poordillo.cpp:190-215): re-pack the parameter planes from the
+        System WITHOUT re-partitioning, keeping the live sharded state.
+        Weight/material/anchor edits flow through the plane arguments
+        (no recompile); edits that are baked into the compiled program
+        (gravity vector, collision shape geometry, iteration counts)
+        trigger a re-jit. Requires construction via
+        `sharded_banded_from_system` (which records the System)."""
+        sysm = getattr(self, "_system", None)
+        if sysm is None:
+            raise ValueError(
+                "refresh_params needs a System reference — build via "
+                "sharded_banded_from_system"
+            )
+        from ..core.banded import banded_from_system
+
+        out = banded_from_system(sysm)
+        assert out is not None, "scene no longer qualifies for the kernel"
+        new_base, _ = out
+        old = self.base
+        # structural invariants: same partition, same chunk placement
+        assert new_base.Nr == old.Nr and new_base.Wr == old.Wr
+        assert tuple(new_base.dia_offs) == tuple(old.dia_offs)
+        assert np.array_equal(np.asarray(new_base._rbase),
+                              np.asarray(old._rbase))
+        assert np.array_equal(np.asarray(new_base._positions),
+                              np.asarray(old._positions))
+        recompile = (
+            not np.array_equal(new_base.gravity, old.gravity)
+            or new_base.newton_iters != old.newton_iters
+            or not _same_coll(new_base, old)
+            # cheb coefficients are spectrum-derived closure constants:
+            # a weight edit moves the spectrum, so rebuild them
+            or self.solver == "cheb"
+        )
+        # carry live state; adopt the re-packed parameter planes
+        state = self.state
+        self.base = new_base
+        self._build()
+        self.state = state
+        if recompile:
+            self._stepf = None
+            self._runf = {}
 
     # ------------------------------------------------------------- stats
 
@@ -535,9 +671,9 @@ class ShardedBandedStepper:
         from .comm import compiled_hlo_text, hlo_collective_report
 
         if self._stepf is None:
-            self._stepf = self._make_step()
+            self._stepf = jax.jit(self._make_step(), donate_argnums=(1,))
         rep = hlo_collective_report(
-            compiled_hlo_text(self._stepf, self.state)
+            compiled_hlo_text(self._stepf, self._params, self.state)
         )
         rep["admm_iters"] = self.admm_iters
         rep["cg_iters"] = self.cg_iters
@@ -584,4 +720,5 @@ def sharded_banded_from_system(system, mesh, axis: str = "elem",
         spmd = ShardedBandedStepper(base, mesh, axis=axis, backend=backend)
     except ValueError:
         return None
+    spmd._system = system  # enables refresh_params (runtime force edits)
     return spmd, cid

@@ -58,6 +58,10 @@ class ShardedClothStepper:
     """
 
     model_name = "cloth_spmd"
+    #: steps fused into one lax.scan program by run() — amortizes the
+    #: per-dispatch relay/launch overhead like the mega kernel's
+    #: rollout grid (docs/PERFORMANCE.md)
+    ROLLOUT_WINDOW = 10
 
     def __init__(self, base, mesh, axis: str = "elem"):
         if base._mg_meta_static is not None:
@@ -78,6 +82,7 @@ class ShardedClothStepper:
         self.last_dual = None
         self._build()
         self._stepf = None
+        self._runf = {}
 
     # ------------------------------------------------------------- build
 
@@ -502,9 +507,10 @@ class ShardedClothStepper:
             check_vma=False,
         )
 
-        def step(state):
+        def step(params, state):
+            masks, ancz, dia = params
             x, v, ancu, u, rp, rd = smapped(
-                self._masks, self._ancz, self._dia,
+                masks, ancz, dia,
                 state["x"], state["v"], state["ancu"], state["u"],
             )
             return {
@@ -512,12 +518,16 @@ class ShardedClothStepper:
                 "t": state["t"] + dt,
             }, rp, rd
 
-        return jax.jit(step, donate_argnums=(0,))
+        return step
+
+    @property
+    def _params(self):
+        return (self._masks, self._ancz, self._dia)
 
     def step(self):
         if self._stepf is None:
-            self._stepf = self._make_step()
-        self.state, rp, rd = self._stepf(self.state)
+            self._stepf = jax.jit(self._make_step(), donate_argnums=(1,))
+        self.state, rp, rd = self._stepf(self._params, self.state)
         if self.collect_residuals:
             self.last_primal = rp
         if self.collect_residuals is True:
@@ -525,9 +535,68 @@ class ShardedClothStepper:
         return True
 
     def run(self, n_steps: int):
+        """Step n times; full ROLLOUT_WINDOW chunks run as ONE jitted
+        lax.scan program each (one dispatch per W steps — the same
+        amortization the single-device kernel gets from its rollout
+        grid). Residual-collecting runs keep per-step dispatch (their
+        last_primal/last_dual contract is per-step)."""
+        W = self.ROLLOUT_WINDOW
+        while not self.collect_residuals and n_steps >= W:
+            if W not in self._runf:
+                core = self._make_step()
+
+                def runW(params, state):
+                    def body(s, _):
+                        s2, _rp, _rd = core(params, s)
+                        return s2, None
+
+                    out, _ = jax.lax.scan(body, state, None, length=W)
+                    return out
+
+                self._runf[W] = jax.jit(runW, donate_argnums=(1,))
+            self.state = self._runf[W](self._params, self.state)
+            n_steps -= W
         for _ in range(n_steps):
             self.step()
         return True
+
+    def refresh_params(self):
+        """After runtime force edits on the originating System
+        (`set_force_param` + `recompute_weights()`): re-pack the
+        parameter slabs (anchor weights/targets, masks, dia matvec)
+        from the System WITHOUT re-partitioning, keeping the live
+        sharded state. Edits to compiled-in constants (per-group
+        materials, wind direction, gravity) trigger a re-jit. Requires
+        construction via `sharded_cloth_from_system`."""
+        sysm = getattr(self, "_system", None)
+        if sysm is None:
+            raise ValueError(
+                "refresh_params needs a System reference — build via "
+                "sharded_cloth_from_system"
+            )
+        from ..core.cloth import cloth_from_system
+
+        out = cloth_from_system(sysm)
+        assert out is not None, "scene no longer qualifies for the kernel"
+        new_base, _ = out
+        old = self.base
+        assert new_base.N == old.N and new_base.n_groups == old.n_groups
+        assert tuple(new_base.dia_offs) == tuple(old.dia_offs)
+        recompile = (
+            new_base.groups != old.groups
+            or not np.array_equal(np.asarray(new_base.wind_dir),
+                                  np.asarray(old.wind_dir))
+            or not np.array_equal(np.asarray(new_base.gravity),
+                                  np.asarray(old.gravity))
+            or new_base.wind_groups != old.wind_groups
+        )
+        state = self.state
+        self.base = new_base
+        self._build()
+        self.state = state
+        if recompile:
+            self._stepf = None
+            self._runf = {}
 
     # ------------------------------------------------------------- stats
 
@@ -558,9 +627,9 @@ class ShardedClothStepper:
         from .comm import compiled_hlo_text, hlo_collective_report
 
         if self._stepf is None:
-            self._stepf = self._make_step()
+            self._stepf = jax.jit(self._make_step(), donate_argnums=(1,))
         rep = hlo_collective_report(
-            compiled_hlo_text(self._stepf, self.state)
+            compiled_hlo_text(self._stepf, self._params, self.state)
         )
         rep["admm_iters"] = self.admm_iters
         rep["cg_iters"] = self.cg_iters
@@ -585,4 +654,5 @@ def sharded_cloth_from_system(system, mesh, axis: str = "elem"):
         spmd = ShardedClothStepper(base, mesh, axis=axis)
     except ValueError:
         return None
+    spmd._system = system  # enables refresh_params (runtime force edits)
     return spmd, cid

@@ -197,6 +197,76 @@ def test_sharded_100k_parity_8dev():
     assert stats["bytes_per_step"] < 5 * 2**20
 
 
+def test_refresh_params_release():
+    """VERDICT r4 #4: the poordillo release flow on the sharded banded
+    kernel — zero an anchor's weight at runtime, recompute_weights +
+    refresh_params, and keep trajectory parity with the single-device
+    kernel doing the identical edit (state carried, no re-partition)."""
+    _need_devices(2)
+    from admm_elastic_tpu.core.banded import banded_from_system
+
+    sysA = _build(admm_iters=4, cg=10)
+    sysB = _build(admm_iters=4, cg=10)
+    latA = sysA._lattice
+    spmd, _ = sharded_banded_from_system(
+        sysB, jax.make_mesh((2,), ("elem",)), backend="xla"
+    )
+    for _ in range(3):
+        latA.step()
+        spmd.step()
+
+    def release(sysm):
+        anchor = sysm.forces[0]
+        n_anc = len(np.asarray(sysm.params[anchor.name]["indices"]))
+        sysm.set_force_param(anchor, "weight", np.zeros(n_anc))
+        sysm.recompute_weights()
+
+    release(sysA)
+    release(sysB)
+    # single-device: rebuild the kernel from the edited system, carry
+    # the live plane state (deterministic layout)
+    latA2, _ = banded_from_system(sysA)
+    latA2.state = latA.state
+    spmd.refresh_params()
+    x_before = spmd.x.copy()
+    for _ in range(4):
+        latA2.step()
+        spmd.step()
+    err = np.abs(latA2.x - spmd.x).max()
+    assert err < 1e-8, err
+    # the released beam actually fell
+    assert (spmd.x[:, 1].min() - x_before[:, 1].min()) < -1e-3
+
+
+def test_refresh_params_requires_system():
+    _need_devices(2)
+    spmd = ShardedBandedStepper(
+        _build(dims=(6, 4, 4), admm_iters=3, cg=8)._lattice,
+        jax.make_mesh((2,), ("elem",)), backend="xla",
+    )
+    with pytest.raises(ValueError, match="from_system"):
+        spmd.refresh_params()
+
+
+def test_run_scan_window_matches_per_step():
+    """run(n) fuses ROLLOUT_WINDOW-sized chunks into one lax.scan
+    program; the scanned trajectory must equal per-step dispatch."""
+    _need_devices(2)
+    a = ShardedBandedStepper(
+        _build(dims=(6, 4, 4), admm_iters=3, cg=8)._lattice,
+        jax.make_mesh((2,), ("elem",)), backend="xla",
+    )
+    b = ShardedBandedStepper(
+        _build(dims=(6, 4, 4), admm_iters=3, cg=8)._lattice,
+        jax.make_mesh((2,), ("elem",)), backend="xla",
+    )
+    W = a.ROLLOUT_WINDOW
+    a.run(W + 2)          # one scan chunk + 2 per-step
+    for _ in range(W + 2):
+        b.step()
+    np.testing.assert_allclose(a.x, b.x, atol=1e-12)
+
+
 def test_pad_lanes_do_not_freefall():
     """Mass-0 pad/halo lanes must not accumulate gravity velocity: an
     ungated kick gives |v_pad| = g*t growing without bound (phantom

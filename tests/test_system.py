@@ -597,6 +597,42 @@ def test_release_weight_zero_precomputed_modes(mode):
     assert np.all(np.isfinite(sys.x))
 
 
+def test_recompute_weights_refreshes_fast_path_kernel():
+    """Runtime weight edits must flow into an ENGAGED whole-timestep
+    kernel: recompute_weights() re-routes the kernel on the edited
+    params carrying the live plane state. Without this the kernel kept
+    stepping the stale anchor weights silently (round-5 fix)."""
+    from admm_elastic_tpu.geometry import make_beam_tets
+
+    beam = make_beam_tets(8, 4, 4)
+    n = beam.n_vertices
+    sys = System(Settings(timestep_s=0.04, admm_iters=4, verbose=0,
+                          global_solver="dia", cg_fixed_iters=10,
+                          lattice_fast_path=True))
+    sys.add_nodes(beam.vertices, np.full(n, 5.0 / n))
+    anchor = sys.add_force(
+        StaticAnchor(np.flatnonzero(beam.vertices[:, 0] < 1e-9)))
+    sys.add_force(LinearTetStrain(beam.tets, stiffness=1e4))
+    sys.add_explicit_force(ExplicitForce(direction=(0, -9.8, 0)))
+    assert sys.initialize()
+    lat0 = sys._lattice
+    assert lat0 is not None
+    for _ in range(3):
+        sys.step()
+    x_held = np.asarray(sys.x).copy()
+    n_anc = len(np.asarray(sys.params[anchor.name]["indices"]))
+    sys.set_force_param(anchor, "weight", np.zeros(n_anc))
+    sys.recompute_weights()
+    # a NEW stepper carrying the live state
+    assert sys._lattice is not lat0
+    np.testing.assert_array_equal(
+        np.asarray(sys._lattice.state["x"]), np.asarray(lat0.state["x"]))
+    for _ in range(10):
+        sys.step()
+    # the released beam fell — the stale kernel would have held it
+    assert np.asarray(sys.x)[:, 1].min() < x_held[:, 1].min() - 1e-3
+
+
 def test_residuals_with_fused_kernels_match_unfused():
     """collect_residuals no longer disables kernel fusion: the ell+pallas
     (fused local+RHS, 6-wide contribution gather) primal/dual residual
