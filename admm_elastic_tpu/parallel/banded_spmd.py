@@ -472,7 +472,7 @@ class ShardedBandedStepper:
                 )
                 return refresh(x3, H)
 
-            def cheb(x3, rhs3):
+            def cheb_xla(x3, rhs3):
                 """Dot-product-free Chebyshev solve (parallel/cheb.py):
                 no psums anywhere — the only cross-device traffic is
                 the per-iteration Hb-row halo refresh of d."""
@@ -493,7 +493,53 @@ class ShardedBandedStepper:
                 x3 = x3 + d3
                 return refresh(x3, H)
 
-            solve = cheb if solver == "cheb" else cg
+            def cheb_kernel(x3, rhs3):
+                """The same recurrence with chunks of iterations fused
+                into single pallas launches (ops/pallas/cheb_dia.py).
+                A chunk of c iterations consumes c*Hb rows of halo
+                validity, so chunks are sized c = H//Hb with a d/z halo
+                refresh between launches (communication-avoiding matrix
+                powers); at D=1 the whole solve is ONE launch."""
+                from ..ops.pallas.cheb_dia import cheb_dia_chunk
+
+                inv_theta, c1, c2 = cheb_c
+                flat = lambda a3: a3.reshape(3, Lr * LANES)  # noqa: E731
+                dia_f = dia_l.reshape(n_dia, Lr * LANES)
+                invd_f = invd.reshape(1, Lr * LANES)
+                kw = dict(offsets=tuple(int(o) for o in offs),
+                          inv_theta=float(inv_theta))
+                k_total = cheb_k - 1  # full iterations (+1 final x+=d)
+                b2 = flat(rhs3)
+                if D == 1:
+                    x2, _, _ = cheb_dia_chunk(
+                        b2, flat(x3), b2, b2, invd_f, dia_f, c1, c2,
+                        n_it=k_total, first=True, last=True, **kw)
+                    return refresh(x2.reshape(3, Lr, LANES), H)
+                c_max = max(1, H // max(Hb, 1))
+                # init launch computes z, d from b and the H-refreshed x
+                x2, z2, d2 = cheb_dia_chunk(
+                    b2, flat(refresh(x3, H)), b2, b2, invd_f, dia_f,
+                    c1[:0], c2[:0], n_it=0, first=True, last=False, **kw)
+                done = 0
+                while done < k_total:
+                    c = min(c_max, k_total - done)
+                    is_last = done + c >= k_total
+                    z2 = flat(refresh(z2.reshape(3, Lr, LANES), H))
+                    d2 = flat(refresh(d2.reshape(3, Lr, LANES), H))
+                    x2, z2, d2 = cheb_dia_chunk(
+                        b2, x2, z2, d2, invd_f, dia_f,
+                        c1[done:done + c], c2[done:done + c],
+                        n_it=c, first=False, last=is_last, **kw)
+                    done += c
+                if k_total == 0:
+                    # degenerate single-update budget
+                    x2 = x2 + d2
+                return refresh(x2.reshape(3, Lr, LANES), H)
+
+            if solver == "cheb":
+                solve = (cheb_kernel if backend == "pallas" else cheb_xla)
+            else:
+                solve = cg
 
             rp = jnp.zeros((iters,), x.dtype)
 

@@ -52,7 +52,8 @@ def _time_stepper(stepper, steps, windows=4, scan_steps=None):
     return float(np.median(reps)), float(min(reps)), float(max(reps))
 
 
-def bench_banded(steps, scale, cg_iters=None, window=0):
+def bench_banded(steps, scale, cg_iters=None, window=0, solver="cg",
+                 cheb_iters=None):
     import jax
     import jax.numpy as jnp
 
@@ -84,15 +85,21 @@ def bench_banded(steps, scale, cg_iters=None, window=0):
         sys_, n_tets = s, beam.n_tets
 
     spmd = ShardedBandedStepper(
-        sys_._lattice, jax.make_mesh((1,), ("elem",)))
+        sys_._lattice, jax.make_mesh((1,), ("elem",)),
+        solver=solver, cheb_iters=cheb_iters)
     if window:
         spmd.rollout_window = window
     med, lo, hi = _time_stepper(spmd, steps)
-    return {"metric": f"sharded_banded_d1_ms_per_step_{scale}",
-            "value": round(med, 3), "unit": "ms",
-            "spread": [round(lo, 3), round(hi, 3)],
-            "n_tets": n_tets, "backend": spmd.backend,
-            "cg_iters": spmd.cg_iters}
+    row = {"metric": f"sharded_banded_d1_ms_per_step_{scale}",
+           "value": round(med, 3), "unit": "ms",
+           "spread": [round(lo, 3), round(hi, 3)],
+           "n_tets": n_tets, "backend": spmd.backend,
+           "solver": solver,
+           "cg_iters": (spmd.cheb_iters if solver == "cheb"
+                        else spmd.cg_iters)}
+    if solver == "cheb":
+        row["cheb_bounds"] = [round(b, 5) for b in spmd.cheb_bounds]
+    return row
 
 
 def bench_cloth(steps, scale, cg_iters=None, window=0):
@@ -148,6 +155,10 @@ def main():
     ap.add_argument("--cg-iters", type=int, default=None)
     ap.add_argument("--window", type=int, default=0,
                     help="rollout window override (0 = stepper default)")
+    ap.add_argument("--solver", default="cg", choices=["cg", "cheb"],
+                    help="banded: global solve (cheb = dot-product-free "
+                         "fused-kernel Chebyshev, parallel/cheb.py)")
+    ap.add_argument("--cheb-iters", type=int, default=None)
     args = ap.parse_args()
 
     import jax
@@ -157,7 +168,8 @@ def main():
 
     if args.family in ("banded", "both"):
         row = bench_banded(args.steps, args.scale, args.cg_iters,
-                           args.window)
+                           args.window, solver=args.solver,
+                           cheb_iters=args.cheb_iters)
         print(json.dumps(row), flush=True)
     if args.family in ("cloth", "both"):
         row = bench_cloth(args.steps, args.scale, args.cg_iters,
