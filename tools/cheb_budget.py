@@ -23,7 +23,7 @@ HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, HERE)
 
 
-def build(scale, cg_iters, solver="cg", cheb_iters=None):
+def build(scale, cg_iters, solver="cg", cheb_iters=None, mg_cycles=10):
     import jax
     import jax.numpy as jnp
 
@@ -57,7 +57,8 @@ def build(scale, cg_iters, solver="cg", cheb_iters=None):
         sys_ = s
     return ShardedBandedStepper(
         sys_._lattice, jax.make_mesh((1,), ("elem",)), backend="xla",
-        solver=solver, cheb_iters=cheb_iters)
+        solver=solver, cheb_iters=cheb_iters, mg_cycles=mg_cycles,
+        system=sys_)
 
 
 def residual_trajectory(stepper, steps):
@@ -74,6 +75,7 @@ def main():
     ap.add_argument("--cand", default="90,120,150")
     ap.add_argument("--scale", default="100k", choices=["100k", "small"])
     ap.add_argument("--exact-cg", type=int, default=300)
+    ap.add_argument("--solver", default="cheb", choices=["cheb", "mg"])
     args = ap.parse_args()
 
     exact = build(args.scale, args.exact_cg)
@@ -82,12 +84,19 @@ def main():
 
     rows = []
     for k in [int(x) for x in args.cand.split(",")]:
-        st = build(args.scale, 25, solver="cheb", cheb_iters=k)
+        if args.solver == "mg":
+            st = build(args.scale, 25, solver="mg", mg_cycles=k)
+            extra = {"mg_rho": st.mg_rho, "levels": st.mg_levels}
+            key = "mg_cycles"
+        else:
+            st = build(args.scale, 25, solver="cheb", cheb_iters=k)
+            extra = {"bounds": [float(b) for b in st.cheb_bounds]}
+            key = "cheb_iters"
         r = residual_trajectory(st, args.steps)
         ratio = r / r_exact
-        rows.append({"cheb_iters": k, "worst_ratio": float(ratio.max()),
+        rows.append({key: k, "worst_ratio": float(ratio.max()),
                      "ratios": [round(float(q), 4) for q in ratio],
-                     "bounds": [float(b) for b in st.cheb_bounds]})
+                     **extra})
         print(json.dumps(rows[-1]), flush=True)
 
 
