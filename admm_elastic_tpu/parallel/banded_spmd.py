@@ -139,8 +139,19 @@ class ShardedBandedStepper:
             )
         self.base = base
         self.mesh = mesh
+        #: a single mesh-axis name, or a TUPLE of names for a two-level
+        #: ('host','chip') hierarchy: slabs partition over the flattened
+        #: product axis host-major, so intra-host neighbor exchanges ride
+        #: the fast 'chip' (ICI) links and only the D/hosts slab
+        #: boundaries that fall between hosts cross the slow ('host',
+        #: DCN) level — comm_stats reports the per-level split
+        #: (SURVEY §2.7's ICI/DCN prescription)
         self.axis = axis
-        self.D = int(mesh.shape[axis])
+        if isinstance(axis, (tuple, list)):
+            self.axis = tuple(axis)
+            self.D = int(np.prod([mesh.shape[a] for a in self.axis]))
+        else:
+            self.D = int(mesh.shape[axis])
         if backend is None:
             backend = ("pallas"
                        if jax.default_backend() == "tpu" else "xla")
@@ -1065,7 +1076,12 @@ class ShardedBandedStepper:
         iteration moves 2 x 3 x Hb boundary rows + two psum scalars;
         each ADMM iteration one H-row RHS combine and one full-H x
         refresh (multi-hop when element windows span slabs); all
-        O(band width), independent of n."""
+        O(band width), independent of n.
+
+        On a two-level ('host','chip') axis the same schedule splits by
+        link class: of the D-1 slab boundaries, hosts-1 fall between
+        hosts (DCN); the rest are intra-host (ICI) — the per-level rows
+        report each class's share of every exchange."""
         bpr = LANES * np.dtype(np.float32).itemsize
         hops = -(-self.H // self.Rloc)
         h_rows = (self.H if self.H <= self.Rloc
@@ -1075,7 +1091,7 @@ class ShardedBandedStepper:
                     + 2 * 3 * h_rows * bpr    # post-CG x refresh
                     + self.cg_iters * per_cg)
         per_step = self.admm_iters * per_admm + 2 * 3 * h_rows * bpr
-        return {
+        out = {
             "n_devices": self.D,
             "halo_rows": self.H,
             "band_halo_rows": self.Hb,
@@ -1083,6 +1099,16 @@ class ShardedBandedStepper:
             "bytes_per_admm_iter": per_admm,
             "bytes_per_step": per_step,
         }
+        if isinstance(self.axis, tuple) and len(self.axis) == 2:
+            hosts = int(self.mesh.shape[self.axis[0]])
+            edges = max(self.D - 1, 1)
+            inter = hosts - 1          # slab boundaries between hosts
+            out["hosts"] = hosts
+            out["interhost_edges"] = inter
+            out["bytes_per_step_interhost"] = per_step * inter // edges
+            out["bytes_per_step_intrahost"] = (
+                per_step * (edges - inter) // edges)
+        return out
 
 
 def sharded_banded_from_system(system, mesh, axis: str = "elem",

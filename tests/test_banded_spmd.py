@@ -374,6 +374,38 @@ def test_mg_step_collectives_are_small():
             assert op.bytes <= limit, (op.bytes, op.line)
 
 
+def test_two_level_host_chip_mesh():
+    """SURVEY §2.7's ICI/DCN hierarchy: the stepper runs over a
+    ('host','chip') 2x4 mesh (slabs host-major on the flattened product
+    axis), matches the flat 8-device decomposition, and comm_stats
+    splits the boundary traffic by link class (only hosts-1 of the D-1
+    slab edges cross the host level)."""
+    _need_devices(8)
+    from jax.sharding import Mesh
+
+    flat = ShardedBandedStepper(
+        _build(admm_iters=4, cg=10)._lattice,
+        jax.make_mesh((8,), ("elem",)), backend="xla")
+    hc = ShardedBandedStepper(
+        _build(admm_iters=4, cg=10)._lattice,
+        Mesh(np.array(jax.devices()[:8]).reshape(2, 4),
+             ("host", "chip")),
+        axis=("host", "chip"), backend="xla")
+    for _ in range(4):
+        flat.step()
+        hc.step()
+    # identical decomposition, identical arithmetic -> exact parity
+    np.testing.assert_array_equal(flat.x, hc.x)
+    stats = hc.comm_stats()
+    assert stats["hosts"] == 2 and stats["interhost_edges"] == 1
+    assert (stats["bytes_per_step_interhost"]
+            + stats["bytes_per_step_intrahost"]
+            == stats["bytes_per_step"] // 7 * 7)
+    # 1 of 7 slab edges crosses DCN
+    assert stats["bytes_per_step_interhost"] * 6 \
+        == stats["bytes_per_step_intrahost"]
+
+
 def test_pad_lanes_do_not_freefall():
     """Mass-0 pad/halo lanes must not accumulate gravity velocity: an
     ungated kick gives |v_pad| = g*t growing without bound (phantom
@@ -401,6 +433,43 @@ def test_pad_lanes_do_not_freefall():
     x = np.asarray(spmd.state["x"]).reshape(D, 3, Lr, LANES)
     for a in range(3):
         assert np.isfinite(x[:, a][pad]).all()
+
+
+@pytest.mark.slow
+def test_sharded_100k_full_depth_envelope():
+    """VERDICT r4 #5: FULL production depth at 100k (10 ADMM iterations,
+    the matched cg75 budget), D=8 vs D=1. Pointwise parity is impossible
+    at this depth (psum reduction reorder diverges chaotically through
+    prox branches, measured ~2000x/step at 100k — identical physics,
+    different round-off); what must and does hold is the physical
+    ENVELOPE: per-step extent and final primal-residual trajectories of
+    D=8 track D=1 within percent-level bounds over many steps."""
+    _need_devices(8)
+
+    def run(n_dev, steps=10):
+        s = _build(dims=(40, 25, 20), admm_iters=10, cg=75, size=0.05)
+        s.settings.collect_residuals = "primal"
+        from admm_elastic_tpu.core.banded import banded_from_system
+
+        b, _ = banded_from_system(s)
+        st = ShardedBandedStepper(
+            b, jax.make_mesh((n_dev,), ("elem",)), backend="xla")
+        ext, res = [], []
+        for _ in range(steps):
+            st.step()
+            x = st.x
+            ext.append([x[:, a].max() - x[:, a].min() for a in range(3)])
+            res.append(float(np.asarray(st.last_primal)[-1]))
+        assert np.isfinite(x).all()
+        return np.array(ext), np.array(res)
+
+    e1, r1 = run(1)
+    e8, r8 = run(8)
+    # extent trajectories track to <1% of the body size, every step
+    scale = e1.max()
+    assert np.abs(e1 - e8).max() < 0.01 * scale, np.abs(e1 - e8).max()
+    # converged residual trajectories track to ~10% relative
+    np.testing.assert_allclose(r8, r1, rtol=0.1)
 
 
 def test_sharded_detach_resume():
