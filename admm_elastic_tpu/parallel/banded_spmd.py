@@ -26,10 +26,15 @@ reference's reduction structure is the sparse D/D^T pair,
 /root/reference/deps/admm-elastic-sca/src/system/System.cpp:54-62; its
 OpenMP runtime has no distributed analog).
 
-Scope (v1): dia-mode banded scenes (HyperElasticTet nh/stvk or
-LinearTetStrain, StaticAnchors, analytic collisions, gravity kicks),
-Jacobi-PCG with fixed iterations, optional primal-residual collection.
-The uell/multigrid configurations stay single-device for now.
+Scope: banded scenes (HyperElasticTet nh/stvk or LinearTetStrain,
+StaticAnchors, analytic collisions, gravity kicks) in BOTH matvec
+forms — sparse-diagonal (dia) AND the per-row-offset ELL fallback for
+ARBITRARY topology (core/uell.py; slots/folds are row-distance-bounded,
+so the same slab+halo seam applies with Hb = slot reach + fold reach).
+Global solves: Jacobi-PCG (solver='cg'), dot-free Chebyshev
+(solver='cheb', parallel/cheb.py) or sharded geometric multigrid
+(solver='mg') — the latter two put no scalar collective on the
+per-iteration critical path. Optional primal-residual collection.
 
 Trajectory parity vs the single-device whole-timestep kernel:
 tests/test_banded_spmd.py.
@@ -116,10 +121,10 @@ class ShardedBandedStepper:
                  backend: str | None = None, solver: str = "cg",
                  cheb_iters: int | None = None, mg_cycles: int = 10,
                  system=None):
-        if base._uell is not None:
+        if base._uell is not None and solver != "cg":
             raise ValueError(
-                "sharded banded path: dia-mode scenes only (the uell "
-                "matvec has unbounded column reach; use SpmdSystem)"
+                "sharded uell path: cg only (cheb/mg spectral builds "
+                "are dia-mode; use solver='cg' on arbitrary topology)"
             )
         if solver != "mg" and (base._mg_meta_static is not None
                                or base._uamg_meta_static is not None):
@@ -197,7 +202,17 @@ class ShardedBandedStepper:
 
         Rloc = _roundup(-(-Nr // D), 8)
         Ng = D * Rloc
-        Hb = _band_reach(base.dia_offs)
+        if base._uell is not None:
+            # per-row-offset ELL matvec reach: slot row shifts, plus the
+            # SEQUENTIAL fold layers each consuming their own reach of
+            # result-plane validity (core/uell.py layout)
+            slot_qs = base._uell_slot_qs
+            fold_qs = base._uell_fold_qs
+            Hb = max(1, max((abs(q) for q in slot_qs), default=0)
+                     + sum(max((abs(q) for q in layer), default=0)
+                           for layer in fold_qs))
+        else:
+            Hb = _band_reach(base.dia_offs)
         mg_host = None
         mg_reach_max = 0
         if self.solver == "mg":
@@ -247,11 +262,34 @@ class ShardedBandedStepper:
             p2d.reshape(D, P2D_PLANES * Lr, LANES), dtype
         )
 
-        n_dia = len(base.dia_offs)
-        self._dia = jnp.asarray(
-            slab_planes(np.asarray(base._dia2d, np.float64), n_dia),
-            dtype,
-        )
+        if base._uell is not None:
+            slot_qs = base._uell_slot_qs
+            fold_qs = base._uell_fold_qs
+            S_total = len(slot_qs) + sum(len(l) for l in fold_qs)
+            self._dia = jnp.asarray(
+                slab_planes(np.asarray(base._dia2d, np.float64),
+                            S_total), dtype)
+            if base._uell_packed:
+                n_words = -(-S_total // 4)
+                words = np.asarray(base._ucc2d, np.int64).reshape(
+                    n_words, Nr, LANES)
+                ccs = np.empty((S_total, Nr, LANES), np.int64)
+                for k in range(S_total):
+                    w, b = divmod(k, 4)
+                    ccs[k] = (words[w] >> (8 * b)) & 0xFF
+            else:
+                ccs = np.asarray(base._ucc2d, np.int64).reshape(
+                    S_total, Nr, LANES)
+            self._ucc = jnp.asarray(
+                slab_planes(ccs.reshape(S_total * Nr, LANES),
+                            S_total).astype(np.int32))
+        else:
+            n_dia = len(base.dia_offs)
+            self._dia = jnp.asarray(
+                slab_planes(np.asarray(base._dia2d, np.float64), n_dia),
+                dtype,
+            )
+            self._ucc = None
         self.dia_offs = base.dia_offs
 
         # ---- chunk ownership: device of the window base row
@@ -325,6 +363,8 @@ class ShardedBandedStepper:
         }
         for nm in ("_p2d", "_dia", "_fblk", "_rbase"):
             setattr(self, nm, jax.device_put(getattr(self, nm), shd))
+        if self._ucc is not None:
+            self._ucc = jax.device_put(self._ucc, shd)
 
     def _mg_host_build(self):
         """Host phase of the sharded geometric-multigrid build
@@ -521,7 +561,20 @@ class ShardedBandedStepper:
         cg_iters = self.cg_iters
         axis = self.axis
         offs = self.dia_offs
-        n_dia = len(offs)
+        is_uell = base._uell is not None
+        if is_uell:
+            slot_qs = base._uell_slot_qs
+            fold_qs = base._uell_fold_qs
+            n_dia = len(slot_qs) + sum(len(l) for l in fold_qs)
+            # group slots by q so one shifted copy of x is live at a time
+            q_groups = []
+            for k, qq in enumerate(slot_qs):
+                if q_groups and q_groups[-1][0] == qq:
+                    q_groups[-1][1].append(k)
+                else:
+                    q_groups.append((qq, [k]))
+        else:
+            n_dia = len(offs)
         model = self.model
         newton_iters = base.newton_iters
         coll_shapes = base.coll_shapes
@@ -610,7 +663,17 @@ class ShardedBandedStepper:
                 b3 = b3.at[:, H:H + hi - lo].add(sent)
             return b3
 
-        def matvec(p3):
+        def _rshift(xv, q):
+            """out[r] = x[r+q] on (Lr, 128), zero fill (the uell row
+            shift — lanes are handled by the cc gather)."""
+            if q == 0:
+                return xv
+            z = jnp.zeros_like(xv)
+            if q > 0:
+                return jnp.concatenate([xv[q:], z[:q]], 0)
+            return jnp.concatenate([z[:(-q)], xv[:q]], 0)
+
+        def matvec_dia(p3):
             out = []
             for a in range(3):
                 acc = None
@@ -620,14 +683,49 @@ class ShardedBandedStepper:
                 out.append(acc)
             return jnp.stack(out)
 
-        dia_l = None  # bound per call below
+        def matvec_uell(p3):
+            """Per-row-offset ELL + layered folds (core/uell.py) on the
+            slab: slot gathers read the Hb-refreshed halo; folds run on
+            the result plane (their reach is part of Hb); the valid mask
+            zeroes copy/spare positions so CG never sees phantom dofs."""
+            vm, ucc = uell_l
+            out = []
+            for a in range(3):
+                xv = p3[a]
+                acc = None
+                for qq, ks in q_groups:
+                    sh = _rshift(xv, qq)
+                    for k in ks:
+                        t = dia_l[k] * jnp.take_along_axis(
+                            sh, ucc[k], axis=1)
+                        acc = t if acc is None else acc + t
+                kf = len(slot_qs)
+                for layer in fold_qs:
+                    for qq in layer:
+                        acc = acc + dia_l[kf] * jnp.take_along_axis(
+                            _rshift(acc, qq), ucc[kf], axis=1)
+                        kf += 1
+                out.append(acc * vm)
+            return jnp.stack(out)
 
-        def sstep(p2d, dia, rbase, fblk, x, v, au, cu, d, *mg_in):
-            nonlocal dia_l
+        matvec = matvec_uell if is_uell else matvec_dia
+
+        dia_l = None   # bound per call below
+        uell_l = None  # (vmask, cc planes) bound per call below
+
+        def sstep(p2d, dia, rbase, fblk, x, v, au, cu, d, *extra):
+            nonlocal dia_l, uell_l
             p2d, dia, rbase, fblk = p2d[0], dia[0], rbase[0], fblk[0]
             x, v, au, cu, d = x[0], v[0], au[0], cu[0], d[0]
-            mg_args = ((mg_in[0][0], mg_in[1][0], mg_in[2][0], mg_in[3])
-                       if mg_in else None)
+            mg_args = None
+            if solver == "mg":
+                mg_args = (extra[0][0], extra[1][0], extra[2][0],
+                           extra[3])
+            elif is_uell:
+                uell_l = (
+                    p2d[PVM * Lr:(PVM + 1) * Lr],
+                    extra[0][0].reshape(n_dia, Lr, LANES),
+                )
             dia_l = dia.reshape(n_dia, Lr, LANES)
             invd = p2d[PINVD * Lr:(PINVD + 1) * Lr]
             mass = p2d[PMASS * Lr:(PMASS + 1) * Lr]
@@ -906,10 +1004,14 @@ class ShardedBandedStepper:
                     au[None], cu[None], d[None], rp)
 
         pd = P(axis)
-        mg_specs = (pd, pd, pd, P()) if solver == "mg" else ()
+        extra_specs = ()
+        if solver == "mg":
+            extra_specs = (pd, pd, pd, P())
+        elif is_uell:
+            extra_specs = (pd,)
         smapped = jax.shard_map(
             sstep, mesh=self.mesh,
-            in_specs=(pd, pd, pd, pd, pd, pd, pd, pd, pd) + mg_specs,
+            in_specs=(pd, pd, pd, pd, pd, pd, pd, pd, pd) + extra_specs,
             out_specs=(pd, pd, pd, pd, pd, P()),
             check_vma=False,
         )
@@ -934,6 +1036,8 @@ class ShardedBandedStepper:
         if self.solver == "mg":
             out = out + (self._mgf_s, self._mgi_s, self._mgE,
                          self._a2b_r)
+        if self._ucc is not None:
+            out = out + (self._ucc,)
         return out
 
     def step(self):
@@ -1001,6 +1105,11 @@ class ShardedBandedStepper:
                               np.asarray(old._rbase))
         assert np.array_equal(np.asarray(new_base._positions),
                               np.asarray(old._positions))
+        if old._uell is not None:
+            # a weight edit that changes the nz pattern would repack the
+            # slot structure — that needs a rebuild, not a refresh
+            assert new_base._uell_slot_qs == old._uell_slot_qs
+            assert new_base._uell_fold_qs == old._uell_fold_qs
         recompile = (
             not np.array_equal(new_base.gravity, old.gravity)
             or new_base.newton_iters != old.newton_iters

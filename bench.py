@@ -23,7 +23,8 @@ mesh/material/solver configuration).
 Runs on whatever backend JAX selects (the real TPU chip under the driver's
 environment). Usage: python bench.py
 [--preset tet100k|banded100k|delaunay100k|cloth100k|windyflag|dillo|bunny|
- plinko|sweep64|sharded|sharded_banded|sharded_cloth|sharded_halo]
+ plinko|sweep64|sharded|sharded_banded|sharded_cloth|sharded_halo|
+ sharded_delaunay]
 [--steps N] [--amg] [--cg-iters N]
 """
 
@@ -639,6 +640,67 @@ def bench_sharded_halo(dtype, n_dev=8, steps=3):
     return stats, err, beam.n_tets
 
 
+def bench_sharded_delaunay(dtype, n_dev=8, steps=3):
+    """Sharded ARBITRARY topology (round 5): the uell per-row-offset
+    ELL matvec on the slab seam — D=8 vs D=1 of the same decomposition
+    on a Delaunay tetrahedralization, plus the O(reach) comm volume and
+    the measured-HLO audit."""
+    import jax
+
+    from admm_elastic_tpu import Settings, System
+    from admm_elastic_tpu.models import (
+        ExplicitForce, HyperElasticTet, StaticAnchor)
+    from admm_elastic_tpu.parallel.banded_spmd import (
+        sharded_banded_from_system,
+    )
+    from admm_elastic_tpu.parallel.comm import assert_no_fat_collectives
+    from scipy.spatial import Delaunay
+
+    rng = np.random.default_rng(0)
+    gx, gy, gz = np.meshgrid(np.arange(16), np.arange(11),
+                             np.arange(10), indexing="ij")
+    pts = np.stack([gx, gy, gz], -1).reshape(-1, 3).astype(np.float64)
+    pts += rng.uniform(-0.3, 0.3, pts.shape)
+    pts *= 0.05
+    tets = Delaunay(pts).simplices
+    pp = pts[tets]
+    emax = np.linalg.norm(pp[:, :, None, :] - pp[:, None, :, :],
+                          axis=-1).max(axis=(1, 2))
+    tets = tets[emax < 0.11]
+    v6 = np.linalg.det(pts[tets][:, 1:] - pts[tets][:, :1])
+    tets[v6 < 0] = tets[v6 < 0][:, [0, 2, 1, 3]]
+
+    def build():
+        s = System(Settings(timestep_s=0.04, admm_iters=10, verbose=0,
+                            dtype=dtype, global_solver="ell",
+                            cg_fixed_iters=25, lattice_fast_path=True))
+        n = len(pts)
+        s.add_nodes(pts, np.full(n, 50.0 / n))
+        s.add_force(StaticAnchor(
+            np.flatnonzero(pts[:, 0] < pts[:, 0].min() + 0.025)))
+        s.add_force(HyperElasticTet(tets, mu=1e5, lam=1e5, max_iters=5,
+                                    model="nh"))
+        s.add_explicit_force(ExplicitForce(direction=(0, -9.8, 0)))
+        assert s.initialize() and s._lattice is not None
+        assert s._lattice._uell is not None, "expected the uell matvec"
+        return s
+
+    s1, _ = sharded_banded_from_system(
+        build(), jax.make_mesh((1,), ("elem",)))
+    s8, _ = sharded_banded_from_system(
+        build(), jax.make_mesh((n_dev,), ("elem",)))
+    for _ in range(steps):
+        s1.step()
+        s8.step()
+    err = float(np.abs(s8.x - s1.x).max())
+    scale = max(float(np.abs(s1.x).max()), 1.0)
+    assert err < 1e-3 * scale, f"sharded uell parity failed: {err}"
+    stats = s8.comm_stats()
+    limit = max(stats["halo_rows"] * 128 * 3 * 8 * 4, 65536)
+    assert_no_fat_collectives(s8.measured_comm(), limit)
+    return stats, err, len(tets)
+
+
 def bench_sharded_cloth(dtype, n_dev=8, steps=3):
     """The sharded CLOTH whole-timestep path on the virtual mesh:
     D=8 vs D=1 of the same decomposition (full windyflag physics), plus
@@ -747,7 +809,7 @@ def main():
     args = ap.parse_args()
 
     if args.preset in ("sharded", "sharded_banded", "sharded_halo",
-                   "sharded_cloth") and \
+                   "sharded_cloth", "sharded_delaunay") and \
             "force_host_platform" not in os.environ.get("XLA_FLAGS", ""):
         # the sharded harness needs a multi-device mesh; re-exec onto an
         # 8-virtual-device CPU backend (the real environment has 1 chip).
@@ -966,6 +1028,25 @@ def main():
                 {
                     "metric": "sharded_halo_comm_bytes_per_cg_iter",
                     "value": stats["bytes_per_cg_iter"],
+                    "unit": "bytes",
+                    "vs_baseline": 1.0,  # parity + HLO-audit checked
+                }
+            )
+        )
+    elif args.preset == "sharded_delaunay":
+        stats, err, n_tets = bench_sharded_delaunay(dtype)
+        print(
+            f"# sharded_delaunay: {n_tets} Delaunay tets on "
+            f"{stats['n_devices']} devices, parity err {err:.2e}, halo "
+            f"{stats['halo_rows']} rows, {stats['bytes_per_cg_iter']} "
+            "comm bytes/CG iter (O(reach), HLO-audited)",
+            file=sys.stderr,
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "sharded_delaunay_comm_bytes_per_step",
+                    "value": stats["bytes_per_step"],
                     "unit": "bytes",
                     "vs_baseline": 1.0,  # parity + HLO-audit checked
                 }

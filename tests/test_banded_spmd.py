@@ -374,6 +374,40 @@ def test_mg_step_collectives_are_small():
             assert op.bytes <= limit, (op.bytes, op.line)
 
 
+def test_sharded_uell_arbitrary_topology():
+    """VERDICT r4 #3: ARBITRARY topology at headline speed goes
+    multi-chip — the per-row-offset ELL matvec (slots + layered folds,
+    core/uell.py) is row-distance-bounded, so it rides the same slab
+    seam. Trajectory parity vs the single-device whole-timestep kernel
+    on a Delaunay tetrahedralization."""
+    _need_devices(4)
+    from test_uell import _build_system as _build_uell, _delaunay_mesh
+
+    pts, tets = _delaunay_mesh(9, 6, 5)
+    ref_sys = _build_uell(pts, tets, fast=True)
+    ref = ref_sys._lattice
+    assert ref._uell is not None
+    for _ in range(5):
+        ref.step()
+    for Dv in (2, 4):
+        sp = ShardedBandedStepper(
+            _build_uell(pts, tets, fast=True)._lattice,
+            jax.make_mesh((Dv,), ("elem",)), backend="xla")
+        for _ in range(5):
+            sp.step()
+        err = np.abs(sp.x - ref.x).max()
+        assert err < 1e-8, (Dv, err)
+    # comm stays O(reach), never O(n): audit the compiled collectives
+    sp2 = ShardedBandedStepper(
+        _build_uell(pts, tets, fast=True)._lattice,
+        jax.make_mesh((2,), ("elem",)), backend="xla")
+    from admm_elastic_tpu.parallel.comm import assert_no_fat_collectives
+
+    stats = sp2.comm_stats()
+    limit = max(stats["halo_rows"] * 128 * 3 * 8 * 4, 65536)
+    assert_no_fat_collectives(sp2.measured_comm(), limit)
+
+
 def test_two_level_host_chip_mesh():
     """SURVEY §2.7's ICI/DCN hierarchy: the stepper runs over a
     ('host','chip') 2x4 mesh (slabs host-major on the flattened product
