@@ -50,6 +50,17 @@ def main(argv=None):
                      "--viewer/--export/--render")
         from .live import LiveViewer
 
+        if args.sharded:
+            import jax
+
+            if len(jax.devices()) < args.sharded:
+                ap.error(
+                    f"--sharded {args.sharded}: only "
+                    f"{len(jax.devices())} devices visible"
+                )
+            if ctx.system.settings.global_solver in ("auto", "dense"):
+                ctx.system.settings.global_solver = "ell"
+            ctx.system.settings.lattice_fast_path = False
         lv = LiveViewer.for_context(ctx)
         ctx.initialize()
         if args.resume:
@@ -59,11 +70,20 @@ def main(argv=None):
                 args.resume, dtype=ctx.system.settings.dtype,
                 like=ctx.system.state,
             )
+        if args.sharded:
+            import jax
+
+            from .parallel.halo_spmd import HaloSpmdSystem
+
+            lv.attach_spmd(HaloSpmdSystem(
+                ctx.system, jax.make_mesh((args.sharded,), ("elem",))))
         lv.serve(port=args.live,
                  max_steps=args.steps if args.steps > 0 else None)
         if args.checkpoint:
             from .utils import save_state
 
+            if lv.spmd is not None:
+                lv.spmd.detach()  # sharded state -> system state
             save_state(args.checkpoint, ctx.system.state)
             print(f"checkpoint: {args.checkpoint}")
         return 0

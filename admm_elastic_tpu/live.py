@@ -164,6 +164,8 @@ class LiveViewer:
         self.frames_sent = 0
         self.events_handled = 0
         self._x_snap = None  # last positions snapshot (set by serve())
+        self.spmd = None     # optional sharded stepper (attach_spmd)
+        self._spmd_dirty = False
 
     # ----------------------------------------------------- constructors
 
@@ -250,13 +252,26 @@ class LiveViewer:
             } for o in self.objects],
         }).encode()
 
+    def attach_spmd(self, spmd) -> None:
+        """Serve a SHARDED simulation: `spmd` wraps self.system
+        (parallel.halo_spmd.HaloSpmdSystem — the general path supports
+        MovingAnchor grabbing). The serve loop steps the sharded system,
+        positions come from its gather, and every runtime force edit
+        (grab/drag/release/wind) is followed by spmd.refresh_params()
+        so the edit reaches the sharded operator — the multi-chip
+        poordillo flow."""
+        if getattr(spmd, "system", None) is not self.system:
+            raise ValueError("spmd must wrap this viewer's system")
+        self.spmd = spmd
+
     def _snapshot(self) -> np.ndarray:
         """Materialize positions to host and publish under the lock.
         Called only from the stepping (serve) thread, which is the one
         thread for which reading `system.x` is always safe (the step
         donates buffers; a concurrent read from another thread can land
         on a just-invalidated array)."""
-        x = np.asarray(self.system.x, np.float32)
+        src = self.spmd.x if self.spmd is not None else self.system.x
+        x = np.asarray(src, np.float32)
         with self._lock:
             self._x_snap = x
         return x
@@ -288,6 +303,12 @@ class LiveViewer:
         self.events_handled += 1
         sysm = self.system
         t = ev.get("type")
+        if self.spmd is not None and t in ("wind", "grab", "drag",
+                                           "release"):
+            # force edits land on the System; mark the sharded wrapper
+            # dirty — serve() refreshes ONCE per frame (a refresh is a
+            # host-side operator rebuild; per-drag-event would thrash)
+            self._spmd_dirty = True
         if t == "pause":
             self.playing = False
         elif t == "play":
@@ -306,7 +327,9 @@ class LiveViewer:
             w[v] = GRAB_WEIGHT
             act = np.zeros(n, bool)
             act[v] = True
-            pos = np.asarray(sysm.x, np.float64).copy()
+            pos = np.asarray(
+                self.positions() if self.spmd is not None else sysm.x,
+                np.float64).copy()
             pos[v] = self._vec3(ev["pos"])
             sysm.set_force_param(self.grab, "weight", w)
             sysm.set_force_state(self.grab, "active", act)
@@ -439,7 +462,12 @@ class LiveViewer:
                         dead.append(cl)
                 if self.playing or self.step_once:
                     self.step_once = False
-                    if hasattr(self, "ctx"):
+                    if self.spmd is not None and self._spmd_dirty:
+                        self.spmd.refresh_params()
+                        self._spmd_dirty = False
+                    if self.spmd is not None:
+                        self.spmd.step()
+                    elif hasattr(self, "ctx"):
                         self.ctx.step()
                         self.ctx.update()
                     else:

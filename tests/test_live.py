@@ -153,6 +153,56 @@ def test_live_bridge_grab_drag_release():
     th.join(timeout=5)
 
 
+def test_live_sharded_grab_drag_release():
+    """The poordillo interaction flow on the SHARDED path (round 5,
+    VERDICT r4 #4 tail): LiveViewer steps a HaloSpmdSystem; grab edits
+    land on the System and reach the sharded operator through a
+    once-per-frame refresh_params()."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 virtual devices")
+    from admm_elastic_tpu.parallel.halo_spmd import HaloSpmdSystem
+
+    mesh = make_sym_plane(8, 6)
+    n = mesh.n_vertices
+    sysm = aet.System(aet.Settings(
+        timestep_s=0.04, admm_iters=6, verbose=0, dtype=jnp.float64,
+        global_solver="ell", cg_fixed_iters=12))
+    sysm.add_nodes(mesh.vertices, np.full(n, 0.5 / n))
+    sysm.add_force(LimitedTriangleStrain(mesh.faces, 100.0, 0.95, 1.05))
+    sysm.add_force(StaticAnchor([0, 6]))
+    sysm.add_explicit_force(ExplicitForce(direction=(0, -9.8, 0)))
+    lv = LiveViewer.for_system(sysm, mesh.faces)
+    assert sysm.initialize()
+    lv.attach_spmd(HaloSpmdSystem(sysm, jax.make_mesh((2,), ("elem",))))
+    th = threading.Thread(
+        target=lambda: lv.serve(port=0x2258, max_seconds=60, quiet=True),
+        daemon=True,
+    )
+    th.start()
+    time.sleep(0.4)
+    try:
+        cl = _WsClient(0x2258)
+        op, meta = cl.recv()
+        assert op == 1 and json.loads(meta)["grab"]
+        assert _wait(lambda: lv.frames_sent > 3, 20.0)
+        x_now = lv.positions()
+        v = int(np.argmax(x_now[:, 0]))
+        target = [float(x_now[v, 0]), float(x_now[v, 1]) + 1.0,
+                  float(x_now[v, 2])]
+        cl.send({"type": "grab", "id": v, "pos": target})
+        cl.send({"type": "drag", "pos": target})
+        assert _wait(
+            lambda: lv.positions()[v, 1] > x_now[v, 1] + 0.5, 30.0
+        ), "sharded drag did not pull the grabbed vertex"
+        cl.send({"type": "release"})
+        assert _wait(lambda: lv._grabbed is None, 20.0)
+    finally:
+        lv.stop()
+    th.join(timeout=10)
+
+
 def test_live_requires_preinit_for_grab():
     sysm, mesh = _mk_system()
     assert sysm.initialize()
