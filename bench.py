@@ -819,20 +819,35 @@ def main():
         # not just comm bytes (VERDICT r4 #1/weak #3).
         chip_rows = []
         if args.preset in ("sharded_banded", "sharded_cloth"):
-            try:
-                sys.path.insert(0, os.path.join(HERE, "tools"))
-                from bench_sharded_chip import bench_banded, bench_cloth
+            # SUBPROCESS with a hard timeout: a wedged relay compile
+            # (observed once with the 100k mg step) must degrade to a
+            # skipped row, not hang the preset. Matched configs: banded
+            # cheb180 (the measured on-chip matched solve — zero
+            # all-reduces; docs/PERFORMANCE.md round 5), cloth cg25.
+            import subprocess
 
-                if args.preset == "sharded_banded":
-                    # matched config: sharded V-cycles (mg8, study in
-                    # docs/PERFORMANCE.md round 5)
-                    chip_rows.append(bench_banded(
-                        10, "100k", None, 0, solver="mg", cheb_iters=8))
-                else:
-                    chip_rows.append(bench_cloth(
-                        10, "100k", None, 0, solver="mg", mg_cycles=8))
+            fam = ("banded" if args.preset == "sharded_banded"
+                   else "cloth")
+            cmd = [
+                "timeout", "-k", "15", "1800", sys.executable, "-u",
+                os.path.join(HERE, "tools", "bench_sharded_chip.py"),
+                "--family", fam, "--scale", "100k", "--steps", "10",
+            ]
+            if fam == "banded":
+                cmd += ["--solver", "cheb", "--cheb-iters", "180"]
+            try:
+                out = subprocess.run(
+                    cmd, capture_output=True, text=True, timeout=2000
+                ).stdout
+                for line in out.splitlines():
+                    line = line.strip()
+                    if line.startswith("{"):
+                        chip_rows.append(json.loads(line))
             except Exception as e:  # relay flake — parity still runs
                 print(f"# chip D=1 timing skipped: {e}", file=sys.stderr)
+            if not chip_rows:
+                print("# chip D=1 timing unavailable (relay down or "
+                      "compile timeout)", file=sys.stderr)
         env = dict(os.environ)
         env.update({
             "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
