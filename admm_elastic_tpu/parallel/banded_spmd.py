@@ -1114,9 +1114,9 @@ class ShardedBandedStepper:
             not np.array_equal(new_base.gravity, old.gravity)
             or new_base.newton_iters != old.newton_iters
             or not _same_coll(new_base, old)
-            # cheb coefficients are spectrum-derived closure constants:
+            # cheb/mg schedules are spectrum-derived closure constants:
             # a weight edit moves the spectrum, so rebuild them
-            or self.solver == "cheb"
+            or self.solver in ("cheb", "mg")
         )
         # carry live state; adopt the re-packed parameter planes
         state = self.state

@@ -356,6 +356,42 @@ def test_mg_solver_matched_quality_and_parity():
     assert np.abs(outs[1] - outs[4]).max() < 1e-9
 
 
+def test_mg_refresh_params_release():
+    """Runtime release on the mg solver: the spectrum-derived cheb
+    schedule is compiled in, so refresh_params must rebuild AND
+    re-jit — a stale schedule (or stale planes) would diverge from the
+    near-exact reference after the edit."""
+    _need_devices(2)
+
+    def released(sysm):
+        anchor = sysm.forces[0]
+        n_anc = len(np.asarray(sysm.params[anchor.name]["indices"]))
+        keep = np.zeros(n_anc)
+        keep[: n_anc // 2] = 1000.0  # release half the anchored face
+        sysm.set_force_param(anchor, "weight", keep)
+        sysm.recompute_weights()
+
+    sys_ref = _build(dims=(8, 4, 4), admm_iters=4, cg=200)
+    ref, _ = sharded_banded_from_system(
+        sys_ref, jax.make_mesh((1,), ("elem",)), backend="xla")
+    sys_mg = _build(dims=(8, 4, 4), admm_iters=4, cg=10)
+    mg, _ = sharded_banded_from_system(
+        sys_mg, jax.make_mesh((2,), ("elem",)), backend="xla",
+        solver="mg", mg_cycles=12)
+    for _ in range(2):
+        ref.step()
+        mg.step()
+    released(sys_ref)
+    ref.refresh_params()
+    released(sys_mg)
+    mg.refresh_params()
+    for _ in range(3):
+        ref.step()
+        mg.step()
+    scale = max(np.abs(ref.x).max(), 1.0)
+    assert np.abs(mg.x - ref.x).max() < 1e-4 * scale
+
+
 def test_mg_step_collectives_are_small():
     """The mg step's only non-ppermute collective is the KB-sized
     coarsest pack psum — never an O(n) reduction."""
