@@ -33,36 +33,36 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .banded_step import _shifted
 
-def _make_kernel(offsets, W, n_it, first, last, inv_theta):
+
+def _make_kernel(offsets, Lr, n_it, first, last, inv_theta, interpret):
+    """(Lr, 128) plane layout with the mega kernel's `_shifted`
+    flat-index shifts (roll_lanes + row shifts — the Mosaic-native
+    form; the earlier (3, W) lane-major layout paid a relayout per
+    shifted operand). State refs are (3*Lr, 128), one axis block per
+    row band."""
     D = len(offsets)
-    _center = offsets.index(0)
 
     def kernel(b_ref, x0_ref, z0_ref, d0_ref, invd_ref, dia_ref,
-               c1_ref, c2_ref, x_out, z_out, d_out, Ad_s):
-        def matvec_into(src_ref, out_ref):
-            # out = A @ src via static-slice shift-multiply-add
-            # (cg_dia.py:34-49 layout: flat index, zero fill at edges)
-            out_ref[:, :] = dia_ref[_center, :] * src_ref[:, :]
+               c1_ref, c2_ref, x_out, z_out, d_out):
+        def rows(a):
+            return slice(a * Lr, (a + 1) * Lr)
+
+        def matvec(src_ref, a):
+            xa = src_ref[rows(a), :]
+            acc = None
             for dd in range(D):
-                off = offsets[dd]
-                if off == 0:
-                    continue
-                if off > 0:
-                    out_ref[:, : W - off] = (
-                        out_ref[:, : W - off]
-                        + dia_ref[dd, : W - off] * src_ref[:, off:]
-                    )
-                else:
-                    out_ref[:, -off:] = (
-                        out_ref[:, -off:]
-                        + dia_ref[dd, -off:] * src_ref[:, : W + off]
-                    )
+                t = (dia_ref[rows(dd), :]
+                     * _shifted(xa, offsets[dd], Lr, interpret))
+                acc = t if acc is None else acc + t
+            return acc
 
         x_out[:, :] = x0_ref[:, :]
         if first:
-            matvec_into(x0_ref, Ad_s)
-            z_out[:, :] = invd_ref[:, :] * (b_ref[:, :] - Ad_s[:, :])
+            for a in range(3):
+                z_out[rows(a), :] = invd_ref[:, :] * (
+                    b_ref[rows(a), :] - matvec(x0_ref, a))
             d_out[:, :] = inv_theta * z_out[:, :]
         else:
             z_out[:, :] = z0_ref[:, :]
@@ -70,10 +70,11 @@ def _make_kernel(offsets, W, n_it, first, last, inv_theta):
 
         def body(i, _):
             x_out[:, :] = x_out[:, :] + d_out[:, :]
-            matvec_into(d_out, Ad_s)
-            z_out[:, :] = z_out[:, :] - invd_ref[:, :] * Ad_s[:, :]
             cc1 = c1_ref[i]
             cc2 = c2_ref[i]
+            for a in range(3):
+                z_out[rows(a), :] = (z_out[rows(a), :]
+                                     - invd_ref[:, :] * matvec(d_out, a))
             d_out[:, :] = cc1 * d_out[:, :] + cc2 * z_out[:, :]
             return 0
 
@@ -92,28 +93,28 @@ def _make_kernel(offsets, W, n_it, first, last, inv_theta):
 def cheb_dia_chunk(b, x, z, d, invd, dia, c1, c2, *, offsets, n_it,
                    first, last, inv_theta, interpret=None):
     """Run `n_it` full Chebyshev iterations (x+=d; z-=D^{-1}A d;
-    d=c1[i]d+c2[i]z) in one kernel on (3, W) planes.
+    d=c1[i]d+c2[i]z) in one kernel.
 
-    b, x, z, d: (3, W) flat planes (W multiple of 128); invd: (1, W);
-    dia: (n_dia, W); c1, c2: (n_it,) host-precomputed coefficients for
-    THIS chunk (slice of the full schedule). first: initialize z/d from
-    b/x (z, d inputs ignored); last: apply the trailing position
-    update. Returns (x, z, d)."""
+    b, x, z, d: (3*Lr, 128) planes (axis blocks of Lr rows); invd:
+    (Lr, 128); dia: (n_dia*Lr, 128); c1, c2: (n_it,) host-precomputed
+    coefficients for THIS chunk (slice of the full schedule). first:
+    initialize z/d from b/x (z, d inputs ignored); last: apply the
+    trailing position update. Returns (x, z, d)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     if c1.shape[0] == 0:  # init-only launch: keep SMEM shapes non-empty
         c1 = jnp.zeros((1,), b.dtype)
         c2 = jnp.zeros((1,), b.dtype)
-    W = b.shape[1]
+    Lr = b.shape[0] // 3
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
     shp = jax.ShapeDtypeStruct(b.shape, b.dtype)
     x, z, d = pl.pallas_call(
-        _make_kernel(offsets, W, n_it, first, last, inv_theta),
+        _make_kernel(offsets, Lr, n_it, first, last, inv_theta,
+                     interpret),
         in_specs=[vspec] * 6 + [sspec, sspec],
         out_specs=[vspec, vspec, vspec],
         out_shape=[shp, shp, shp],
-        scratch_shapes=[pltpu.VMEM(b.shape, b.dtype)],
         interpret=interpret,
     )(b, x, z, d, invd, dia, c1, c2)
     return x, z, d

@@ -817,9 +817,9 @@ class ShardedBandedStepper:
                 from ..ops.pallas.cheb_dia import cheb_dia_chunk
 
                 inv_theta, c1, c2 = cheb_c
-                flat = lambda a3: a3.reshape(3, Lr * LANES)  # noqa: E731
-                dia_f = dia_l.reshape(n_dia, Lr * LANES)
-                invd_f = invd.reshape(1, Lr * LANES)
+                flat = lambda a3: a3.reshape(3 * Lr, LANES)  # noqa: E731
+                dia_f = dia_l.reshape(n_dia * Lr, LANES)
+                invd_f = invd
                 kw = dict(offsets=tuple(int(o) for o in offs),
                           inv_theta=float(inv_theta))
                 k_total = cheb_k - 1  # full iterations (+1 final x+=d)
