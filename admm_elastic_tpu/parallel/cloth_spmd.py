@@ -186,7 +186,11 @@ class ShardedClothStepper:
         }
         shd = NamedSharding(self.mesh, P(self.axis))
         self.state = {
-            k: (jax.device_put(v, shd) if k != "t" else v)
+            # "t" rides replicated: leaving it UN-placed makes the
+            # post-step sharding differ from the input's and forces a
+            # silent second compile of the whole step
+            k: jax.device_put(
+                v, shd if k != "t" else NamedSharding(self.mesh, P()))
             for k, v in self.state.items()
         }
         for nm in ("_masks", "_ancz", "_dia"):
