@@ -439,7 +439,9 @@ class HaloSpmdSystem:
             "v": jax.device_put(state["v"], elem_shd),
             "t": jax.device_put(state["t"], rep_shd),
         }
-        self._step_fn = jax.jit(self._make_step(), donate_argnums=(0, 1))
+        self._core_fn = self._make_step()
+        self._step_fn = jax.jit(self._core_fn, donate_argnums=(0, 1))
+        self._run_fn = {}
         self.last_aux = {}
 
     # ------------------------------------------------------------- step
@@ -692,7 +694,33 @@ class HaloSpmdSystem:
         )
         return True
 
+    #: steps fused into one lax.scan program by run() — amortizes the
+    #: per-dispatch overhead like the whole-timestep kernels' rollout
+    #: windows (docs/PERFORMANCE.md)
+    ROLLOUT_WINDOW = 10
+
     def run(self, n_steps: int):
+        """Step n times; full ROLLOUT_WINDOW chunks run as one jitted
+        lax.scan program each. The per-step last_aux contract keeps
+        residual-collecting runs on per-step dispatch."""
+        W = self.ROLLOUT_WINDOW
+        collecting = bool(self.system.settings.collect_residuals)
+        while not collecting and n_steps >= W:
+            if W not in self._run_fn:
+                core = self._core_fn
+
+                def runW(state, shd):
+                    def body(carry, _):
+                        st, sh, _aux = core(*carry)
+                        return (st, sh), None
+
+                    (st, sh), _ = jax.lax.scan(
+                        body, (state, shd), None, length=W)
+                    return st, sh
+
+                self._run_fn[W] = jax.jit(runW, donate_argnums=(0, 1))
+            self.state, self.shd = self._run_fn[W](self.state, self.shd)
+            n_steps -= W
         for _ in range(n_steps):
             self.step()
         return True

@@ -356,6 +356,36 @@ def test_halo_cloth_scene_windyflag_physics():
     assert np.abs(spmd.x - mesh.vertices).max() > 1e-3
 
 
+def test_halo_run_scan_window_matches_per_step():
+    """run(n) fuses ROLLOUT_WINDOW chunks into one lax.scan program;
+    the scanned trajectory equals per-step dispatch."""
+    _need_devices(2)
+
+    def build():
+        beam = make_beam_tets(6, 4, 4)
+        n = beam.n_vertices
+        s = System(Settings(timestep_s=0.04, admm_iters=4, verbose=0,
+                            dtype=F64, global_solver="ell",
+                            cg_fixed_iters=10))
+        s.add_nodes(beam.vertices, np.full(n, 5.0 / n))
+        s.add_force(StaticAnchor(
+            np.flatnonzero(beam.vertices[:, 0] < 1e-9)))
+        s.add_force(HyperElasticTet(beam.tets, mu=1e5, lam=1e5,
+                                    max_iters=5, model="nh"))
+        s.add_explicit_force(ExplicitForce(direction=(0, -9.8, 0)))
+        assert s.initialize()
+        return s
+
+    mesh = jax.make_mesh((2,), ("elem",))
+    a = HaloSpmdSystem(build(), mesh)
+    b = HaloSpmdSystem(build(), mesh)
+    W = a.ROLLOUT_WINDOW
+    a.run(W + 2)
+    for _ in range(W + 2):
+        b.step()
+    np.testing.assert_allclose(a.x, b.x, atol=1e-12)
+
+
 def test_halo_refresh_params_grab_release():
     """The poordillo runtime-edit flow MULTI-CHIP: move a MovingAnchor's
     control points, then release it (weight-zero + recompute), with
