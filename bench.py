@@ -826,26 +826,39 @@ def main():
             # all-reduces; docs/PERFORMANCE.md round 5), cloth cg25.
             import subprocess
 
+            # 90 s pre-probe: a dead relay otherwise eats the full
+            # compile timeout before the skip message
+            probe = subprocess.run(
+                ["timeout", "-k", "10", "90", sys.executable, "-c",
+                 "import jax; assert jax.devices()[0].platform=='tpu'"],
+                capture_output=True,
+            )
             fam = ("banded" if args.preset == "sharded_banded"
                    else "cloth")
-            cmd = [
-                "timeout", "-k", "15", "1800", sys.executable, "-u",
-                os.path.join(HERE, "tools", "bench_sharded_chip.py"),
-                "--family", fam, "--scale", "100k", "--steps", "10",
-            ]
-            if fam == "banded":
-                cmd += ["--solver", "cheb", "--cheb-iters", "180"]
-            try:
-                out = subprocess.run(
-                    cmd, capture_output=True, text=True, timeout=2000
-                ).stdout
-                for line in out.splitlines():
-                    line = line.strip()
-                    if line.startswith("{"):
-                        chip_rows.append(json.loads(line))
-            except Exception as e:  # relay flake — parity still runs
-                print(f"# chip D=1 timing skipped: {e}", file=sys.stderr)
-            if not chip_rows:
+            if probe.returncode != 0:
+                fam = None
+                print("# chip D=1 timing skipped: no TPU backend "
+                      "reachable", file=sys.stderr)
+            if fam is not None:
+                cmd = [
+                    "timeout", "-k", "15", "1800", sys.executable, "-u",
+                    os.path.join(HERE, "tools", "bench_sharded_chip.py"),
+                    "--family", fam, "--scale", "100k", "--steps", "10",
+                ]
+                if fam == "banded":
+                    cmd += ["--solver", "cheb", "--cheb-iters", "180"]
+                try:
+                    out = subprocess.run(
+                        cmd, capture_output=True, text=True, timeout=2000
+                    ).stdout
+                    for line in out.splitlines():
+                        line = line.strip()
+                        if line.startswith("{"):
+                            chip_rows.append(json.loads(line))
+                except Exception as e:  # relay flake — parity still runs
+                    print(f"# chip D=1 timing skipped: {e}",
+                          file=sys.stderr)
+            if fam is not None and not chip_rows:
                 print("# chip D=1 timing unavailable (relay down or "
                       "compile timeout)", file=sys.stderr)
         env = dict(os.environ)
