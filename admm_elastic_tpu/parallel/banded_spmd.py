@@ -121,10 +121,12 @@ class ShardedBandedStepper:
                  backend: str | None = None, solver: str = "cg",
                  cheb_iters: int | None = None, mg_cycles: int = 10,
                  system=None):
-        if base._uell is not None and solver != "cg":
+        if base._uell is not None and solver == "mg":
             raise ValueError(
-                "sharded uell path: cg only (cheb/mg spectral builds "
-                "are dia-mode; use solver='cg' on arbitrary topology)"
+                "sharded uell path: geometric multigrid needs a grid "
+                "mesh; use solver='cheb' (dot-free, spectral bounds "
+                "from the slot/fold planes) or 'cg' on arbitrary "
+                "topology"
             )
         if solver != "mg" and (base._mg_meta_static is not None
                                or base._uamg_meta_static is not None):
@@ -336,11 +338,24 @@ class ShardedBandedStepper:
             self._build_mg(slab_planes, mg_host)
 
         if self.solver == "cheb":
-            from .cheb import cheb_coefficients, dia_operator_bounds
+            from .cheb import (cheb_coefficients, dia_operator_bounds,
+                               uell_operator_bounds)
 
-            dia_np = np.asarray(base._dia2d, np.float64).reshape(
-                len(base.dia_offs), Nr, LANES)
-            lmin, lmax = dia_operator_bounds(dia_np, base.dia_offs)
+            if base._uell is not None:
+                # arbitrary topology: bounds from the slot/fold planes
+                # themselves (the planes ARE the operator); invd is the
+                # exact Jacobi D the recurrence applies
+                p2d_host = np.asarray(base._p2d, np.float64).reshape(
+                    P2D_PLANES, Nr, LANES)
+                lmin, lmax = uell_operator_bounds(
+                    np.asarray(base._dia2d, np.float64).reshape(
+                        S_total, Nr, LANES),
+                    ccs, slot_qs, fold_qs,
+                    p2d_host[PVM], p2d_host[PINVD])
+            else:
+                dia_np = np.asarray(base._dia2d, np.float64).reshape(
+                    len(base.dia_offs), Nr, LANES)
+                lmin, lmax = dia_operator_bounds(dia_np, base.dia_offs)
             #: measured spectral interval of D^{-1}A (margins applied)
             self.cheb_bounds = (lmin, lmax)
             inv_theta, c1, c2 = cheb_coefficients(
@@ -978,7 +993,11 @@ class ShardedBandedStepper:
                 return refresh(x3, H)
 
             if solver == "cheb":
-                solve = (cheb_kernel if backend == "pallas" else cheb_xla)
+                # the fused chunk kernel is dia-mode; uell runs the
+                # JAX-level recurrence over matvec_uell — still zero
+                # scalar collectives, which is the point on a mesh
+                solve = (cheb_kernel if backend == "pallas"
+                         and not is_uell else cheb_xla)
             elif solver == "mg":
                 solve = mg_solve
             else:

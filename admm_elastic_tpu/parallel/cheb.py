@@ -72,9 +72,6 @@ def dia_operator_bounds(dia_planes: np.ndarray, offs, margin=0.05):
 
     Returns (lmin, lmax) with the safety margin applied.
     """
-    from scipy.sparse import diags
-    from scipy.sparse.linalg import eigsh
-
     dia = np.asarray(dia_planes, np.float64)
     n_dia, R, L = dia.shape
     N = R * L
@@ -104,17 +101,106 @@ def dia_operator_bounds(dia_planes: np.ndarray, offs, margin=0.05):
                                 np.concatenate(cols))),
         shape=(nv, nv),
     )
-    dinv_sqrt = 1.0 / np.sqrt(d0[valid])
+    return _scaled_bounds(A, d0[valid], margin)
+
+
+def _scaled_bounds(A, d0, margin):
+    """Eigenvalue bounds of diag(d0)^{-1} A via the symmetrically-scaled
+    twin D^{-1/2} A D^{-1/2} (same spectrum). A: valid-restricted csr;
+    d0: (nv,) positive Jacobi diagonal. Margins widen the interval."""
+    from scipy.sparse import diags
+    from scipy.sparse.linalg import eigsh
+
+    dinv_sqrt = 1.0 / np.sqrt(d0)
     B = diags(dinv_sqrt) @ A @ diags(dinv_sqrt)
     B = (B + B.T) * 0.5  # symmetrize round-off
+    # deterministic Lanczos start: eigsh's default v0 is RANDOM, which
+    # made the cheb schedule (a compiled-in constant) differ between
+    # otherwise-identical builds — e.g. D=2 vs D=4 steppers of the same
+    # system diverging by bound noise rather than arithmetic
+    v0 = np.random.default_rng(0).standard_normal(B.shape[0])
     lmax = float(eigsh(B, k=1, which="LA", return_eigenvectors=False,
-                       tol=1e-3)[0])
+                       tol=1e-3, v0=v0)[0])
     lmin = float(eigsh(B, k=1, which="SA", return_eigenvectors=False,
-                       tol=1e-3)[0])
+                       tol=1e-3, v0=v0)[0])
     if lmin <= 0:
         # numerically touching zero: fall back to a tiny positive bound
         lmin = 1e-6 * lmax
     return lmin * (1.0 - margin), lmax * (1.0 + margin)
+
+
+def uell_operator_bounds(vals, ccs, slot_qs, fold_qs, vmask, invd,
+                         margin=0.05):
+    """Spectral bounds of the Jacobi-preconditioned ARBITRARY-TOPOLOGY
+    operator in core/uell.py's slot/fold plane layout — the uell twin of
+    `dia_operator_bounds`, enabling solver='cheb' on the sharded uell
+    path.
+
+    The plane semantics ARE the matvec (core/uell.py uell_matvec_np):
+
+        slot k:   out[r,l] += vals[k,r,l] * x[r+q_k, ccs[k,r,l]]
+        fold op:  acc[r,l] += vals[kf,r,l] * acc[r+q, ccs[kf,r,l]]
+                  (sequential, on the RESULT plane)
+        final:    out *= vmask
+
+    so the assembled matrix is A = (I+F_m)...(I+F_1) @ S with S from the
+    slot entries and one F per fold op in application order; restricting
+    rows AND columns to valid primary positions (vmask>0, invd>0) drops
+    nothing (slot columns only reference primary positions; copy rows
+    are folded into their parents before the mask).
+
+    vals: (S_total, Nr, L) value planes (slots then fold ops, layer
+    order); ccs: matching (S_total, Nr, L) int lane indices; slot_qs:
+    per-slot row shifts; fold_qs: list of layers, each a list of row
+    shifts; vmask/invd: (Nr, L) planes (PVM / PINVD).
+
+    Returns (lmin, lmax) of D^{-1}A with D = 1/invd — the EXACT
+    preconditioner the cheb recurrence applies — margins included.
+    """
+    from scipy.sparse import csr_matrix, identity
+
+    vals = np.asarray(vals, np.float64)
+    ccs = np.asarray(ccs, np.int64)
+    S_total, Nr, L = vals.shape
+    N = Nr * L
+
+    def plane_coo(k, q):
+        """COO of out[r,l] += vals[k,r,l] * x[r+q, ccs[k,r,l]]."""
+        r, l = np.nonzero(vals[k])
+        src = r + q
+        keep = (src >= 0) & (src < Nr)  # _rshift zero-fills outside
+        r, l, src = r[keep], l[keep], src[keep]
+        return (r * L + l, src * L + ccs[k, r, l],
+                vals[k, r, l])
+
+    rows, cols, ents = [], [], []
+    for k, q in enumerate(slot_qs):
+        rr, cc, vv = plane_coo(k, int(q))
+        rows.append(rr)
+        cols.append(cc)
+        ents.append(vv)
+    S = csr_matrix(
+        (np.concatenate(ents), (np.concatenate(rows),
+                                np.concatenate(cols))),
+        shape=(N, N),
+    )
+    A = S
+    kf = len(slot_qs)
+    for layer in fold_qs:
+        for q in layer:
+            rr, cc, vv = plane_coo(kf, int(q))
+            F = csr_matrix((vv, (rr, cc)), shape=(N, N))
+            A = A + F @ A  # acc <- (I + F) acc, in application order
+            kf += 1
+    assert kf == S_total, "plane count mismatch vs slot/fold shifts"
+
+    vm = np.asarray(vmask, np.float64).ravel()
+    dv = np.asarray(invd, np.float64).ravel()
+    valid = np.flatnonzero((vm > 0) & (dv > 0))
+    if len(valid) == 0:
+        raise ValueError("empty operator (no valid positions)")
+    A = A[valid][:, valid]
+    return _scaled_bounds(A, 1.0 / dv[valid], margin)
 
 
 def cheb_coefficients(k: int, lmin: float, lmax: float):
