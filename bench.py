@@ -818,12 +818,15 @@ def main():
         # compile away) — time it now so the preset emits wall-clock,
         # not just comm bytes (VERDICT r4 #1/weak #3).
         chip_rows = []
-        if args.preset in ("sharded_banded", "sharded_cloth"):
+        if args.preset in ("sharded_banded", "sharded_cloth",
+                           "sharded_delaunay"):
             # SUBPROCESS with a hard timeout: a wedged relay compile
             # (observed once with the 100k mg step) must degrade to a
             # skipped row, not hang the preset. Matched configs: banded
             # cheb180 (the measured on-chip matched solve — zero
-            # all-reduces; docs/PERFORMANCE.md round 5), cloth cg25.
+            # all-reduces; docs/PERFORMANCE.md round 5), cloth cg25,
+            # delaunay cg150 (the round-3 f64-matched budget for the
+            # uell operator).
             import subprocess
 
             # 90 s pre-probe: a dead relay otherwise eats the full
@@ -833,8 +836,9 @@ def main():
                  "import jax; assert jax.devices()[0].platform=='tpu'"],
                 capture_output=True,
             )
-            fam = ("banded" if args.preset == "sharded_banded"
-                   else "cloth")
+            fam = {"sharded_banded": "banded",
+                   "sharded_cloth": "cloth",
+                   "sharded_delaunay": "delaunay"}[args.preset]
             if probe.returncode != 0:
                 fam = None
                 print("# chip D=1 timing skipped: no TPU backend "
@@ -847,6 +851,8 @@ def main():
                 ]
                 if fam == "banded":
                     cmd += ["--solver", "cheb", "--cheb-iters", "180"]
+                elif fam == "delaunay":
+                    cmd += ["--cg-iters", "150"]
                 try:
                     out = subprocess.run(
                         cmd, capture_output=True, text=True, timeout=2000
@@ -1080,6 +1086,10 @@ def main():
                 }
             )
         )
+        # the measured C++ baseline is the lattice-beam 100k-tet
+        # workload — same element count/materials/iterations (the
+        # delaunay100k preset uses the same comparison point)
+        _emit_sharded_chip_rows("tet100k_ms_per_step")
     elif args.preset == "sharded_banded":
         stats, err, n_tets = bench_sharded_banded(dtype)
         print(

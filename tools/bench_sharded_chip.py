@@ -161,10 +161,47 @@ def bench_cloth(steps, scale, cg_iters=None, window=0, solver="cg",
     return row
 
 
+def bench_delaunay(steps, scale, cg_iters=None, solver="cg",
+                   cheb_iters=None):
+    """Sharded ARBITRARY topology (uell matvec) on the chip at D=1 —
+    first wall-clock for the sharded uell path. Matched CG budget for
+    the delaunay100k operator is cg150 (docs/PERFORMANCE.md round-3
+    study: worst <=0.98 vs the AMG-8 oracle); solver='cheb' runs the
+    dot-free recurrence over the ELL matvec (round-5 uell-cheb)."""
+    import jax
+    import jax.numpy as jnp
+
+    from bench import build_delaunay100k
+    from admm_elastic_tpu.parallel.banded_spmd import (
+        sharded_banded_from_system)
+
+    if scale != "100k":
+        raise SystemExit("--family delaunay: 100k scale only")
+    sys_, n_tets = build_delaunay100k(jnp.float32,
+                                      cg_iters=cg_iters or 25)
+    out = sharded_banded_from_system(
+        sys_, jax.make_mesh((1,), ("elem",)),
+        solver=solver, cheb_iters=cheb_iters)
+    assert out is not None, "delaunay scene did not qualify (uell)"
+    spmd, _ = out
+    assert spmd.base._uell is not None
+    med, lo, hi = _time_stepper(spmd, steps)
+    row = {"metric": f"sharded_delaunay_d1_ms_per_step_{scale}",
+           "value": round(med, 3), "unit": "ms",
+           "spread": [round(lo, 3), round(hi, 3)],
+           "n_tets": n_tets, "backend": spmd.backend,
+           "solver": solver,
+           "cg_iters": (spmd.cheb_iters if solver == "cheb"
+                        else spmd.cg_iters)}
+    if solver == "cheb":
+        row["cheb_bounds"] = [round(b, 5) for b in spmd.cheb_bounds]
+    return row
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--family", default="both",
-                    choices=["banded", "cloth", "both"])
+                    choices=["banded", "cloth", "delaunay", "both"])
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--scale", default="100k", choices=["100k", "small"])
     ap.add_argument("--cg-iters", type=int, default=None)
@@ -194,6 +231,11 @@ def main():
                           args.window,
                           solver=("mg" if args.solver == "mg" else "cg"),
                           mg_cycles=args.cheb_iters or 10)
+        print(json.dumps(row), flush=True)
+    if args.family == "delaunay":
+        row = bench_delaunay(args.steps, args.scale, args.cg_iters,
+                             solver=args.solver,
+                             cheb_iters=args.cheb_iters)
         print(json.dumps(row), flush=True)
 
 
