@@ -64,9 +64,11 @@ class ShardedClothStepper:
     ROLLOUT_WINDOW = 10
 
     def __init__(self, base, mesh, axis: str = "elem",
-                 solver: str = "cg", mg_cycles: int = 10, system=None):
-        if solver not in ("cg", "mg"):
-            raise ValueError(f"solver must be 'cg' or 'mg', got {solver}")
+                 solver: str = "cg", mg_cycles: int = 10, system=None,
+                 cheb_iters: int | None = None):
+        if solver not in ("cg", "cheb", "mg"):
+            raise ValueError(
+                f"solver must be 'cg', 'cheb' or 'mg', got {solver}")
         if solver != "mg" and base._mg_meta_static is not None:
             raise ValueError(
                 "sharded cloth path: the IN-KERNEL multigrid does not "
@@ -80,9 +82,13 @@ class ShardedClothStepper:
             )
         #: 'mg' = sharded geometric V-cycles with a Chebyshev-accelerated
         #: dot-free outer (same design as banded_spmd; the cloth matched
-        #: budget is otherwise cg~300, growing with grid diameter)
+        #: budget is otherwise cg~300, growing with grid diameter);
+        #: 'cheb' = dot-free Chebyshev on the fine operator
+        #: (parallel/cheb.py) — no scalar collective anywhere in the
+        #: solve (CG pays 2 psums/iteration on a real mesh)
         self.solver = solver
         self.mg_cycles = int(mg_cycles)
+        self.cheb_iters = int(cheb_iters or base.cg_iters)
         self._system = system
         self.base = base
         self.mesh = mesh
@@ -197,6 +203,32 @@ class ShardedClothStepper:
             setattr(self, nm, jax.device_put(getattr(self, nm), shd))
         if self.solver == "mg":
             self._build_mg(slab, mg_host, shd)
+        if self.solver == "cheb":
+            from .cheb import (_flat_shift, cheb_coefficients,
+                               dia_operator_bounds)
+
+            # expand the SYMMETRIC storage (offsets >= 0, vals[d,i] =
+            # A[i,i+off]) to full planes: A[i,i-off] = vals[d,i-off].
+            # The operator diagonal IS the stepper's Jacobi D (invd =
+            # 1/diag, masks row 2), so dia_operator_bounds' d0 matches
+            # the preconditioner the recurrence applies; pad lanes
+            # (diag 0) are excluded exactly.
+            fv_sym = np.asarray(base._dia, np.float64)
+            full_offs, full_planes = [], []
+            for d, o in enumerate(base.dia_offs):
+                full_offs.append(int(o))
+                full_planes.append(fv_sym[d])
+                if o != 0:
+                    full_offs.append(-int(o))
+                    full_planes.append(_flat_shift(fv_sym[d], -int(o)))
+            lmin, lmax = dia_operator_bounds(
+                np.stack(full_planes)[:, None, :], full_offs)
+            #: measured spectral interval of D^{-1}A (margins applied)
+            self.cheb_bounds = (lmin, lmax)
+            inv_theta, c1, c2 = cheb_coefficients(
+                self.cheb_iters, lmin, lmax)
+            self._cheb_c = (float(inv_theta),
+                            jnp.asarray(c1, dtype), jnp.asarray(c2, dtype))
 
     def _mg_host_build(self):
         """Host phase of the sharded 2D multigrid (VERDICT r4 #2): the
@@ -425,6 +457,8 @@ class ShardedClothStepper:
         fwd = [(d, d + 1) for d in range(D - 1)]
         bwd = [(d + 1, d) for d in range(D - 1)]
         solver = self.solver
+        cheb_k = self.cheb_iters
+        cheb_c = self._cheb_c if solver == "cheb" else None
         mg_np = None
         if solver == "mg":
             n_l1_, n_t0_, n_t1_ = self._mg_nplanes
@@ -815,6 +849,27 @@ class ShardedClothStepper:
                     x = mg_solve(x, Mxbar + dt2 * b3)
                     return (x, u, ancu, zp3, rp, rd)
 
+                if solver == "cheb":
+                    # dot-free Chebyshev (parallel/cheb.py): the solve
+                    # has NO psums — the only cross-device traffic is
+                    # the per-iteration halo refresh of d
+                    inv_theta, c1a, c2a = cheb_c
+                    z = invd[None] * (Mxbar + dt2 * b3 - matvec(xbuf))
+                    d3 = inv_theta * z
+
+                    def cheb_body(j, carry):
+                        x, z, d3 = carry
+                        x = x + d3
+                        z = z - invd[None] * matvec(refresh(d3))
+                        d3 = c1a[j] * d3 + c2a[j] * z
+                        return (x, z, d3)
+
+                    x, _, d3 = jax.lax.fori_loop(
+                        0, cheb_k - 1, cheb_body, (x, z, d3)
+                    )
+                    x = x + d3
+                    return (x, u, ancu, zp3, rp, rd)
+
                 # Jacobi-PCG from the current x
                 r = Mxbar + dt2 * b3 - matvec(xbuf)
                 z = invd[None] * r
@@ -939,8 +994,8 @@ class ShardedClothStepper:
             or not np.array_equal(np.asarray(new_base.gravity),
                                   np.asarray(old.gravity))
             or new_base.wind_groups != old.wind_groups
-            # the mg cheb schedule is spectrum-derived and compiled in
-            or self.solver == "mg"
+            # the mg/cheb schedules are spectrum-derived and compiled in
+            or self.solver in ("cheb", "mg")
         )
         state = self.state
         self.base = new_base
@@ -958,11 +1013,16 @@ class ShardedClothStepper:
         independent of N."""
         itemsize = jnp.dtype(self.base.dtype).itemsize
         per_exchange = 2 * 3 * self.Hf * itemsize
-        per_cg = per_exchange + 2 * itemsize
+        # cheb iterations move the same halo but NO scalars (CG pays
+        # two psum-reduced scalars per iteration)
+        per_cg = per_exchange + (0 if self.solver == "cheb"
+                                 else 2 * itemsize)
+        n_solve = (self.cheb_iters if self.solver == "cheb"
+                   else self.cg_iters)
         n_wind = 2 if self.base.wind_groups else 0
         per_admm = (per_exchange          # x refresh
                     + per_exchange // 2   # RHS combine (one direction)
-                    + self.cg_iters * per_cg)
+                    + n_solve * per_cg)
         per_step = (self.admm_iters * per_admm
                     + n_wind * per_exchange)
         return {
@@ -989,7 +1049,8 @@ class ShardedClothStepper:
 
 
 def sharded_cloth_from_system(system, mesh, axis: str = "elem",
-                              solver: str = "cg", mg_cycles: int = 10):
+                              solver: str = "cg", mg_cycles: int = 10,
+                              cheb_iters: int | None = None):
     """Build a ShardedClothStepper from an initialized System whose
     scene routed onto the cloth whole-timestep kernel. Returns
     (stepper, to_canonical) or None. Records the System, enabling
@@ -1006,7 +1067,8 @@ def sharded_cloth_from_system(system, mesh, axis: str = "elem",
         base, cid = out
     try:
         spmd = ShardedClothStepper(base, mesh, axis=axis, solver=solver,
-                                   mg_cycles=mg_cycles, system=system)
+                                   mg_cycles=mg_cycles, system=system,
+                                   cheb_iters=cheb_iters)
     except ValueError:
         return None
     return spmd, cid

@@ -131,7 +131,7 @@ def build_tet100k(dtype, admm_iters=10, local_backend="xla", global_solver="dia"
 
 
 def build_delaunay100k(dtype, admm_iters=10, fast_path=True, amg=False,
-                       cg_iters=None):
+                       cg_iters=None, residuals=False):
     """Genuinely UNSTRUCTURED workload: ~100k-tet Delaunay
     tetrahedralization of jittered grid points. A_hat has thousands of
     distinct diagonals in any numbering — no lattice stencil, no dia
@@ -170,6 +170,7 @@ def build_delaunay100k(dtype, admm_iters=10, fast_path=True, amg=False,
         cg_fixed_iters=cg_iters if cg_iters else (6 if amg else 25),
         preconditioner="amg" if amg else "jacobi",
         lattice_fast_path=fast_path,
+        collect_residuals=residuals,
     )
     sys = System(settings)
     sys.add_nodes(pts, np.full(n, 50.0 / n))

@@ -296,6 +296,40 @@ def test_cloth_mg_solver_matched_quality_and_parity():
             assert op.bytes <= limit, (op.bytes, op.line)
 
 
+def test_cloth_cheb_solver_quality_and_no_allreduce():
+    """Round-5 close: the dot-product-free Chebyshev solve on the
+    sharded CLOTH family (spectral bounds from the symmetric dia
+    planes expanded to full offsets). At an adequate budget it tracks
+    the deep-CG near-exact solve device-count-independently, and the
+    compiled multi-device step carries ZERO all-reduces — the CG
+    variant pays 2 psums per iteration on the critical path."""
+    _need_devices(4)
+    ref = ShardedClothStepper(_build_grid(cg=400)._lattice,
+                              jax.make_mesh((1,), ("elem",)))
+    for _ in range(5):
+        ref.step()
+    outs = {}
+    for Dv in (2, 4):
+        ch, _ = sharded_cloth_from_system(
+            _build_grid(cg=10), jax.make_mesh((Dv,), ("elem",)),
+            solver="cheb", cheb_iters=250)
+        lmin, lmax = ch.cheb_bounds
+        assert 0 < lmin < lmax, ch.cheb_bounds
+        for _ in range(5):
+            ch.step()
+        outs[Dv] = ch.x
+    scale = max(np.abs(ref.x).max(), 1.0)
+    assert np.abs(outs[2] - ref.x).max() < 2e-3 * scale
+    # no reductions anywhere in the recurrence -> D-independent
+    assert np.abs(outs[2] - outs[4]).max() < 1e-12
+    ch, _ = sharded_cloth_from_system(
+        _build_grid(cg=10, admm_iters=3),
+        jax.make_mesh((2,), ("elem",)), solver="cheb", cheb_iters=40)
+    rep = ch.measured_comm()
+    assert rep["counts"].get("collective-permute", 0) > 0
+    assert rep["counts"].get("all-reduce", 0) == 0, rep["counts"]
+
+
 def test_sharded_cloth_100k_parity_8dev():
     """Production-scale evidence: the 225x225 cloth100k workload (101k
     triangles) sharded over 8 devices vs the D=1 instance of the same

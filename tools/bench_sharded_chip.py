@@ -162,7 +162,7 @@ def bench_cloth(steps, scale, cg_iters=None, window=0, solver="cg",
 
 
 def bench_delaunay(steps, scale, cg_iters=None, solver="cg",
-                   cheb_iters=None):
+                   cheb_iters=None, backend=None):
     """Sharded ARBITRARY topology (uell matvec) on the chip at D=1 —
     first wall-clock for the sharded uell path. Matched CG budget for
     the delaunay100k operator is cg150 (docs/PERFORMANCE.md round-3
@@ -181,7 +181,7 @@ def bench_delaunay(steps, scale, cg_iters=None, solver="cg",
                                       cg_iters=cg_iters or 25)
     out = sharded_banded_from_system(
         sys_, jax.make_mesh((1,), ("elem",)),
-        solver=solver, cheb_iters=cheb_iters)
+        solver=solver, cheb_iters=cheb_iters, backend=backend)
     assert out is not None, "delaunay scene did not qualify (uell)"
     spmd, _ = out
     assert spmd.base._uell is not None
@@ -214,6 +214,9 @@ def main():
                          "sharded V-cycles + dot-free Chebyshev outer")
     ap.add_argument("--cheb-iters", type=int, default=None,
                     help="cheb iterations / mg cycles")
+    ap.add_argument("--backend", default=None,
+                    choices=["pallas", "xla"],
+                    help="local-phase backend override (delaunay only)")
     args = ap.parse_args()
 
     import jax
@@ -235,7 +238,8 @@ def main():
     if args.family == "delaunay":
         row = bench_delaunay(args.steps, args.scale, args.cg_iters,
                              solver=args.solver,
-                             cheb_iters=args.cheb_iters)
+                             cheb_iters=args.cheb_iters,
+                             backend=args.backend)
         print(json.dumps(row), flush=True)
 
 

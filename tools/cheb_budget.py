@@ -29,7 +29,14 @@ def build(scale, cg_iters, solver="cg", cheb_iters=None, mg_cycles=10):
 
     from admm_elastic_tpu.parallel.banded_spmd import ShardedBandedStepper
 
-    if scale == "100k":
+    if scale == "delaunay":
+        # arbitrary topology (uell matvec) — calibrates the round-5
+        # uell-cheb budget on the full 101k-tet Delaunay workload
+        from bench import build_delaunay100k
+
+        sys_, _ = build_delaunay100k(jnp.float64, cg_iters=cg_iters,
+                                     residuals="primal")
+    elif scale == "100k":
         from bench import build_tet100k
 
         sys_, _ = build_tet100k(jnp.float64, lattice=True,
@@ -73,7 +80,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=6)
     ap.add_argument("--cand", default="90,120,150")
-    ap.add_argument("--scale", default="100k", choices=["100k", "small"])
+    ap.add_argument("--scale", default="100k",
+                    choices=["100k", "small", "delaunay"])
     ap.add_argument("--exact-cg", type=int, default=300)
     ap.add_argument("--solver", default="cheb", choices=["cheb", "mg"])
     args = ap.parse_args()
