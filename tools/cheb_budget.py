@@ -29,6 +29,19 @@ def build(scale, cg_iters, solver="cg", cheb_iters=None, mg_cycles=10):
 
     from admm_elastic_tpu.parallel.banded_spmd import ShardedBandedStepper
 
+    if scale == "cloth":
+        # the 225x225 cloth100k workload — calibrates the cloth-cheb
+        # budget against its diameter-bound matched CG (~300)
+        from admm_elastic_tpu.parallel.cloth_spmd import (
+            ShardedClothStepper)
+        from bench import build_cloth100k
+
+        sys_, _ = build_cloth100k(jnp.float64, cg_iters=cg_iters,
+                                  residuals="primal")
+        return ShardedClothStepper(
+            sys_._lattice, jax.make_mesh((1,), ("elem",)),
+            solver=solver, cheb_iters=cheb_iters,
+            mg_cycles=mg_cycles, system=sys_)
     if scale == "delaunay":
         # arbitrary topology (uell matvec) — calibrates the round-5
         # uell-cheb budget on the full 101k-tet Delaunay workload
@@ -81,7 +94,7 @@ def main():
     ap.add_argument("--steps", type=int, default=6)
     ap.add_argument("--cand", default="90,120,150")
     ap.add_argument("--scale", default="100k",
-                    choices=["100k", "small", "delaunay"])
+                    choices=["100k", "small", "delaunay", "cloth"])
     ap.add_argument("--exact-cg", type=int, default=300)
     ap.add_argument("--solver", default="cheb", choices=["cheb", "mg"])
     args = ap.parse_args()
